@@ -1,0 +1,92 @@
+package graft.medallion
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** Silver-layer cleaning operators.
+  *
+  * Re-expresses the reference's silver pipeline
+  * (automic_etl/medallion/silver.py:121-368) as declarative
+  * `DataFrame => DataFrame` transforms. All operations are pure column
+  * expressions, so they stay inside whole-stage codegen and never force
+  * a shuffle except `dedup` (one hash shuffle on the business key —
+  * unavoidable and linear at any scale).
+  */
+object Silver {
+
+  /** Default string tokens treated as NULL (silver.py:173 `null_string_values`). */
+  val DefaultNullStrings: Seq[String] = Seq("", "null", "NULL", "N/A", "n/a", "None")
+
+  /** Trim whitespace on every string column (silver.py:164). */
+  def trimStrings(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      if (f.dataType == StringType) trim(col(f.name)).as(f.name) else col(f.name)
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** Map sentinel strings to real NULLs on every string column (silver.py:173). */
+  def normalizeNullStrings(df: DataFrame, nullValues: Seq[String] = DefaultNullStrings): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      if (f.dataType == StringType)
+        when(col(f.name).isin(nullValues: _*), lit(null)).otherwise(col(f.name)).as(f.name)
+      else col(f.name)
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** Standard cleaning = trim + null normalization (silver.py:159). */
+  def clean(df: DataFrame, nullValues: Seq[String] = DefaultNullStrings): DataFrame =
+    normalizeNullStrings(trimStrings(df), nullValues)
+
+  /** snake_case every column name (silver.py:321 normalize_column_names). */
+  def normalizeColumnNames(df: DataFrame): DataFrame = {
+    def toSnake(name: String): String = {
+      var s = name
+      s = s.replaceAll("([A-Z]+)([A-Z][a-z])", "$1_$2")
+      s = s.replaceAll("([a-z\\d])([A-Z])", "$1_$2")
+      s = s.replaceAll("[-\\s]+", "_")
+      s.toLowerCase
+    }
+    df.toDF(df.columns.map(toSnake).toIndexedSeq: _*)
+  }
+
+  /** Rename columns per mapping, ignoring absent sources (silver.py:189). */
+  def applySchemaMapping(df: DataFrame, mapping: Map[String, String]): DataFrame =
+    mapping.foldLeft(df) { case (d, (from, to)) =>
+      if (d.columns.contains(from)) d.withColumnRenamed(from, to) else d
+    }
+
+  /** Cast string columns to timestamps with a format (silver.py:335). */
+  def castTimestamps(df: DataFrame, columns: Seq[String], format: String = "yyyy-MM-dd HH:mm:ss"): DataFrame =
+    columns.filter(df.columns.contains).foldLeft(df) { (d, c) =>
+      d.withColumn(c, to_timestamp(col(c), format))
+    }
+
+  /** Fill nulls per column (silver.py:349). */
+  def fillNulls(df: DataFrame, fills: Map[String, Any]): DataFrame =
+    fills.filter { case (c, _) => df.columns.contains(c) }
+      .foldLeft(df) { case (d, (c, v)) => d.withColumn(c, coalesce(col(c), lit(v))) }
+
+  /** Drop rows whose required columns are null (silver.py:360). */
+  def filterInvalid(df: DataFrame, requiredColumns: Seq[String]): DataFrame =
+    requiredColumns.filter(df.columns.contains)
+      .foldLeft(df)((d, c) => d.filter(col(c).isNotNull))
+
+  /** Deduplicate on business keys keeping the first row under `orderBy`
+    * (silver.py:200 — reference keeps "last" by `_ingestion_time`; pass a
+    * descending order to match). One shuffle on `keys`; at 100 TB this is
+    * the minimal possible data movement for key-based dedup, and partial
+    * aggregation does not apply, so the window strategy (single shuffle +
+    * in-partition sort) is optimal. A deterministic tiebreaker column
+    * should be included in `orderBy`.
+    */
+  def dedup(df: DataFrame, keys: Seq[String], orderBy: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderBy: _*)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+import graft.medallion.{Gold, Silver}
+import graft.medallion.Gold._
+
+class MedallionSpec extends SparkSpec {
+
+  test("Silver.clean trims and nullifies sentinel strings") {
+    import spark.implicits._
+    val df = Seq("  a  ", "N/A", "  ", "null", "ok").toDF("v")
+    val out = Silver.clean(df).as[Option[String]].collect().toSeq
+    assert(out == Seq(Some("a"), None, None, None, Some("ok")))
+  }
+
+  test("Silver.normalizeColumnNames snake_cases") {
+    import spark.implicits._
+    val df = Seq((1, 2, 3)).toDF("OrderKey", "custKey", "Total-Price")
+    assert(Silver.normalizeColumnNames(df).columns.toSeq ==
+      Seq("order_key", "cust_key", "total_price"))
+  }
+
+  test("Silver.dedup keeps first row under ordering") {
+    import spark.implicits._
+    val df = Seq((1, "a", 10, 1), (1, "a", 20, 2), (2, "b", 5, 3)).toDF("k1", "k2", "ts", "id")
+    val out = Silver.dedup(df, Seq("k1", "k2"), Seq(col("ts").desc, col("id").desc))
+      .orderBy("k1").collect().toSeq
+    assert(out == Seq(Row(1, "a", 20, 2), Row(2, "b", 5, 3)))
+  }
+
+  test("Silver.fillNulls and filterInvalid") {
+    import spark.implicits._
+    val df = Seq((Some(1), Some("x")), (None, Some("y")), (Some(3), None)).toDF("a", "b")
+    assert(Silver.fillNulls(df, Map("a" -> 0)).filter(col("a") === 0).count() == 1)
+    assert(Silver.filterInvalid(df, Seq("a", "b")).count() == 1)
+  }
+
+  test("Gold.aggregate computes grouped aggs with having") {
+    import spark.implicits._
+    val df = Seq(("x", 1.0), ("x", 3.0), ("y", 10.0)).toDF("g", "v")
+    val out = Gold.aggregate(df, Seq("g"),
+      Seq(Sum("v", "s"), CountAll("n"), Avg("v", "a")),
+      having = Some(col("n") >= 2)).collect()
+    assert(out.length == 1 && out(0).getAs[Double]("s") == 4.0)
+  }
+
+  test("Gold.topKPerGroup bounds rows per group deterministically") {
+    import spark.implicits._
+    val df = (1 to 10).map(i => ("g", i)).toDF("g", "v")
+    val out = Gold.topKPerGroup(df, Seq("g"), Seq(col("v").desc), 3)
+    assert(out.select("v").as[Int].collect().sorted.toSeq == Seq(8, 9, 10))
+  }
+
+  test("Gold.featureTable keeps entities with no facts at zero") {
+    import spark.implicits._
+    val ents = Seq((1, "a"), (2, "b")).toDF("id", "name")
+    val facts = Seq((1, 5.0), (1, 7.0)).toDF("eid", "v")
+    val out = Gold.featureTable(ents, "id", facts, "eid",
+      Seq(CountAll("n"), Sum("v", "s")), fillZero = Seq("n"))
+    val m = out.collect().map(r => r.getAs[Int]("id") -> r.getAs[Long]("n")).toMap
+    assert(m == Map(1 -> 2L, 2 -> 0L))
+  }
+
+  test("Gold.denormalize broadcast-joins dimensions") {
+    import spark.implicits._
+    val fact = Seq((1, 10), (2, 20)).toDF("fk", "v")
+    val dim = Seq((1, "one")).toDF("dk", "label")
+    val out = Gold.denormalize(fact, Seq(JoinDef(dim, Seq("fk"), Seq("dk"), "left")))
+    assert(out.count() == 2)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+  }
+}

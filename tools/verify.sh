@@ -1,0 +1,18 @@
+#!/bin/bash
+# Run graft.Verify directly on the compiled classes (faster than sbt run).
+# Usage: tools/verify.sh [sfDir] [outDir]
+set -e
+cd "$(dirname "$0")/.."
+SF=${1:-/root/testdata/sf0.01}
+OUT=${2:-/tmp/verify_out}
+rm -rf "$OUT"
+OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
+         java.util java.util.concurrent java.util.concurrent.atomic \
+         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $OPENS -Xmx8g \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+  graft.Verify "$SF" "$OUT"
