@@ -52,6 +52,7 @@ object Gold {
       aggs: Seq[AggSpec],
       filter: Option[Column] = None,
       having: Option[Column] = None): DataFrame = {
+    require(aggs.nonEmpty, "aggregate needs at least one AggSpec")
     val filtered = filter.map(df.filter).getOrElse(df)
     val exprs = aggs.map(_.expr)
     val grouped =
@@ -60,15 +61,20 @@ object Gold {
     having.map(grouped.filter).getOrElse(grouped)
   }
 
-  /** gold.py:439 `JoinDefinition`. `broadcastRight` marks dimension
-    * tables — at 100 TB the fact side never shuffles for these joins.
+  /** gold.py:439 `JoinDefinition`. `broadcastRight` marks TRUE dimension
+    * tables (bounded size regardless of data scale — e.g. nation/region);
+    * for these the fact side never shuffles. The default is `false`:
+    * Spark's size-based auto-broadcast (plus AQE) then decides at
+    * runtime, which is the only safe default for tables that grow with
+    * the data — a hard `broadcast()` hint on an sf-proportional table
+    * (e.g. customer) OOMs the driver and every executor at 100 TB.
     */
   final case class JoinDef(
       right: DataFrame,
       leftOn: Seq[String],
       rightOn: Seq[String],
       how: String = "left",
-      broadcastRight: Boolean = true)
+      broadcastRight: Boolean = false)
 
   /** gold.py:176 `create_denormalized_view`: chained joins off a base fact. */
   def denormalize(base: DataFrame, joins: Seq[JoinDef], select: Seq[Column] = Nil): DataFrame = {
@@ -95,6 +101,8 @@ object Gold {
       timeGranularity: String = "day"): DataFrame = {
     val (withTime, groupCols) = timeColumn match {
       case Some(tc) =>
+        require(!df.columns.contains("_time_period"),
+          "input already has a _time_period column; rename it before metrics()")
         (df.withColumn("_time_period", truncateTime(col(tc), timeGranularity)),
           dimensions :+ "_time_period")
       case None => (df, dimensions)

@@ -75,15 +75,37 @@ object Silver {
     requiredColumns.filter(df.columns.contains)
       .foldLeft(df)((d, c) => d.filter(col(c).isNotNull))
 
-  /** Deduplicate on business keys keeping the first row under `orderBy`
-    * (silver.py:200 — reference keeps "last" by `_ingestion_time`; pass a
-    * descending order to match). One shuffle on `keys`; at 100 TB this is
-    * the minimal possible data movement for key-based dedup, and partial
-    * aggregation does not apply, so the window strategy (single shuffle +
-    * in-partition sort) is optimal. A deterministic tiebreaker column
-    * should be included in `orderBy`.
+  /** Deduplicate on business keys keeping the single row maximizing
+    * `orderKey` (silver.py:200 — reference keeps "last" by
+    * `_ingestion_time`; pass `struct(ingestionTime, tiebreaker)`).
+    *
+    * Formulated as `groupBy(keys).agg(max_by(struct(*), orderKey))` —
+    * NOT as a row_number window — because hash aggregation gets map-side
+    * partial aggregation: duplicates collapse *before* the shuffle, so
+    * at 100 TB strictly less data moves than the window formulation
+    * (which shuffles every column of every duplicate row and sorts each
+    * partition), and hot keys reduce partially instead of hammering one
+    * reducer. `orderKey` must totally order rows within a key (include
+    * a unique tiebreaker field) for deterministic results.
     */
-  def dedup(df: DataFrame, keys: Seq[String], orderBy: Seq[Column]): DataFrame = {
+  def dedup(df: DataFrame, keys: Seq[String], orderKey: Column): DataFrame = {
+    require(!df.columns.contains("_row"),
+      "input already has a _row column; rename it before dedup()")
+    val packed = struct(df.columns.map(col).toIndexedSeq: _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(packed, orderKey).as("_row"))
+      .select(col("_row.*"))
+  }
+
+  /** Window-based dedup keeping the first row under `orderBy`. Same
+    * semantics as [[dedup]] when `orderBy` is the descending of its
+    * `orderKey`; kept for when rank-style tie surfacing is needed.
+    * Shuffles full duplicate rows (no partial agg) — prefer [[dedup]]
+    * at scale.
+    */
+  def dedupWindow(df: DataFrame, keys: Seq[String], orderBy: Seq[Column]): DataFrame = {
+    require(!df.columns.contains("_rn"),
+      "input already has a _rn column; rename it before dedupWindow()")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(orderBy: _*)
     df.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)

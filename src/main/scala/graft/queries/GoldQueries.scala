@@ -35,9 +35,12 @@ object GoldQueries {
       Gold.denormalize(
         Tables.orders(s, d),
         Seq(
+          // customer is sf-proportional (~15M rows at sf100) — no hard
+          // broadcast hint; Spark's size-based auto-broadcast / AQE
+          // decides. nation (25) and region (5) are true bounded dims.
           JoinDef(Tables.customer(s, d), Seq("o_custkey"), Seq("c_custkey"), "inner"),
-          JoinDef(Tables.nation(s, d), Seq("c_nationkey"), Seq("n_nationkey"), "inner"),
-          JoinDef(Tables.region(s, d), Seq("n_regionkey"), Seq("r_regionkey"), "inner")),
+          JoinDef(Tables.nation(s, d), Seq("c_nationkey"), Seq("n_nationkey"), "inner", broadcastRight = true),
+          JoinDef(Tables.region(s, d), Seq("n_regionkey"), Seq("r_regionkey"), "inner", broadcastRight = true)),
         select = Seq(
           col("o_orderkey"), round(col("o_totalprice"), 2).as("total_price"),
           col("c_name"), col("n_name"), col("r_name")))
@@ -97,12 +100,15 @@ object GoldQueries {
         groupBy = Seq("l_orderkey"),
         aggs = Seq(
           // l_linenumber is NOT unique within an order in this data, so
-          // the order key folds in the (integral) value as a tiebreaker —
-          // ties then select equal values, keeping FIRST/LAST deterministic.
+          // the order key folds in the value (scaled to an exact integer
+          // — quantities have ≤2 decimals) as a tiebreaker; ties then
+          // select equal values, keeping FIRST/LAST deterministic. The
+          // 1e6 multiplier keeps line-number strata disjoint for any
+          // quantity < 10000.
           Expr(min_by(col("l_quantity"),
-            col("l_linenumber").cast("long") * 100 + col("l_quantity").cast("long")), "first_qty"),
+            col("l_linenumber").cast("long") * 1000000 + round(col("l_quantity") * 100).cast("long")), "first_qty"),
           Expr(max_by(col("l_quantity"),
-            col("l_linenumber").cast("long") * 100 + col("l_quantity").cast("long")), "last_qty"),
+            col("l_linenumber").cast("long") * 1000000 + round(col("l_quantity") * 100).cast("long")), "last_qty"),
           Collect("l_linenumber", "line_numbers")))))
 
   val oracles: Map[String, String] = Map(
@@ -161,8 +167,8 @@ object GoldQueries {
 
     "q07_gold_agg_collect" ->
       """SELECT l_orderkey,
-         min_by(l_quantity, l_linenumber*100 + CAST(l_quantity AS BIGINT)) AS first_qty,
-         max_by(l_quantity, l_linenumber*100 + CAST(l_quantity AS BIGINT)) AS last_qty,
+         min_by(l_quantity, l_linenumber*1000000 + CAST(round(l_quantity*100) AS BIGINT)) AS first_qty,
+         max_by(l_quantity, l_linenumber*1000000 + CAST(round(l_quantity*100) AS BIGINT)) AS last_qty,
          string_agg(CAST(l_linenumber AS VARCHAR), ','
                     ORDER BY CAST(l_linenumber AS VARCHAR)) AS line_numbers
          FROM lineitem GROUP BY l_orderkey""")

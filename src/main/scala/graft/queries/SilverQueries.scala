@@ -29,10 +29,13 @@ object SilverQueries {
     }),
 
     "q11_silver_dedup" -> ((s, d) =>
+      // agg-based keep-last: map-side partial agg collapses duplicates
+      // before the shuffle (see Silver.dedup). struct(ts, event_id)
+      // orders lexicographically = ORDER BY ts DESC, event_id DESC kept-row.
       Silver.dedup(
         Tables.events(s, d),
         keys = Seq("user_id", "event_type"),
-        orderBy = Seq(col("ts").desc, col("event_id").desc))
+        orderKey = struct(col("ts"), col("event_id")))
         .select(col("event_id"), col("user_id"), col("event_type"),
                 col("ts"), col("value"))),
 
@@ -78,9 +81,9 @@ object SilverQueries {
     "q13_silver_pipeline" ->
       """SELECT event_id, user_id, event_type,
          round(coalesce(value, 0.0), 2) AS amount,
-         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+         TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
          CAST(ts AS DATE) AS event_date
          FROM events
          WHERE ts IS NOT NULL
-           AND json_extract_string(props, '$.k') IS NOT NULL""")
+           AND TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) IS NOT NULL""")
 }

@@ -22,10 +22,18 @@ class MedallionSpec extends SparkSpec {
       Seq("order_key", "cust_key", "total_price"))
   }
 
-  test("Silver.dedup keeps first row under ordering") {
+  test("Silver.dedup keeps the max-orderKey row per key") {
     import spark.implicits._
     val df = Seq((1, "a", 10, 1), (1, "a", 20, 2), (2, "b", 5, 3)).toDF("k1", "k2", "ts", "id")
-    val out = Silver.dedup(df, Seq("k1", "k2"), Seq(col("ts").desc, col("id").desc))
+    val out = Silver.dedup(df, Seq("k1", "k2"), struct(col("ts"), col("id")))
+      .orderBy("k1").collect().toSeq
+    assert(out == Seq(Row(1, "a", 20, 2), Row(2, "b", 5, 3)))
+  }
+
+  test("Silver.dedupWindow matches dedup semantics") {
+    import spark.implicits._
+    val df = Seq((1, "a", 10, 1), (1, "a", 20, 2), (2, "b", 5, 3)).toDF("k1", "k2", "ts", "id")
+    val out = Silver.dedupWindow(df, Seq("k1", "k2"), Seq(col("ts").desc, col("id").desc))
       .orderBy("k1").collect().toSeq
     assert(out == Seq(Row(1, "a", 20, 2), Row(2, "b", 5, 3)))
   }
