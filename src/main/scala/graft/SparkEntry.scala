@@ -18,10 +18,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    GoldQueries.queries ++ SilverQueries.queries
+    GoldQueries.queries ++ SilverQueries.queries ++ Scd2Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    GoldQueries.oracles ++ SilverQueries.oracles
+    GoldQueries.oracles ++ SilverQueries.oracles ++ Scd2Queries.oracles
 }
