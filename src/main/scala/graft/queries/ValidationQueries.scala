@@ -19,8 +19,9 @@ object ValidationQueries {
   type Q = (SparkSession, String) => DataFrame
 
   /** Deterministic dirt: %13 → null custkey, %19 → orphan custkey,
-    * %17 → negative price, %97 → duplicated row. */
-  private def dirtyOrders(s: SparkSession, d: String): DataFrame = {
+    * %17 → negative price, %97 → duplicated row. Shared with the
+    * quality queries (q40/q42) so profiling sees real nulls/dupes. */
+  private[queries] def dirtyOrders(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
     val dirty0 = o.select(
       col("o_orderkey"),
@@ -29,7 +30,7 @@ object ValidationQueries {
         .otherwise(col("o_custkey")).as("o_custkey"),
       when(col("o_orderkey") % 17 === 0, -col("o_totalprice"))
         .otherwise(col("o_totalprice")).as("o_totalprice"),
-      col("o_orderstatus"), col("o_orderpriority"))
+      col("o_orderstatus"), col("o_orderpriority"), col("o_orderdate"))
     dirty0.unionByName(dirty0.filter(col("o_orderkey") % 97 === 0))
   }
 
@@ -41,7 +42,7 @@ object ValidationQueries {
     Unique(Seq("o_orderkey")),
     ForeignKey("o_custkey", Tables.customer(s, d), "c_custkey"))
 
-  private val dirtySql =
+  private[queries] val dirtySql =
     """dirty0 AS (
          SELECT o_orderkey,
                 CASE WHEN o_orderkey%13=0 THEN NULL
@@ -49,7 +50,7 @@ object ValidationQueries {
                      ELSE o_custkey END AS o_custkey,
                 CASE WHEN o_orderkey%17=0 THEN -o_totalprice
                      ELSE o_totalprice END AS o_totalprice,
-                o_orderstatus, o_orderpriority
+                o_orderstatus, o_orderpriority, o_orderdate
          FROM orders),
        dirty AS (SELECT * FROM dirty0
                  UNION ALL SELECT * FROM dirty0 WHERE o_orderkey%97=0)"""

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.validation.Quality
+
+/** Profiling semantics (ref validation/quality.py:146,240,309). */
+class QualitySpec extends SparkSpec {
+
+  private lazy val df = {
+    import spark.implicits._
+    Seq(
+      (Some(1.0), Some("aa"), 1),
+      (Some(2.0), Some("bbbb"), 1),
+      (Some(3.0), None, 1),
+      (None, Some("cc"), 1)
+    ).toDF("x", "s", "const")
+  }
+
+  test("profile: one row per column with kind-specific stats") {
+    val p = Quality.profile(df, Seq("x", "s", "const")).collect()
+      .map(r => r.getAs[String]("column") -> r).toMap
+    assert(p("x").getAs[String]("kind") == "numeric")
+    assert(p("x").getAs[Long]("nulls") == 1)
+    assert(p("x").getAs[Double]("mean_val") == 2.0)
+    assert(math.abs(p("x").getAs[Double]("std_val") - 1.0) < 1e-9)
+    assert(p("s").getAs[Long]("min_len") == 2 && p("s").getAs[Long]("max_len") == 4)
+    assert(p("const").getAs[Boolean]("is_constant"))
+  }
+
+  test("outliersIqr flags values beyond the Tukey fences") {
+    import spark.implicits._
+    val d = (Seq.fill(20)(10.0) ++ Seq(1000.0)).toDF("v")
+    val o = Quality.outliersIqr(d, Seq("v")).collect().head
+    assert(o.getAs[Long]("n_outliers") == 1)
+  }
+
+  test("datasetQuality counts duplicates and completeness") {
+    import spark.implicits._
+    val d = Seq((1, Some("a")), (1, Some("a")), (2, None)).toDF("id", "v")
+    val q = Quality.datasetQuality(d).collect().head
+    assert(q.getAs[Long]("duplicate_rows") == 1)
+    assert(q.getAs[Long]("complete_rows") == 2)
+    // 1 null cell of 6 total
+    assert(math.abs(q.getAs[Double]("completeness_score") - 500.0 / 6) < 1e-9)
+  }
+}
