@@ -1,0 +1,65 @@
+package graft.extraction
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.medallion.Silver
+
+/** Incremental extraction + CDC (ref extraction/incremental.py:58-383).
+  *
+  * All operators are plain Column predicates and key-partitioned joins:
+  * the watermark filter is a scan-pushable comparison (verify
+  * `PushedFilters` in explain — rows older than the watermark are
+  * skipped at the parquet reader, which is the entire point at 100 TB).
+  */
+object Incremental {
+
+  /** incremental.py:58 / bronze.py:258 `read_new_since`: rows strictly
+    * newer than the watermark. `None` = initial load (full scan). */
+  def readNewSince(df: DataFrame, watermarkColumn: String, since: Option[Column]): DataFrame =
+    since.map(v => df.filter(col(watermarkColumn) > v)).getOrElse(df)
+
+  /** incremental.py:315 `extract_changes`: tag rows with _change_type
+    * (DELETE when the deleted marker is set, else INSERT on initial
+    * load / UPSERT after). */
+  def withChangeType(
+      df: DataFrame,
+      deletedColumn: Option[String] = None,
+      isInitialLoad: Boolean = false): DataFrame = {
+    val upsertTag = if (isInitialLoad) "INSERT" else "UPSERT"
+    deletedColumn match {
+      case Some(dc) =>
+        df.withColumn("_change_type",
+          when(col(dc).isNotNull, "DELETE").otherwise(upsertTag))
+      case None => df.withColumn("_change_type", lit(upsertTag))
+    }
+  }
+
+  /** incremental.py:337 `apply_changes`: latest-wins upsert + delete.
+    *
+    * The reference assumes one change-row per key; distributed change
+    * feeds don't guarantee that, so when `latestBy` is given the change
+    * set first collapses to the newest row per key via the agg-based
+    * dedup (map-side combine, one shuffle). A key whose LATEST change
+    * is DELETE is removed; otherwise its newest upsert replaces the
+    * target row. Anti-joins + union shuffle on the primary key only.
+    */
+  def applyChanges(
+      target: DataFrame,
+      changes: DataFrame,
+      primaryKeys: Seq[String],
+      latestBy: Option[Column] = None): DataFrame = {
+    require(primaryKeys.nonEmpty, "applyChanges needs at least one primary key")
+    val tagged =
+      if (changes.columns.contains("_change_type")) changes
+      else changes.withColumn("_change_type", lit("UPSERT"))
+    val latest = latestBy match {
+      case Some(ord) => Silver.dedup(tagged, primaryKeys, ord)
+      case None      => tagged
+    }
+    val changedKeys = latest.select(primaryKeys.map(col): _*)
+    val upserts = latest.filter(col("_change_type") =!= "DELETE").drop("_change_type")
+    target.join(changedKeys, primaryKeys, "left_anti")
+      .unionByName(upserts.select(target.columns.map(col).toIndexedSeq: _*))
+  }
+}

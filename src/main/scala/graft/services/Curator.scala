@@ -1,0 +1,54 @@
+package graft.services
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset curation: deterministic train/test/val splits
+  * (ref services/dataset_curator.py:153 `_split_data`).
+  *
+  * The reference shuffles the whole frame with seed 42 and slices by
+  * position — a driver-global operation that cannot scale. The
+  * distributed-correct equivalent is hash-based assignment: each row's
+  * split is a pure function of its key and the seed, so the split is
+  * deterministic, stable under data reordering/repartitioning, and
+  * shuffle-free (a narrow projection). Ratios are honored in
+  * expectation (law of large numbers at any real scale) rather than by
+  * exact floor-plus-remainder counts — the price of not sorting 100 TB.
+  */
+object Curator {
+
+  /** Knuth multiplicative hash → [0, 1). Pure 64-bit integer
+    * arithmetic, reproducible in any engine (the portable alternative
+    * to xxhash64 for cross-engine checks). Keys must be integral. */
+  def portableFraction(key: Column, seed: Long): Column =
+    ((key + seed) * lit(2654435761L) % lit(4294967296L)) / lit(4294967296.0)
+
+  /** xxhash64-based fraction — the Spark-native default (codegen'd,
+    * works for any key type). */
+  def hashFraction(key: Column, seed: Long): Column =
+    (pmod(xxhash64(key, lit(seed)), lit(1000000000L))) / lit(1000000000.0)
+
+  /** Assign a split label per row. `ratios` are normalized; assignment
+    * walks the cumulative distribution. */
+  def assignSplits(
+      df: DataFrame,
+      key: Column,
+      ratios: Seq[(String, Double)],
+      seed: Long = 42L,
+      portable: Boolean = false,
+      outputCol: String = "split"): DataFrame = {
+    require(ratios.nonEmpty, "assignSplits needs at least one split")
+    val total = ratios.map(_._2).sum
+    val frac = if (portable) portableFraction(key, seed) else hashFraction(key, seed)
+    // Round cumulative thresholds to 9 decimals so 0.8 + 0.1 is the
+    // double literal 0.9, not 0.9000000000000001 — keeps thresholds
+    // identical to what any other engine would parse from "0.9".
+    val cumulative = ratios.init
+      .scanLeft(0.0) { case (acc, (_, r)) => math.rint((acc + r / total) * 1e9) / 1e9 }
+      .tail
+    val expr = ratios.init.zip(cumulative).foldLeft(when(lit(false), "")) {
+      case (acc, ((name, _), cum)) => acc.when(frac < cum, name)
+    }.otherwise(ratios.last._1)
+    df.withColumn(outputCol, expr)
+  }
+}

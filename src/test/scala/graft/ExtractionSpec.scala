@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.extraction.{Incremental, WatermarkManager}
+import graft.services.Curator
+
+/** Watermark store, CDC apply, split assignment semantics. */
+class ExtractionSpec extends SparkSpec {
+
+  test("WatermarkManager persists and reloads from file") {
+    val path = Files.createTempFile("wm", ".json")
+    val wm = new WatermarkManager(Some(path))
+    import spark.implicits._
+    val df = Seq(("a", 3), ("b", 7)).toDF("k", "v")
+    assert(wm.updateFromDataFrame(df, "src1", "v").contains("7"))
+    wm.set("src2", "ts", "2024-01-01 00:00:00")
+
+    val reloaded = new WatermarkManager(Some(path))
+    assert(reloaded.getValue("src1").contains("7"))
+    assert(reloaded.get("src2").map(_.column).contains("ts"))
+    assert(reloaded.listSources == Seq("src1", "src2"))
+    assert(reloaded.delete("src2"))
+    assert(!new WatermarkManager(Some(path)).get("src2").isDefined)
+  }
+
+  test("readNewSince filters strictly greater; None means full load") {
+    import spark.implicits._
+    val df = Seq((1, 10), (2, 20), (3, 30)).toDF("id", "v")
+    assert(Incremental.readNewSince(df, "v", Some(lit(20))).count() == 1)
+    assert(Incremental.readNewSince(df, "v", None).count() == 3)
+  }
+
+  test("applyChanges: latest-wins upsert and delete") {
+    import spark.implicits._
+    val target = Seq((1, "old1", 1), (2, "old2", 1), (3, "old3", 1)).toDF("id", "v", "seq")
+    // id=1: two upserts, latest seq wins; id=2: upsert then delete ->
+    // gone; id=4: brand new
+    val changes = Seq(
+      (1, "new1a", 2, "UPSERT"), (1, "new1b", 3, "UPSERT"),
+      (2, "x", 2, "UPSERT"), (2, "x", 3, "DELETE"),
+      (4, "new4", 2, "UPSERT")
+    ).toDF("id", "v", "seq", "_change_type")
+    val out = Incremental.applyChanges(target, changes, Seq("id"), latestBy = Some(col("seq")))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out == Map(1 -> "new1b", 3 -> "old3", 4 -> "new4"))
+  }
+
+  test("assignSplits is deterministic and roughly honors ratios") {
+    import spark.implicits._
+    val df = (1 to 10000).toDF("id")
+    val ratios = Seq("train" -> 0.8, "test" -> 0.1, "val" -> 0.1)
+    val counts = Curator.assignSplits(df, col("id"), ratios)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("train") - 8000L) < 300)
+    assert(math.abs(counts("test") - 1000L) < 150)
+    assert(math.abs(counts("val") - 1000L) < 150)
+    // determinism: same seed, same assignment
+    val a = Curator.assignSplits(df, col("id"), ratios).collect().toSet
+    val b = Curator.assignSplits(df, col("id"), ratios).collect().toSet
+    assert(a == b)
+  }
+}
