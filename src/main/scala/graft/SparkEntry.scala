@@ -19,11 +19,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     GoldQueries.queries ++ SilverQueries.queries ++ Scd2Queries.queries ++
-      ValidationQueries.queries ++ QualityQueries.queries ++ ExtractionQueries.queries
+      ValidationQueries.queries ++ QualityQueries.queries ++ ExtractionQueries.queries ++
+      RedactionQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     GoldQueries.oracles ++ SilverQueries.oracles ++ Scd2Queries.oracles ++
-      ValidationQueries.oracles ++ QualityQueries.oracles ++ ExtractionQueries.oracles
+      ValidationQueries.oracles ++ QualityQueries.oracles ++ ExtractionQueries.oracles ++
+      RedactionQueries.oracles
 }

@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.medallion.Silver
+import graft.services.{Qa, Redaction}
+import graft.services.Redaction.EntityPattern
+
+/** Redaction + QA queries (q50, q51, q60) + DuckDB oracles.
+  *
+  * q50/q51 synthesize PII deterministically from `customer` (every row
+  * gets an email; %3 a phone, %5 an SSN, %7 an IP) so redaction counts
+  * are data-derived, then run the column-expression redaction engine;
+  * the oracle rebuilds the identical text and applies the same
+  * pattern chain with DuckDB's global regexp_replace.
+  */
+object RedactionQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val patterns = Seq(
+    EntityPattern("email", Seq("[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"), priority = 10),
+    EntityPattern("ssn", Seq("\\d{3}-\\d{2}-\\d{4}"), priority = 9),
+    EntityPattern("phone", Seq("\\d{3}-\\d{3}-\\d{4}"), priority = 8),
+    EntityPattern("ip_address", Seq("\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"), priority = 6))
+
+  private def piiText(s: SparkSession, d: String): DataFrame = {
+    val k = col("c_custkey")
+    val ks = k.cast("string")
+    Tables.customer(s, d).select(
+      k.as("c_custkey"),
+      concat(
+        lit("Contact "), col("c_name"), lit(" at user"), ks, lit("@example.com"),
+        when(k % 3 === 0, concat(lit(" phone 555-"),
+          lpad((k % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((k % 10000).cast("string"), 4, "0"))).otherwise(""),
+        when(k % 5 === 0, concat(lit(" ssn "),
+          lpad((k % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((k % 100).cast("string"), 2, "0"), lit("-"),
+          lpad((k % 10000).cast("string"), 4, "0"))).otherwise(""),
+        when(k % 7 === 0, concat(lit(" ip 10."),
+          (k % 256).cast("string"), lit(".0."), (k % 100).cast("string"))).otherwise(""))
+        .as("text"))
+  }
+
+  private val piiTextSql =
+    """pii AS (
+         SELECT c_custkey,
+           'Contact ' || c_name || ' at user' || CAST(c_custkey AS VARCHAR) || '@example.com'
+           || CASE WHEN c_custkey % 3 = 0 THEN ' phone 555-'
+                || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-'
+                || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ELSE '' END
+           || CASE WHEN c_custkey % 5 = 0 THEN ' ssn '
+                || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-'
+                || lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') || '-'
+                || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ELSE '' END
+           || CASE WHEN c_custkey % 7 = 0 THEN ' ip 10.'
+                || CAST(c_custkey % 256 AS VARCHAR) || '.0.'
+                || CAST(c_custkey % 100 AS VARCHAR) ELSE '' END
+           AS text
+         FROM customer)"""
+
+  val queries: Map[String, Q] = Map(
+    "q50_redact" -> ((s, d) =>
+      piiText(s, d).select(
+        col("c_custkey"),
+        Redaction.redactColumn(col("text"), patterns).as("text_redacted"))),
+
+    "q51_entity_counts" -> ((s, d) =>
+      Redaction.entityCounts(piiText(s, d), "text", patterns)),
+
+    "q60_qa_compare" -> ((s, d) => {
+      val before = Tables.events(s, d).select(
+        col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        when(col("event_id") % 13 === 0, lit(null)).otherwise(col("value")).as("value"),
+        col("props"))
+      val after = Silver.filterInvalid(before, Seq("value"))
+      Qa.compare(before, after, keyColumns = Seq("event_id"))
+    }))
+
+  private val q50Sql = {
+    // identical priority order: email, ssn, phone, ip — each global.
+    // SQL single-quoted strings are escape-free, so regex backslashes
+    // embed verbatim.
+    val chain = patterns.foldLeft("text") { (acc, p) =>
+      s"regexp_replace($acc, '${p.patterns.head}', '${p.tagText}', 'g')"
+    }
+    s"WITH $piiTextSql SELECT c_custkey, $chain AS text_redacted FROM pii"
+  }
+
+  private val q51Sql = {
+    val sels = patterns.map { p =>
+      s"""SELECT '${p.name}' AS entity,
+          sum(len(regexp_extract_all(text, '${p.patterns.head}'))) AS n_matches FROM pii"""
+    }.mkString("\nUNION ALL\n")
+    s"WITH $piiTextSql\n$sels"
+  }
+
+  private val q60Sql = {
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    def side(t: String) =
+      s"(SELECT count(*) AS n, " +
+        cols.map(c => s"count(*) - count($c) AS n_$c").mkString(", ") +
+        s", count(*) - count(DISTINCT event_id) AS dups FROM $t)"
+    val rows =
+      s"""SELECT 'row_count' AS "check", b.n AS "before", a.n AS "after" FROM b, a""" +:
+        cols.map(c => s"""SELECT 'nulls_$c', b.n_$c, a.n_$c FROM b, a""") :+
+        s"""SELECT 'duplicates_event_id', b.dups, a.dups FROM b, a"""
+    s"""WITH before_t AS (
+          SELECT event_id, ts, user_id, event_type,
+                 CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS value, props
+          FROM events),
+        after_t AS (SELECT * FROM before_t WHERE value IS NOT NULL),
+        b AS ${side("before_t")},
+        a AS ${side("after_t")}
+        ${rows.mkString("\nUNION ALL\n")}"""
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q50_redact" -> q50Sql,
+    "q51_entity_counts" -> q51Sql,
+    "q60_qa_compare" -> q60Sql)
+}
