@@ -1,0 +1,166 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text deduplication: exact, set-Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design (SURVEY §4): the brute-force Jaccard join
+  * ([[jaccardPairs]]) is the semantics baseline — it explodes on hub
+  * items and exists to oracle-check the approximate paths. The scale
+  * path is [[minhashLshPairs]]: signatures shrink each document to k
+  * integers (one shuffle with map-side partial min), LSH banding
+  * shuffles signatures — not documents — on (band, signature), and
+  * verification touches candidate pairs only ([[verifyJaccard]] is
+  * candidate-bounded: it never joins set×set on items).
+  *
+  * All hash arithmetic is pure 64-bit integer math over md5-derived
+  * 32-bit item ids — reproducible in any engine, no engine-native hash
+  * in any cross-checked path.
+  */
+object TextDedup {
+
+  val MinhashPrime = 2147483647L // 2^31 − 1, Mersenne
+
+  /** Lowercased alphanumeric tokens, one row per DISTINCT (id, token). */
+  def tokenSets(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= "")).as("item"))
+      .distinct()
+
+  /** Word n-gram shingles, one row per DISTINCT (id, shingle). */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val ws = filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= "")
+    df.select(col(idCol).as("id"), ws.as("_ws"))
+      .filter(size(col("_ws")) >= n)
+      .select(col("id"),
+        explode(transform(sequence(lit(1), size(col("_ws")) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(col("_ws"), i + j)): _*))).as("item"))
+      .distinct()
+  }
+
+  /** Exact dedup by content hash (hash group-by; one shuffle on the
+    * md5, partial agg collapses copies map-side): keeps the min-id row
+    * per distinct content → (id, n_copies). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("_content_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .drop("_content_hash")
+
+  /** Brute-force set-Jaccard pairs ≥ threshold. Shuffles on item — hub
+    * items fan out quadratically; baseline/oracle use only. */
+  def jaccardPairs(sets: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sets.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = sets.toDF("id_1", "item")
+      .join(sets.toDF("id_2", "item"), "item")
+      .filter(col("id_1") < col("id_2"))
+      .groupBy("id_1", "id_2").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.toDF("id_1", "sz1"), "id_1")
+      .join(sizes.toDF("id_2", "sz2"), "id_2")
+      .withColumn("jaccard", col("i") / (col("sz1") + col("sz2") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_1", "id_2", "jaccard")
+  }
+
+  /** Portable 32-bit item id: first 8 hex chars of md5. */
+  def itemId(item: Column): Column = conv(substring(md5(item), 1, 8), 16, 10).cast("long")
+
+  /** MinHash signatures: k permutation-mins via hᵢ(x) = (aᵢ·x + bᵢ) mod p
+    * with aᵢ = 1+4i, bᵢ = 7+11i (odd, fixed — reproducible anywhere).
+    * One groupBy(id) with k min-aggregates: a single shuffle, partial
+    * aggregation collapses the item lists map-side. → (id, mh_0..mh_{k−1}) */
+  def minhashSignatures(sets: DataFrame, k: Int): DataFrame = {
+    val sid = itemId(col("item"))
+    val aggs = (0 until k).map { i =>
+      min((sid * (1 + 4 * i) + (7 + 11 * i)) % MinhashPrime).as(s"mh_$i")
+    }
+    sets.groupBy("id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: split the k signature values into `bands` bands of
+    * k/bands rows; docs sharing any band signature become candidates.
+    * Shuffles (id, band, sig) tuples — signature-sized, not
+    * document-sized. → distinct (id_1, id_2). */
+  def lshCandidates(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    val r = k / bands
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until r).map(j => col(s"mh_${b * r + j}")): _*).as("sig"))
+    }
+    val banded = sigs
+      .select(col("id"), explode(array(bandStructs: _*)).as("_b"))
+      .select(col("id"), col("_b.band").as("band"), col("_b.sig").as("sig"))
+    banded.toDF("id_1", "band", "sig")
+      .join(banded.toDF("id_2", "band", "sig"), Seq("band", "sig"))
+      .filter(col("id_1") < col("id_2"))
+      .select("id_1", "id_2")
+      .distinct()
+  }
+
+  /** Candidate-bounded exact-Jaccard verification: |union| via the
+    * pair-scoped union of both sets (never an item-keyed set×set join),
+    * jaccard = (sz1 + sz2 − u) / u. → (id_1, id_2, jaccard ≥ threshold) */
+  def verifyJaccard(candidates: DataFrame, sets: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sets.groupBy("id").agg(count(lit(1)).as("sz"))
+    val u1 = candidates.join(sets.toDF("id_1", "item"), "id_1").select("id_1", "id_2", "item")
+    val u2 = candidates.join(sets.toDF("id_2", "item"), "id_2").select("id_1", "id_2", "item")
+    val uni = u1.union(u2).distinct().groupBy("id_1", "id_2").agg(count(lit(1)).as("u"))
+    uni
+      .join(sizes.toDF("id_1", "sz1"), "id_1")
+      .join(sizes.toDF("id_2", "sz2"), "id_2")
+      .withColumn("jaccard", (col("sz1") + col("sz2") - col("u")) / col("u"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_1", "id_2", "jaccard")
+  }
+
+  /** The full MinHash+LSH near-dup pipeline over word n-gram shingles. */
+  def minhashLshPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 16, bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, n)
+    verifyJaccard(lshCandidates(minhashSignatures(sets, k), k, bands), sets, threshold)
+  }
+
+  // ---- SimHash (Spark-native: engine hash is fine, not cross-checked) ----
+
+  /** 64-bit SimHash over a document's distinct tokens: bit i of the
+    * fingerprint is the sign of Σ_tokens (bitᵢ(xxhash64(token)) ? +1 : −1).
+    * One groupBy(id) with 64 small sum-aggregates. → (id, simhash) */
+  def simhash64(sets: DataFrame): DataFrame = {
+    val h = xxhash64(col("item"))
+    val bitAggs = (0 until 64).map { i =>
+      sum(when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"_b_$i")
+    }
+    val agg = sets.groupBy("id").agg(bitAggs.head, bitAggs.tail: _*)
+    val fp = (0 until 64)
+      .map(i => when(col(s"_b_$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    agg.select(col("id"), fp.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Near-pairs within `maxDist` bits. Pigeonhole banding: two
+    * fingerprints within d bits must share at least one of d+1 equal
+    * byte-bands, so candidates come from shuffling on 16-bit band
+    * values (4 bands ⇒ exact for d ≤ 3), then verifying bit_count —
+    * never an all-pairs comparison. */
+  def simhashNearPairs(sigs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val banded = sigs.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("sig"))): _*)).as("_b"))
+      .select(col("id"), col("simhash"), col("_b.band").as("band"), col("_b.sig").as("sig"))
+    banded.toDF("id_1", "sh_1", "band", "sig")
+      .join(banded.toDF("id_2", "sh_2", "band", "sig"), Seq("band", "sig"))
+      .filter(col("id_1") < col("id_2"))
+      .select("id_1", "id_2", "sh_1", "sh_2")
+      .distinct()
+      .withColumn("distance", hammingDistance(col("sh_1"), col("sh_2")))
+      .filter(col("distance") <= maxDist)
+      .select("id_1", "id_2", "distance")
+  }
+}

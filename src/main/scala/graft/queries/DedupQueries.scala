@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.TextDedup
+
+/** Dedup-family queries (q90–q92, q94) + DuckDB oracles. q93 (SimHash)
+  * uses engine-native hashing and is ScalaTest-verified instead
+  * (DedupSpec).
+  *
+  * The synthetic `documents` table plants ~25 true near-dup pairs
+  * (3-gram-shingle Jaccard ≥ 0.8); q92's MinHash+LSH pipeline and
+  * q94's exact-shingle baseline both recover them, and the DuckDB
+  * oracles replay the identical integer-hash arithmetic end-to-end.
+  */
+object DedupQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val K = 16; private val Bands = 8; private val N = 3
+  private val P = TextDedup.MinhashPrime
+
+  val queries: Map[String, Q] = Map(
+    "q90_dedup_exact" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val withDups = docs.unionByName(
+        docs.filter(col("doc_id") % 10 < 2)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      TextDedup.exactDedup(withDups, "doc_id", "text")
+    }),
+
+    "q91_dedup_jaccard" -> ((s, d) =>
+      TextDedup.jaccardPairs(
+        TextDedup.tokenSets(Tables.documents(s, d), "doc_id", "text"), 0.95)),
+
+    "q92_dedup_minhash" -> ((s, d) =>
+      TextDedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+        n = N, k = K, bands = Bands, threshold = 0.5)),
+
+    "q94_dedup_ngram" -> ((s, d) =>
+      TextDedup.jaccardPairs(
+        TextDedup.shingleSets(Tables.documents(s, d), "doc_id", "text", N), 0.5)))
+
+  private val tokSql =
+    """tok AS (
+         SELECT DISTINCT doc_id AS id, tok AS item FROM (
+           SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+           FROM documents)
+         WHERE tok <> '')"""
+
+  private val shSql =
+    s"""w AS (SELECT doc_id,
+              list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws
+            FROM documents),
+        sh AS (SELECT DISTINCT doc_id AS id,
+                      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS item
+               FROM w, unnest(range(1, len(ws) - 1)) AS t(i)
+               WHERE len(ws) >= $N)"""
+
+  private def jaccardSql(setsCte: String, setsName: String, threshold: Double): String =
+    s"""WITH $setsCte,
+        sizes AS (SELECT id, count(*) AS sz FROM $setsName GROUP BY id),
+        inter AS (SELECT a.id AS id_1, b.id AS id_2, count(*) AS i
+                  FROM $setsName a JOIN $setsName b ON a.item = b.item AND a.id < b.id
+                  GROUP BY 1, 2)
+        SELECT id_1, id_2, i / (s1.sz + s2.sz - i) AS jaccard
+        FROM inter
+        JOIN sizes s1 ON id_1 = s1.id
+        JOIN sizes s2 ON id_2 = s2.id
+        WHERE i / (s1.sz + s2.sz - i) >= $threshold"""
+
+  private val q92Sql = {
+    val mhCols = (0 until K).map(i =>
+      s"min((sid * ${1 + 4 * i} + ${7 + 11 * i}) % $P) AS mh_$i").mkString(", ")
+    val bandSelects = (0 until Bands).map { b =>
+      s"""SELECT id, $b AS band,
+          CAST(mh_${2 * b} AS VARCHAR) || '_' || CAST(mh_${2 * b + 1} AS VARCHAR) AS sig
+          FROM mh"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $shSql,
+        sids AS (SELECT id, CAST(concat('0x', substr(md5(item), 1, 8)) AS BIGINT) AS sid FROM sh),
+        mh AS (SELECT id, $mhCols FROM sids GROUP BY id),
+        bands AS ($bandSelects),
+        cand AS (SELECT DISTINCT b1.id AS id_1, b2.id AS id_2
+                 FROM bands b1 JOIN bands b2
+                   ON b1.band = b2.band AND b1.sig = b2.sig AND b1.id < b2.id),
+        sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        uni AS (SELECT id_1, id_2, count(*) AS u FROM (
+                  SELECT DISTINCT id_1, id_2, item FROM (
+                    SELECT id_1, id_2, sh.item FROM cand JOIN sh ON sh.id = cand.id_1
+                    UNION ALL
+                    SELECT id_1, id_2, sh.item FROM cand JOIN sh ON sh.id = cand.id_2))
+                GROUP BY 1, 2)
+        SELECT id_1, id_2, (s1.sz + s2.sz - u) / u AS jaccard
+        FROM uni JOIN sizes s1 ON id_1 = s1.id JOIN sizes s2 ON id_2 = s2.id
+        WHERE (s1.sz + s2.sz - u) / u >= 0.5"""
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q90_dedup_exact" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 < 2)
+         SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+         FROM all_docs GROUP BY md5(text)""",
+    "q91_dedup_jaccard" -> jaccardSql(tokSql, "tok", 0.95),
+    "q92_dedup_minhash" -> q92Sql,
+    "q94_dedup_ngram" -> jaccardSql(shSql, "sh", 0.5))
+}

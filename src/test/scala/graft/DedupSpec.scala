@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.TextDedup
+
+/** SimHash, LSH recall vs brute force, and plan-shape checks. */
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+      (3L, "completely different text about spark catalyst optimizer and shuffle exchanges"),
+      (4L, "the quick brown fox jumps over the lazy dog near the river bank today") // exact dup of 1
+    ).toDF("doc_id", "text")
+  }
+
+  test("simhash: exact dup distance 0, near-dup small, unrelated large") {
+    val sigs = TextDedup.simhash64(TextDedup.tokenSets(docs, "doc_id", "text"))
+    val m = sigs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(m(1) ^ m(4)) == 0)
+    val near = java.lang.Long.bitCount(m(1) ^ m(2))
+    val far = java.lang.Long.bitCount(m(1) ^ m(3))
+    assert(near < far, s"near=$near far=$far")
+    assert(near <= 16)
+  }
+
+  test("simhashNearPairs finds the dup/near-dup cluster, not unrelated docs") {
+    val sigs = TextDedup.simhash64(TextDedup.tokenSets(docs, "doc_id", "text"))
+    val pairs = TextDedup.simhashNearPairs(sigs, maxDist = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("LSH candidates achieve full recall on the planted near-dups at sf0.001") {
+    val d = Tables.documents(spark, sfDir)
+    val sets = TextDedup.shingleSets(d, "doc_id", "text", 3)
+    val brute = TextDedup.jaccardPairs(sets, 0.5).select("id_1", "id_2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = TextDedup.minhashLshPairs(d, "doc_id", "text").select("id_1", "id_2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "test data should contain planted near-dups")
+    val recall = lsh.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall over ${brute.size} true pairs")
+    assert(lsh.subsetOf(brute), "verification must filter false candidates")
+  }
+
+  test("LSH pipeline plan contains no cartesian product") {
+    val plan = TextDedup.minhashLshPairs(Tables.documents(spark, sfDir), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "LSH must not degrade to all-pairs")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "LSH must join on band keys")
+  }
+
+  test("exactDedup keeps min id and counts copies") {
+    val out = TextDedup.exactDedup(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+  }
+}
