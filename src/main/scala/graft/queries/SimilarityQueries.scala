@@ -1,0 +1,51 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.similarity.Ann
+
+/** Similarity-search queries (q95) + DuckDB oracle. q96 (LSH ANN) is
+  * recall-tested against the brute-force baseline in SimilaritySpec —
+  * its hyperplane signatures are Spark-computed and not replayable in
+  * SQL.
+  *
+  * The oracle recomputes cosine in double precision with sequential
+  * sums (matching the fused single-pass loop in
+  * graft.functions.CosineSimilarity) and ranks by the 4-decimal-rounded
+  * score with neighbor id as tiebreak — the same reproducible ordering
+  * the Spark side uses.
+  */
+object SimilarityQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "q95_knn_brute" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.knnBrute(emb, emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", k = 5)
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q95_knn_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                    FROM embeddings WHERE vec_id % 100 = 0),
+         pairs AS (
+           SELECT query_id, e.vec_id AS neighbor_id,
+             round(
+               list_sum(list_transform(range(1, len(qe) + 1),
+                 i -> CAST(qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, len(qe) + 1),
+                    i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))),
+               4) AS cosine
+           FROM embeddings e, q
+           WHERE e.vec_id <> query_id)
+         SELECT query_id, neighbor_id, cosine, rank
+         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rank
+               FROM pairs)
+         WHERE rank <= 5""")
+}

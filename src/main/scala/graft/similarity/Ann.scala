@@ -1,0 +1,103 @@
+package graft.similarity
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.CosineSimilarity.cosineSim
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * [[knnBrute]] is the correctness baseline: broadcast the (small)
+  * query set over the corpus scan, score every pair with the codegen'd
+  * [[graft.functions.CosineSimilarity]], keep top-k per query with one
+  * bounded window. Cost is |corpus|×|queries| similarity evaluations —
+  * exact, and the oracle for the approximate path.
+  *
+  * [[knnLsh]] is the scale path: random-hyperplane signatures bucket
+  * vectors by sign patterns; only candidates sharing a band with the
+  * query are scored. Planes derive from a seeded RNG, so signatures are
+  * deterministic. Recall/pruning trade off via (bands × bitsPerBand) —
+  * tight near-neighbors (the dedup use-case) survive small bands with
+  * high probability; orthogonal noise does not.
+  */
+object Ann {
+
+  /** Top-k exact cosine neighbors per query.
+    * → (query_id, neighbor_id, cosine, rank). Cosine is rounded to
+    * `roundTo` decimals BEFORE ranking (with neighbor id as tiebreak)
+    * so rankings are reproducible across engines/summation orders. */
+  def knnBrute(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, roundTo: Int = 4): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qvec"))
+    val scored = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cvec"))
+      .crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", round(cosineSim(col("_qvec"), col("_cvec")), roundTo))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Deterministic Gaussian hyperplanes: bands × bitsPerBand planes of
+    * `dim` weights each. */
+  def planes(dim: Int, nPlanes: Int, seed: Long): Seq[Array[Double]] = {
+    val rnd = new Random(seed)
+    Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Per-band sign-pattern signatures → (id, vec, band, sig). The dot
+    * product against each plane literal runs as a higher-order
+    * `aggregate` over the vector — no explode, no shuffle; banding is
+    * a narrow projection. */
+  def bandSignatures(
+      df: DataFrame, idCol: String, vecCol: String,
+      bands: Int, bitsPerBand: Int, dim: Int, seed: Long = 42L): DataFrame = {
+    val ps = planes(dim, bands * bitsPerBand, seed)
+    def bit(p: Array[Double]): Column = {
+      val dot = aggregate(
+        sequence(lit(0), lit(dim - 1)), lit(0.0),
+        (acc, i) => acc + element_at(col(vecCol), i + 1) * element_at(lit(p), i + 1))
+      when(dot > 0, 1).otherwise(0)
+    }
+    val bandCols = (0 until bands).map { b =>
+      val sig = (0 until bitsPerBand)
+        .map(j => bit(ps(b * bitsPerBand + j)) * (1 << j))
+        .reduce(_ + _)
+      struct(lit(b).as("band"), sig.as("sig"))
+    }
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        explode(array(bandCols: _*)).as("_b"))
+      .select(col("id"), col("vec"), col("_b.band").as("band"), col("_b.sig").as("sig"))
+  }
+
+  /** Approximate top-k: score only corpus vectors sharing ≥1 band
+    * signature with the query. One shuffle on (band, sig); candidate
+    * count per query is bucket-bounded, not corpus-bounded. */
+  def knnLsh(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Int,
+      bands: Int = 4, bitsPerBand: Int = 4, seed: Long = 42L,
+      roundTo: Int = 4): DataFrame = {
+    val cSig = bandSignatures(corpus, idCol, vecCol, bands, bitsPerBand, dim, seed)
+      .toDF("neighbor_id", "_cvec", "band", "sig")
+    val qSig = bandSignatures(queries, idCol, vecCol, bands, bitsPerBand, dim, seed)
+      .toDF("query_id", "_qvec", "band", "sig")
+    val candidates = cSig.join(qSig, Seq("band", "sig"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "_qvec", "neighbor_id", "_cvec")
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    candidates
+      .withColumn("cosine", round(cosineSim(col("_qvec"), col("_cvec")), roundTo))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.CosineSimilarity.cosineSim
+import graft.similarity.Ann
+
+/** CosineSimilarity expression (interpreted + codegen) and LSH ANN
+  * recall vs the brute-force baseline.
+  */
+class SimilaritySpec extends SparkSpec {
+
+  test("cosineSim: known values, zero norm, codegen plan") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f), 1.0),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f), 0.0),
+      (Array(1.0f, 0.0f), Array(-1.0f, 0.0f), -1.0),
+      (Array(1.0f, 2.0f), Array(2.0f, 4.0f), 1.0),
+      (Array(0.0f, 0.0f), Array(1.0f, 1.0f), 0.0) // zero norm -> 0.0
+    ).toDF("a", "b", "expected")
+    val rows = df.select(cosineSim(col("a"), col("b")).as("c"), col("expected")).collect()
+    rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
+    // stays inside whole-stage codegen over a real scan (a local
+    // relation would constant-fold before codegen could apply)
+    val emb = Tables.embeddings(spark, sfDir)
+    val plan = emb.select(cosineSim(col("embedding"), col("embedding")))
+      .queryExecution.executedPlan.toString
+    // "*(n)" marks a WholeStageCodegen stage; our Project must be inside one
+    assert(plan.contains("*(1) Project [cosine_similarity"), plan)
+  }
+
+  test("cosineSim null propagation and double arrays") {
+    import spark.implicits._
+    val df = Seq((Some(Array(1.0, 2.0)), None: Option[Array[Double]]))
+      .toDF("a", "b")
+    assert(df.select(cosineSim(col("a"), col("b"))).head().isNullAt(0))
+  }
+
+  test("LSH ANN: perfect recall on planted near-neighbors with real pruning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val base = (0L until 50L).map(i => i -> Array.fill(dim)(rnd.nextGaussian().toFloat))
+    // plant: for each of 10 query vectors, a jittered copy (cosine ~0.99)
+    val planted = (0L until 10L).map { i =>
+      (1000L + i) -> base(i.toInt)._2.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+    }
+    val corpus = (base ++ planted).toDF("vec_id", "embedding")
+    val queries = base.take(10).toDF("vec_id", "embedding")
+
+    val brute = Ann.knnBrute(corpus, queries, "vec_id", "embedding", k = 1)
+    val lsh = Ann.knnLsh(corpus, queries, "vec_id", "embedding", k = 1, dim = dim,
+      bands = 4, bitsPerBand = 4)
+
+    val bTop = brute.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lTop = lsh.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the planted jittered copy is every query's true top-1
+    (0L until 10L).foreach(i => assert(bTop(i) == 1000L + i))
+    val recall = (0L until 10L).count(i => lTop.get(i).contains(1000L + i)) / 10.0
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
+  test("knnBrute matches a hand-computed top-k on a tiny corpus") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Ann.knnBrute(corpus, corpus.filter(col("vec_id") === 1), "vec_id", "embedding", 2)
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(out.toSeq == Seq((2L, 1L), (3L, 2L)))
+  }
+}
