@@ -20,12 +20,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     GoldQueries.queries ++ SilverQueries.queries ++ Scd2Queries.queries ++
       ValidationQueries.queries ++ QualityQueries.queries ++ ExtractionQueries.queries ++
-      RedactionQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries
+      RedactionQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++
+      TextQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     GoldQueries.oracles ++ SilverQueries.oracles ++ Scd2Queries.oracles ++
       ValidationQueries.oracles ++ QualityQueries.oracles ++ ExtractionQueries.oracles ++
-      RedactionQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles
+      RedactionQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles ++
+      TextQueries.oracles
 }

@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.multimodal.Multimodal
+import graft.text.TextAnalysis
+
+/** Text-analysis + multimodal queries (q97–q100) + DuckDB oracles. */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "q97_lang_id" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        TextAnalysis.languageId(col("text")).as("pred_lang"))),
+
+    "q98_text_quality" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.qualityMetrics(col("text")).as("_m"))
+        .select(col("doc_id"), col("_m.*"))),
+
+    "q99_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.normalizedFingerprint(col("text")).as("norm_fp"))),
+
+    "q100_multimodal" -> ((s, d) => {
+      val chunked = Multimodal.chunk(
+        Multimodal.withBinaryPayload(Tables.documents(s, d), "text"), 64)
+      chunked.groupBy("doc_id").agg(
+        first(col("meta.n_bytes")).as("n_bytes"),
+        first(col("meta.content_hash")).as("content_hash"),
+        count(lit(1)).as("n_chunks"),
+        count(when(col("chunk_idx") % 4 === 0, 1)).as("n_sampled"))
+    }))
+
+  private val toksSql =
+    """toks AS (
+         SELECT doc_id, lang,
+                list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk,
+                text
+         FROM documents)"""
+
+  private def swList(lang: String): String =
+    TextAnalysis.Stopwords.toMap.apply(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val q97Sql = {
+    val langs = TextAnalysis.Stopwords.map(_._1)
+    val scores = langs.map(l =>
+      s"len(list_filter(tk, t -> list_contains(${swList(l)}, t))) AS s_$l").mkString(", ")
+    val cases = langs.zipWithIndex.map { case (l, i) =>
+      val geRest = (s"s_$l > 0" +: langs.drop(i + 1).map(l2 => s"s_$l >= s_$l2")).mkString(" AND ")
+      s"WHEN $geRest THEN '$l'"
+    }.mkString(" ")
+    s"""WITH $toksSql,
+        scored AS (SELECT doc_id, lang, $scores FROM toks)
+        SELECT doc_id, lang, CASE $cases ELSE 'unknown' END AS pred_lang FROM scored"""
+  }
+
+  private val q98Sql = {
+    val en = swList("en")
+    s"""WITH $toksSql
+        SELECT doc_id,
+          CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(len(tk) AS BIGINT) AS n_tokens,
+          list_sum(list_transform(tk, t -> length(t))) * 1.0 / len(tk) AS avg_token_len,
+          len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) * 1.0 / length(text) AS punct_ratio,
+          len(regexp_extract_all(text, '[A-Z]')) * 1.0 / length(text) AS upper_ratio,
+          len(list_filter(tk, t -> list_contains($en, t))) * 1.0 / len(tk) AS stopword_ratio,
+          least(len(tk) / 100.0, 1.0) * 0.4
+            + (1.0 - len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) * 1.0 / length(text)) * 0.3
+            + least(len(list_filter(tk, t -> list_contains($en, t))) * 1.0 / len(tk) * 5.0, 1.0) * 0.3
+            AS quality_score
+        FROM toks"""
+  }
+
+  private val q99Sql =
+    s"""WITH $toksSql,
+        idd AS (SELECT doc_id, tk,
+                  list_transform(tk, t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)) AS ids
+                FROM toks)
+        SELECT doc_id,
+          CASE WHEN len(ids) >= 1
+               THEN list_reduce(ids, (acc, x) -> (acc * 31 + x) % ${TextAnalysis.FingerprintPrime})
+               ELSE CAST(NULL AS BIGINT) END AS fp,
+          md5(array_to_string(tk, ' ')) AS norm_fp
+        FROM idd"""
+
+  private val q100Sql =
+    """SELECT doc_id,
+         CAST(strlen(text) AS BIGINT) AS n_bytes,
+         md5(text) AS content_hash,
+         (strlen(text) + 63) // 64 AS n_chunks,
+         ((strlen(text) + 63) // 64 + 3) // 4 AS n_sampled
+       FROM documents"""
+
+  val oracles: Map[String, String] = Map(
+    "q97_lang_id" -> q97Sql,
+    "q98_text_quality" -> q98Sql,
+    "q99_fingerprint" -> q99Sql,
+    "q100_multimodal" -> q100Sql)
+}

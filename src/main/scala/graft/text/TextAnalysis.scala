@@ -1,0 +1,101 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: language ID, quality
+  * scoring, token counting, document fingerprinting.
+  *
+  * Everything is a pure column expression over the tokenized text —
+  * narrow, shuffle-free, whole-stage-codegen-friendly (the higher-order
+  * functions evaluate natively per row). Token ids for fingerprints are
+  * md5-derived 32-bit integers (engine-portable, like the dedup
+  * family's shingle ids).
+  */
+object TextAnalysis {
+
+  val FingerprintPrime = 2147483647L
+
+  /** Lowercased alphanumeric tokens as an array column. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Small stopword profiles for the n-gram language-ID heuristic.
+    * Deliberately tiny: the heuristic scores membership counts, so a
+    * handful of high-frequency function words per language suffices. */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "an", "and", "of", "to", "in", "is", "that", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "ein", "eine", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "de", "un", "une", "dans", "que"),
+    "es" -> Seq("el", "los", "las", "y", "es", "de", "un", "una", "en", "que"))
+
+  /** Occurrences of any word from `set` in the token array (repeats
+    * count — frequency matters for language evidence). */
+  def stopwordCount(toks: Column, set: Seq[String]): Column =
+    size(filter(toks, t => t.isin(set.map(lit): _*)))
+
+  /** Stopword-profile language ID (first maximum wins, in [[Stopwords]]
+    * order; no evidence → "unknown"). */
+  def languageId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = Stopwords.map { case (lang, sw) =>
+      lang -> size(filter(toks, t => t.isin(sw.map(lit): _*)))
+    }
+    val cases = scores.zipWithIndex.foldLeft(when(lit(false), "")) {
+      case (acc, ((lang, score), i)) =>
+        val geRest = scores.drop(i + 1).map(_._2).foldLeft(score > 0)((c, s2) => c && score >= s2)
+        acc.when(geRest, lang)
+    }
+    cases.otherwise("unknown")
+  }
+
+  /** Quality metrics struct: n_chars, n_tokens, avg_token_len,
+    * punct_ratio, upper_ratio, stopword_ratio, quality_score —
+    * the length/punctuation/stopword heuristics a pretraining filter
+    * applies per document. */
+  def qualityMetrics(text: Column): Column = {
+    val toks = tokens(text)
+    val nChars = length(text)
+    val nToks = size(toks)
+    val sumLen = aggregate(transform(toks, t => length(t)), lit(0), (a, b) => a + b)
+    val punct = coalesce(regexp_count(text, lit("[^a-zA-Z0-9 ]")), lit(0))
+    val upper = coalesce(regexp_count(text, lit("[A-Z]")), lit(0))
+    val enSw = Stopwords.head._2
+    val sw = size(filter(toks, t => t.isin(enSw.map(lit): _*)))
+    val punctRatio = punct * 1.0 / nChars
+    val swRatio = sw * 1.0 / nToks
+    val score =
+      least(nToks / 100.0, lit(1.0)) * 0.4 +
+        (lit(1.0) - punctRatio) * 0.3 +
+        least(swRatio * 5.0, lit(1.0)) * 0.3
+    struct(
+      nChars.cast("long").as("n_chars"),
+      nToks.cast("long").as("n_tokens"),
+      (sumLen * 1.0 / nToks).as("avg_token_len"),
+      punctRatio.as("punct_ratio"),
+      (upper * 1.0 / nChars).as("upper_ratio"),
+      swRatio.as("stopword_ratio"),
+      score.as("quality_score"))
+  }
+
+  /** Portable 32-bit token id (first 8 md5 hex chars). */
+  def tokenId(t: Column): Column = conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+
+  /** Order-sensitive polynomial rolling hash over the token sequence:
+    * fold acc → (acc·31 + id) mod p seeded with the first token id
+    * (the exact fold `list_reduce` computes, so it is oracle-checkable).
+    * Null for token-less documents. */
+  def fingerprint(text: Column): Column = {
+    val ids = transform(tokens(text), tokenId(_))
+    when(size(ids) >= 1,
+      aggregate(
+        slice(ids, lit(2), greatest(size(ids) - 1, lit(0))),
+        element_at(ids, 1),
+        (acc, x) => (acc * 31 + x) % FingerprintPrime))
+      .otherwise(lit(null).cast("long"))
+  }
+
+  /** Content fingerprint invariant to whitespace/punctuation layout:
+    * md5 of the space-joined token sequence. */
+  def normalizedFingerprint(text: Column): Column = md5(concat_ws(" ", tokens(text)))
+}

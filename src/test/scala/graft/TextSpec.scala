@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+import graft.text.TextAnalysis
+
+/** Text analysis + multimodal plumbing semantics. */
+class TextSpec extends SparkSpec {
+
+  test("languageId picks the strongest stopword profile, unknown on no evidence") {
+    import spark.implicits._
+    val df = Seq(
+      ("the cat and the dog is in a house", "en"),
+      ("der hund und die katze ist von mir", "de"),
+      ("le chat et la maison est dans les arbres", "fr"),
+      ("el perro y los gatos es de una casa", "es"),
+      ("xyzzy plugh 12345", "unknown")
+    ).toDF("text", "expected")
+    df.select(TextAnalysis.languageId(col("text")).as("p"), col("expected"))
+      .collect().foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
+
+  test("fingerprint is order-sensitive; normalizedFingerprint is layout-invariant") {
+    import spark.implicits._
+    val df = Seq(
+      ("alpha beta gamma", "permuted"),
+      ("gamma beta alpha", "permuted"),
+      ("alpha   BETA, gamma!", "normalized-same")
+    ).toDF("text", "kind")
+    val rows = df.select(col("kind"), TextAnalysis.fingerprint(col("text")).as("fp"),
+      TextAnalysis.normalizedFingerprint(col("text")).as("nfp")).collect()
+    val byKind = rows.groupBy(_.getString(0))
+    val Array(p1, p2) = byKind("permuted").map(_.getLong(1))
+    assert(p1 != p2, "token order must change the rolling hash")
+    // punctuation/case/extra-space variant normalizes to the same tokens
+    val n1 = byKind("permuted").find(_ => true).get
+    val norm = byKind("normalized-same").head
+    assert(norm.getString(2) == rows.find(r => r.getString(0) == "permuted" &&
+      r.getLong(1) == p1).get.getString(2) ||
+      norm.getString(2) == rows.find(r => r.getString(0) == "permuted" &&
+        r.getLong(1) == p2).get.getString(2))
+  }
+
+  test("chunk reassembles to the original payload; sampling keeps every Nth") {
+    import spark.implicits._
+    val df = Seq((1L, "a" * 100 + "b" * 57)).toDF("doc_id", "text") // 157 bytes -> 3 chunks of 64
+    val chunked = Multimodal.chunk(Multimodal.withBinaryPayload(df, "text"), 64)
+    val chunks = chunked.orderBy("chunk_idx").select("chunk").collect()
+      .map(_.getAs[Array[Byte]](0))
+    assert(chunks.length == 3)
+    assert(chunks.map(_.length).toSeq == Seq(64, 64, 29))
+    assert(new String(chunks.flatten, "UTF-8") == "a" * 100 + "b" * 57)
+    assert(Multimodal.sampleChunks(chunked, 2).count() == 2) // idx 0 and 2
+  }
+
+  test("decodeImageStub is deterministic with plausible dimensions") {
+    import spark.implicits._
+    val df = Seq((1L, "some media bytes")).toDF("doc_id", "text")
+    val out = Multimodal.withBinaryPayload(df, "text")
+      .select(Multimodal.decodeImageStub(col("payload")).as("d"))
+      .select(col("d.width"), col("d.height"), col("d.format")).collect().head
+    assert(out.getLong(0) >= 1 && out.getLong(0) <= 1920)
+    assert(out.getLong(1) >= 1 && out.getLong(1) <= 1080)
+    assert(out.getString(2) == "stub")
+  }
+}
