@@ -1,0 +1,91 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.medallion.Gold
+import graft.streaming.Streaming
+import graft.streaming.Streaming.SessionEvent
+
+/** Structured Streaming specs over MemoryStream: windowed agg +
+  * watermark (late drop), dedup within watermark, sessionization.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private def drain(q: StreamingQuery): Unit = q.processAllAvailable()
+
+  test("windowed agg emits closed windows and drops late data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val out = Streaming.windowedAgg(
+      in.toDF().toDF("ts", "event_type", "value"),
+      tsCol = "ts", watermarkDelay = "5 minutes", windowDuration = "10 minutes",
+      dimensions = Seq("event_type"),
+      aggs = Seq(Gold.CountAll("n"), Gold.Sum("value", "total")))
+    val q = out.writeStream.format("memory").queryName("win_agg").outputMode("append").start()
+    try {
+      in.addData((ts(1), "click", 1.0), (ts(4), "click", 2.0), (ts(8), "view", 5.0))
+      drain(q)
+      // advance watermark past the 10:00-10:10 window (needs ts >= 10:25
+      // so watermark 5min behind passes 10:10), then a late straggler
+      in.addData((ts(26), "click", 7.0))
+      drain(q)
+      in.addData((ts(2), "click", 100.0)) // late: before watermark -> dropped
+      drain(q)
+      val rows = spark.table("win_agg")
+        .select(col("event_type"), col("n"), col("total")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("dedup within watermark keeps first occurrence per key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val out = Streaming.dedupWithinWatermark(
+      in.toDF().toDF("event_id", "ts", "value"),
+      tsCol = "ts", watermarkDelay = "10 minutes", keys = Seq("event_id"))
+    val q = out.writeStream.format("memory").queryName("dedup_wm").outputMode("append").start()
+    try {
+      in.addData((1L, ts(1), 1.0), (1L, ts(2), 2.0), (2L, ts(3), 3.0))
+      drain(q)
+      in.addData((1L, ts(4), 4.0), (3L, ts(5), 5.0)) // 1 is still a dup
+      drain(q)
+      val ids = spark.table("dedup_wm").select("event_id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("sessionization closes sessions on gap timeout and explicit gap break") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SessionEvent]
+    val out = Streaming.sessionize(in.toDS(), gapMs = 5 * 60 * 1000, watermarkDelay = "1 minute")
+    val q = out.writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // user 1: events at 10:01, 10:03 (one session); then 10:20 (new session)
+      in.addData(SessionEvent(1L, ts(1)), SessionEvent(1L, ts(3)))
+      drain(q)
+      in.addData(SessionEvent(1L, ts(20))) // gap > 5min -> closes first session
+      drain(q)
+      // advance watermark far past 10:25 so the timeout fires for session 2
+      in.addData(SessionEvent(2L, ts(40)))
+      drain(q)
+      in.addData(SessionEvent(2L, ts(41))) // extra batch to evaluate timeouts
+      drain(q)
+      val sessions = spark.table("sessions")
+        .filter(col("user_id") === 1L)
+        .select("session_start", "session_end", "n_events").collect()
+        .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getInt(2))).toSet
+      assert(sessions.contains((ts(1), ts(3), 2)), sessions.toString)
+      assert(sessions.contains((ts(20), ts(20), 1)), sessions.toString)
+    } finally q.stop()
+  }
+}
