@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.lineage.Lineage
+import graft.lineage.Lineage._
+import graft.llm.{RuleBasedNl2Sql, SchemaInference}
+import graft.sources.Connectors
+
+/** Lineage graph, file connectors + bronze metadata, schema inference,
+  * NL→SQL stub.
+  */
+class ComponentSpec extends SparkSpec {
+
+  test("lineage: traversal, path, impact analysis, mermaid") {
+    val t = new Lineage.Tracker
+    t.recordTransform(Seq("raw.events"), "silver.events", "clean")
+    t.recordJoin("silver.events", "silver.users", "gold.sessions")
+    t.recordAggregate("gold.sessions", "gold.daily_kpis")
+
+    val g = t.graph
+    assert(g.upstream("gold.daily_kpis").toSet ==
+      Set("gold.sessions", "silver.events", "silver.users", "raw.events"))
+    assert(g.downstream("raw.events") == Seq("silver.events", "gold.sessions", "gold.daily_kpis"))
+    assert(g.upstream("gold.daily_kpis", depth = 1) == Seq("gold.sessions"))
+    assert(g.path("raw.events", "gold.daily_kpis").get.head == "raw.events")
+    assert(g.path("gold.daily_kpis", "raw.events").isEmpty)
+    val impact = g.impactAnalysis("silver.events")
+    assert(impact.totalImpact.toSet == Set("gold.sessions", "gold.daily_kpis"))
+    assert(impact.severity == "low")
+    assert(g.roots.toSet == Set("raw.events", "silver.users"))
+    assert(g.leaves == Seq("gold.daily_kpis"))
+    assert(g.toMermaid.contains("raw_events -->|clean| silver_events"))
+  }
+
+  test("csv connector round-trips with schema; bronze metadata stamps rows") {
+    val dir = java.nio.file.Files.createTempDirectory("csv").toString
+    java.nio.file.Files.writeString(java.nio.file.Path.of(dir, "data.csv"),
+      "id;name\n1;alpha\n2;\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val df = Connectors.readCsv(spark, dir, Some(schema),
+      Connectors.CsvOptions(delimiter = ";"))
+    assert(df.count() == 2)
+    assert(df.filter(col("name").isNull).count() == 1) // nullValue ""
+
+    val stamped = Connectors.withIngestMetadata(df, "crm", "batch-7",
+      ingestionTimeMs = 1704067200000L, sourceFile = Some("data.csv"))
+    val row = stamped.filter(col("id") === 1).head()
+    assert(row.getAs[String]("_source") == "crm")
+    assert(row.getAs[String]("_batch_id") == "batch-7")
+    assert(row.getAs[java.sql.Date]("_ingestion_date").toString == "2024-01-01")
+    intercept[IllegalArgumentException] {
+      Connectors.readCsv(spark, dir, None) // schema-less without opt-in must fail
+    }
+  }
+
+  test("schema inference detects types from string data in one pass") {
+    import spark.implicits._
+    val df = Seq(
+      ("1", "1.5", "true", "2024-01-02", "abc"),
+      ("22", "2", "FALSE", "2024-02-03", "4"),
+      (null, "-3.25", "true", null, "x")
+    ).toDF("i", "d", "b", "dt", "s")
+    val out = SchemaInference.inferTypes(df, Seq("i", "d", "b", "dt", "s"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("i" -> "BIGINT", "d" -> "DOUBLE", "b" -> "BOOLEAN",
+      "dt" -> "DATE", "s" -> "STRING"))
+  }
+
+  test("ddl rendering and rename suggestions") {
+    val ddl = SchemaInference.renderDdl("gold.kpis",
+      Seq("day" -> "DATE", "n" -> "BIGINT"), partitionBy = Seq("day"))
+    assert(ddl.contains("CREATE TABLE gold.kpis") && ddl.contains("PARTITIONED BY (day)"))
+    assert(SchemaInference.suggestRenames(Seq("OrderKey", "total-price", "ok")) ==
+      Map("OrderKey" -> "order_key", "total-price" -> "total_price"))
+  }
+
+  test("rule-based NL->SQL fallback") {
+    val cols = Seq("region", "revenue")
+    assert(RuleBasedNl2Sql.toSql("how many orders by region", "orders", cols) ==
+      "SELECT region, COUNT(*) AS n FROM orders GROUP BY region")
+    assert(RuleBasedNl2Sql.toSql("average revenue by region", "orders", cols) ==
+      "SELECT region, AVG(revenue) AS avg_revenue FROM orders GROUP BY region")
+    assert(RuleBasedNl2Sql.toSql("show everything", "orders", cols) ==
+      "SELECT * FROM orders")
+  }
+}
