@@ -35,6 +35,23 @@ object Incremental {
     }
   }
 
+  /** incremental.py:58 `IncrementalExtractor`, orchestrated: read rows
+    * past the stored watermark, then advance it to the batch max —
+    * the full extract-loop contract (initial load when no watermark
+    * exists). Returns the incremental slice; the watermark store
+    * mutation is the only side effect. */
+  def extract(
+      df: DataFrame,
+      manager: WatermarkManager,
+      sourceName: String,
+      watermarkColumn: String): DataFrame = {
+    val since = manager.getValue(sourceName)
+      .map(v => lit(v).cast(df.schema(watermarkColumn).dataType))
+    val slice = readNewSince(df, watermarkColumn, since)
+    manager.updateFromDataFrame(slice, sourceName, watermarkColumn)
+    slice
+  }
+
   /** incremental.py:337 `apply_changes`: latest-wins upsert + delete.
     *
     * The reference assumes one change-row per key; distributed change

@@ -32,7 +32,14 @@ object QualityQueries {
       Quality.outliersIqr(Tables.lineitem(s, d), iqrCols)),
 
     "q42_dataset_quality" -> ((s, d) =>
-      Quality.datasetQuality(ValidationQueries.dirtyOrders(s, d))))
+      Quality.datasetQuality(ValidationQueries.dirtyOrders(s, d))),
+
+    // drift: clean orders (without o_orderdate) vs the dirtied view
+    // (with it) — exercises added-column detection plus null/mean drift
+    "q43_profile_drift" -> ((s, d) =>
+      Quality.compareProfiles(
+        Tables.orders(s, d), profiled.map(_._1).filterNot(_ == "o_orderdate"),
+        ValidationQueries.dirtyOrders(s, d), profiled.map(_._1))))
 
   // ---- q40 oracle: per-column aggregate block + per-column SELECT ----
 
@@ -133,8 +140,43 @@ object QualityQueries {
         FROM a"""
   }
 
+  // ---- q43 oracle: two mini-profiles full-outer-joined on column ----
+
+  private def miniProfileSql(from: String, cols: Seq[(String, String)]): String = {
+    val aggs = cols.map { case (c, k) =>
+      val mean = if (k == "numeric") s"sum($c) AS sum_$c, " else ""
+      s"count($c) AS cnt_$c, count(DISTINCT $c) AS uni_$c, $mean".stripSuffix(", ")
+    }.mkString(", ")
+    val sels = cols.map { case (c, k) =>
+      val mean =
+        if (k == "numeric") s"round(CAST(sum_$c AS DOUBLE), 2) / cnt_$c"
+        else "CAST(NULL AS DOUBLE)"
+      s"""SELECT '$c' AS "column", (n - cnt_$c) * 100.0 / n AS null_pct,
+          uni_$c * 100.0 / n AS unique_pct, $mean AS mean_val FROM agg_t"""
+    }.mkString("\nUNION ALL\n")
+    s"(WITH agg_t AS (SELECT count(*) AS n, $aggs FROM $from)\n$sels)"
+  }
+
+  private val q43Sql = {
+    val beforeCols = profiled.filterNot(_._1 == "o_orderdate")
+    s"""WITH ${ValidationQueries.dirtySql},
+        bprof AS ${miniProfileSql("orders", beforeCols)},
+        aprof AS ${miniProfileSql("dirty", profiled)}
+        SELECT coalesce(b."column", a."column") AS "column",
+               CASE WHEN b."column" IS NULL THEN 'added'
+                    WHEN a."column" IS NULL THEN 'removed'
+                    ELSE 'present' END AS status,
+               b.null_pct AS null_pct_before,
+               a.null_pct AS null_pct_after,
+               a.null_pct - b.null_pct AS null_pct_diff,
+               a.unique_pct - b.unique_pct AS unique_pct_diff,
+               a.mean_val - b.mean_val AS mean_diff
+        FROM bprof b FULL OUTER JOIN aprof a ON b."column" = a."column""""
+  }
+
   val oracles: Map[String, String] = Map(
     "q40_profile" -> q40Sql,
     "q41_outliers" -> q41Sql,
-    "q42_dataset_quality" -> q42Sql)
+    "q42_dataset_quality" -> q42Sql,
+    "q43_profile_drift" -> q43Sql)
 }

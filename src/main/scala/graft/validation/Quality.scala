@@ -147,6 +147,43 @@ object Quality {
     counts.select(explode(array(rows: _*)).as("_r")).select(col("_r.*"))
   }
 
+  /** quality.py:341 `compare_profiles`: column-level drift between two
+    * datasets — one [[profile]] pass per side (two scans total), then a
+    * full outer join of the tiny per-column reports. Detects added /
+    * removed columns and null-rate / unique-rate / mean drift.
+    * → (column, status, null_pct_before, null_pct_after, null_pct_diff,
+    *    unique_pct_diff, mean_diff)
+    */
+  def compareProfiles(
+      before: DataFrame, beforeCols: Seq[String],
+      after: DataFrame, afterCols: Seq[String]): DataFrame = {
+    val b = profile(before, beforeCols).select(
+      col("column"),
+      col("null_pct").as("_b_null"), col("unique_pct").as("_b_uni"), col("mean_val").as("_b_mean"))
+    val a = profile(after, afterCols).select(
+      col("column"),
+      col("null_pct").as("_a_null"), col("unique_pct").as("_a_uni"), col("mean_val").as("_a_mean"))
+    b.join(a, Seq("column"), "full_outer")
+      .select(
+        col("column"),
+        when(col("_b_null").isNull, "added")
+          .when(col("_a_null").isNull, "removed")
+          .otherwise("present").as("status"),
+        col("_b_null").as("null_pct_before"),
+        col("_a_null").as("null_pct_after"),
+        (col("_a_null") - col("_b_null")).as("null_pct_diff"),
+        (col("_a_uni") - col("_b_uni")).as("unique_pct_diff"),
+        (col("_a_mean") - col("_b_mean")).as("mean_diff"))
+  }
+
+  /** quality.py:397 `detect_anomalies`: drift findings worth acting on
+    * — columns added/removed or whose null rate moved more than
+    * `nullPctThreshold` points (reference uses 10). */
+  def detectAnomalies(drift: DataFrame, nullPctThreshold: Double = 10.0): DataFrame =
+    drift.filter(
+      col("status") =!= "present" ||
+        abs(col("null_pct_diff")) > nullPctThreshold)
+
   /** quality.py:309 dataset-level quality: one row —
     * (row_count, column_count, duplicate_rows, complete_rows,
     * completeness_score, quality_score).

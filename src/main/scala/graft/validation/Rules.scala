@@ -140,3 +140,32 @@ final case class ForeignKey(
   val name = s"fk_$column"
   private[validation] def flagColumn: String = s"_fk_ok_$name"
 }
+
+/** rules.py:420 SchemaRule — structural check, evaluated against the
+  * DataFrame's schema (no data scan): missing columns, type mismatches,
+  * and (unless allowed) extra columns. */
+final case class SchemaRule(
+    expected: Map[String, org.apache.spark.sql.types.DataType],
+    allowExtraColumns: Boolean = true,
+    override val severity: String = "error") extends Rule {
+  val name = "schema_validation"
+
+  final case class SchemaIssue(column: String, issue: String, detail: String)
+
+  def check(df: DataFrame): Seq[SchemaIssue] = {
+    val actual = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val missing = expected.keys.toSeq.filterNot(actual.contains).sorted
+      .map(c => SchemaIssue(c, "missing", s"expected ${expected(c).simpleString}"))
+    val mismatched = expected.toSeq.sortBy(_._1).collect {
+      case (c, t) if actual.get(c).exists(_ != t) =>
+        SchemaIssue(c, "type_mismatch", s"expected ${t.simpleString}, got ${actual(c).simpleString}")
+    }
+    val extra =
+      if (allowExtraColumns) Nil
+      else actual.keys.toSeq.filterNot(expected.contains).sorted
+        .map(c => SchemaIssue(c, "unexpected", "column not in expected schema"))
+    missing ++ mismatched ++ extra
+  }
+
+  def passes(df: DataFrame): Boolean = check(df).isEmpty
+}

@@ -38,9 +38,9 @@ object Validator {
     require(rules.nonEmpty, "report needs at least one rule")
     val prepared = prepare(df, rules)
 
-    val aggExprs: Seq[Column] = count(lit(1)).as("_n") +: rules.map {
-      case r: RowRule    => sum(r.failCount(prepared)).as(r.name)
-      case u: Unique     =>
+    val aggExprs: Seq[Column] = count(lit(1)).as("_n") +: rules.collect {
+      case r: RowRule     => sum(r.failCount(prepared)).as(r.name)
+      case u: Unique      =>
         (count(lit(1)) - count_distinct(struct(u.columns.map(col): _*))).as(u.name)
       case fk: ForeignKey => count(when(fkFailPred(fk), 1)).as(fk.name)
     }
@@ -49,13 +49,21 @@ object Validator {
     // Unpivot the 1-row aggregate into (rule, severity, failed, total).
     // stack() keeps this inside the same job; totals fold in the
     // reference's rows×columns weighting for multi-column NotNull.
-    val stacked = rules.map { r =>
-      val weight = r match { case rr: RowRule => rr.totalWeight; case _ => 1 }
-      struct(
-        lit(r.name).as("rule"),
-        lit(r.severity).as("severity"),
-        coalesce(col(r.name), lit(0L)).cast("long").as("failed"),
-        (col("_n") * weight).cast("long").as("total"))
+    // SchemaRule is structural — its counts come from the schema (no
+    // scan) and land here as literals.
+    val stacked = rules.map {
+      case s: SchemaRule =>
+        struct(
+          lit(s.name).as("rule"), lit(s.severity).as("severity"),
+          lit(s.check(df).size.toLong).as("failed"),
+          lit(s.expected.size.toLong).as("total"))
+      case r =>
+        val weight = r match { case rr: RowRule => rr.totalWeight; case _ => 1 }
+        struct(
+          lit(r.name).as("rule"),
+          lit(r.severity).as("severity"),
+          coalesce(col(r.name), lit(0L)).cast("long").as("failed"),
+          (col("_n") * weight).cast("long").as("total"))
     }
     one.select(explode(array(stacked: _*)).as("_r"))
       .select(col("_r.*"))

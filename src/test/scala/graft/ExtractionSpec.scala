@@ -33,6 +33,22 @@ class ExtractionSpec extends SparkSpec {
     assert(Incremental.readNewSince(df, "v", None).count() == 3)
   }
 
+  test("extract orchestrates watermark read + slice + advance") {
+    import spark.implicits._
+    val wm = new WatermarkManager()
+    val df = Seq((1, 10), (2, 20), (3, 30)).toDF("id", "v")
+    // initial load: no watermark -> full scan, watermark advances to 30
+    assert(Incremental.extract(df, wm, "s", "v").count() == 3)
+    assert(wm.getValue("s").contains("30"))
+    // second run: nothing new
+    assert(Incremental.extract(df, wm, "s", "v").count() == 0)
+    assert(wm.getValue("s").contains("30"), "empty slice must not clear the watermark")
+    // new data past the mark
+    val df2 = df.union(Seq((4, 40)).toDF("id", "v"))
+    assert(Incremental.extract(df2, wm, "s", "v").collect().map(_.getInt(0)).toSeq == Seq(4))
+    assert(wm.getValue("s").contains("40"))
+  }
+
   test("applyChanges: latest-wins upsert and delete") {
     import spark.implicits._
     val target = Seq((1, "old1", 1), (2, "old2", 1), (3, "old3", 1)).toDF("id", "v", "seq")

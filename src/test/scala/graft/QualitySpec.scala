@@ -35,6 +35,19 @@ class QualitySpec extends SparkSpec {
     assert(o.getAs[Long]("n_outliers") == 1)
   }
 
+  test("compareProfiles flags added/removed columns and null drift anomalies") {
+    import spark.implicits._
+    val before = Seq((1, Some("a")), (2, Some("b"))).toDF("id", "v")
+    val after = Seq((1, None: Option[String], 1.0), (2, None, 2.0)).toDF("id", "v", "extra")
+    val drift = Quality.compareProfiles(before, Seq("id", "v"), after, Seq("id", "v", "extra"))
+    val byCol = drift.collect().map(r => r.getAs[String]("column") -> r).toMap
+    assert(byCol("extra").getAs[String]("status") == "added")
+    assert(byCol("v").getAs[Double]("null_pct_diff") == 100.0)
+    assert(byCol("id").getAs[Double]("null_pct_diff") == 0.0)
+    val anomalies = Quality.detectAnomalies(drift).collect().map(_.getAs[String]("column")).toSet
+    assert(anomalies == Set("extra", "v"))
+  }
+
   test("datasetQuality counts duplicates and completeness") {
     import spark.implicits._
     val d = Seq((1, Some("a")), (1, Some("a")), (2, None)).toDF("id", "v")

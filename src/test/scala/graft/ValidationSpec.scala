@@ -46,6 +46,22 @@ class ValidationSpec extends SparkSpec {
     assert(valid.collect().map(_.getInt(0)).toSet == Set(1, 3))
   }
 
+  test("SchemaRule detects missing, mismatched, and extra columns") {
+    import org.apache.spark.sql.types._
+    val rule = SchemaRule(
+      Map("id" -> IntegerType, "email" -> StringType, "missing_col" -> LongType),
+      allowExtraColumns = false)
+    val issues = rule.check(df).map(i => i.column -> i.issue)
+    assert(issues.contains("missing_col" -> "missing"))
+    assert(issues.count(_._2 == "unexpected") == 2) // amount, cat
+    assert(!rule.passes(df))
+    val ok = SchemaRule(Map("id" -> IntegerType), allowExtraColumns = true)
+    assert(ok.passes(df))
+    // report row is structural: failed = issue count, total = expected cols
+    val rep = Validator.report(df, Seq(rule)).collect().head
+    assert(rep.getAs[Long]("failed") == 3 && rep.getAs[Long]("total") == 3)
+  }
+
   test("pass_rate is 100 for empty input") {
     val empty = df.limit(0)
     val rep = Validator.report(empty, Seq(NotNull(Seq("email")))).collect()
