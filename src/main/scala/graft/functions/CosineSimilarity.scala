@@ -95,4 +95,12 @@ object CosineSimilarity {
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(
       CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Register `cosine_similarity(a, b)` for SQL use in this session. */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
+    ColumnBridge.registerFunction(spark, "cosine_similarity", {
+      case Seq(a, b) => CosineSimilarity(a, b)
+      case args => throw new IllegalArgumentException(
+        s"cosine_similarity expects 2 arguments, got ${args.size}")
+    })
 }

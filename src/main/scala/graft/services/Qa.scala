@@ -47,4 +47,18 @@ object Qa {
 
     one.select(explode(array(checks: _*)).as("_r")).select(col("_r.*"))
   }
+
+  /** qa.py:215 `verify_redaction`, column form: TRUE when the redacted
+    * text contains no residual pattern matches and (if given) at least
+    * one expected tag. Composable into a validation CustomExpr rule. */
+  def redactionVerified(
+      redacted: Column,
+      patterns: Seq[String],
+      expectedTags: Seq[String] = Nil): Column = {
+    val clean = patterns.map(p => not(regexp_like(redacted, lit(p)))).reduce(_ && _)
+    val tagged =
+      if (expectedTags.isEmpty) lit(true)
+      else expectedTags.map(t => redacted.contains(t)).reduce(_ || _)
+    clean && tagged
+  }
 }
