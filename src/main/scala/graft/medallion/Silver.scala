@@ -97,6 +97,48 @@ object Silver {
       .select(col("_row.*"))
   }
 
+  /** silver.py:51 `process` pipeline configuration: every stage of the
+    * bronze→silver flow, declaratively. Stages are skipped when their
+    * config is empty, mirroring the reference's optional arguments. */
+  final case class ProcessConfig(
+      schemaMapping: Map[String, String] = Map.empty,
+      clean: Boolean = true,
+      nullValues: Seq[String] = DefaultNullStrings,
+      transformations: Seq[DataFrame => DataFrame] = Nil,
+      timestampColumns: Seq[String] = Nil,
+      timestampFormat: String = "yyyy-MM-dd HH:mm:ss",
+      fills: Map[String, Any] = Map.empty,
+      requiredColumns: Seq[String] = Nil,
+      dedupKeys: Seq[String] = Nil,
+      dedupOrderKey: Option[Column] = None)
+
+  /** silver.py:121 `_apply_pipeline` + `:225 _add_metadata`: the full
+    * bronze→silver transform as ONE composed declarative plan — rename →
+    * clean → custom transforms → timestamp casts → null fills → invalid
+    * filter → dedup → silver metadata. Catalyst sees a single tree, so
+    * projection collapsing fuses all the narrow stages into one pass;
+    * only dedup (if configured) shuffles. */
+  def process(
+      df: DataFrame,
+      config: ProcessConfig,
+      sourceTable: String,
+      processingTimeMs: Long): DataFrame = {
+    val mapped = applySchemaMapping(df, config.schemaMapping)
+    val cleaned = if (config.clean) clean(mapped, config.nullValues) else mapped
+    val transformed = config.transformations.foldLeft(cleaned)((d, f) => f(d))
+    val casted = castTimestamps(transformed, config.timestampColumns, config.timestampFormat)
+    val filled = fillNulls(casted, config.fills)
+    val valid = filterInvalid(filled, config.requiredColumns)
+    val deduped =
+      if (config.dedupKeys.nonEmpty)
+        dedup(valid, config.dedupKeys,
+          config.dedupOrderKey.getOrElse(struct(valid.columns.map(col).toIndexedSeq: _*)))
+      else valid
+    deduped
+      .withColumn("_silver_processed_time", timestamp_millis(lit(processingTimeMs)))
+      .withColumn("_source_table", lit(sourceTable))
+  }
+
   /** Window-based dedup keeping the first row under `orderBy`. Same
     * semantics as [[dedup]] when `orderBy` is the descending of its
     * `orderKey`; kept for when rank-style tie surfacing is needed.

@@ -38,6 +38,29 @@ class MedallionSpec extends SparkSpec {
     assert(out == Seq(Row(1, "a", 20, 2), Row(2, "b", 5, 3)))
   }
 
+  test("Silver.process composes the full pipeline with metadata") {
+    import spark.implicits._
+    val df = Seq(
+      ("1", " a ", "N/A", "2024-01-01 10:00:00"),
+      ("1", " a ", "x", "2024-01-01 11:00:00"), // same key, later ts -> kept
+      ("2", "b", "y", null)                     // null ts -> filtered
+    ).toDF("ID", "Name", "note", "ts")
+    val out = Silver.process(df,
+      Silver.ProcessConfig(
+        schemaMapping = Map("ID" -> "id", "Name" -> "name"),
+        timestampColumns = Seq("ts"),
+        requiredColumns = Seq("ts"),
+        dedupKeys = Seq("id"),
+        dedupOrderKey = Some(col("ts"))),
+      sourceTable = "bronze.raw", processingTimeMs = 1704067200000L)
+    val rows = out.orderBy("id").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("name") == "a") // trimmed
+    assert(rows.head.getAs[String]("note") == "x") // keep-last, N/A -> null on the dropped row
+    assert(rows.head.getAs[String]("_source_table") == "bronze.raw")
+    assert(out.columns.contains("_silver_processed_time"))
+  }
+
   test("Silver.fillNulls and filterInvalid") {
     import spark.implicits._
     val df = Seq((Some(1), Some("x")), (None, Some("y")), (Some(3), None)).toDF("a", "b")
