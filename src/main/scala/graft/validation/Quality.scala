@@ -120,12 +120,16 @@ object Quality {
       factor: Double = 1.5,
       exact: Boolean = true): DataFrame = {
     require(columns.nonEmpty, "outliersIqr needs at least one column")
-    def pct(c: String, p: Double): Column =
-      if (exact) percentile(col(c), lit(p)) else percentile_approx(col(c), lit(p), lit(10000))
-    val boundExprs = columns.flatMap(c => Seq(
-      round(pct(c, 0.25), 4).as(s"_q1_$c"),
-      round(pct(c, 0.75), 4).as(s"_q3_$c")))
+    // Both quantiles from ONE percentile aggregate per column (array
+    // form) — a single sort pass per column instead of two.
+    def pcts(c: String): Column =
+      if (exact) percentile(col(c), array(lit(0.25), lit(0.75)))
+      else percentile_approx(col(c), array(lit(0.25), lit(0.75)), lit(10000))
+    val boundExprs = columns.map(c => pcts(c).as(s"_qs_$c"))
     val bounds = df.agg(boundExprs.head, boundExprs.tail: _*)
+      .select(columns.flatMap(c => Seq(
+        round(element_at(col(s"_qs_$c"), 1), 4).as(s"_q1_$c"),
+        round(element_at(col(s"_qs_$c"), 2), 4).as(s"_q3_$c"))): _*)
 
     val joined = df.crossJoin(broadcast(bounds))
     def lower(c: String) = col(s"_q1_$c") - lit(factor) * (col(s"_q3_$c") - col(s"_q1_$c"))

@@ -1,0 +1,94 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.medallion.{Scd2, Silver}
+import graft.services.Curator
+
+/** Randomized invariant tests (seeded — deterministic across runs):
+  * the laws an operator must hold under ANY data, not just the oracle
+  * fixtures.
+  */
+class PropertySpec extends SparkSpec {
+
+  test("dedup: idempotent, one row per key, keeps the max-orderKey row") {
+    import spark.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed)
+      val rows = List.fill(30 + rnd.nextInt(40))(
+        (rnd.nextInt(6), rnd.nextInt(20), rnd.nextInt(200).toDouble - 100))
+      val df = rows.toDF("k", "ts", "v")
+      val once = Silver.dedup(df, Seq("k"), struct(col("ts"), col("v")))
+      val twice = Silver.dedup(once, Seq("k"), struct(col("ts"), col("v")))
+      val o = once.collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSet
+      assert(o.size == rows.map(_._1).distinct.size, s"seed=$seed")
+      assert(o.subsetOf(rows.toSet), s"seed=$seed")
+      assert(twice.collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSet == o)
+      val maxByKey = rows.groupBy(_._1).view.mapValues(g => g.map(t => (t._2, t._3)).max).toMap
+      o.foreach { case (k, ts, v) => assert((ts, v) == maxByKey(k), s"seed=$seed key=$k") }
+    }
+  }
+
+  test("SCD2 merge invariants: one current row per key, dense versions, latest values") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new Random(100 + seed)
+      def snap(): Seq[(Int, Int)] = (0 until 6).map(i => (i, rnd.nextInt(4)))
+      val t = Seq("2024-01-01", "2024-02-01", "2024-03-01")
+      val (s1, s2, s3) = (snap(), snap(), snap())
+      var scd = Scd2.initialLoad(s1.toDF("id", "v"), Seq("id"), Seq("v"), lit(t.head))
+      for ((s, when) <- Seq(s2 -> t(1), s3 -> t(2)))
+        scd = Scd2.merge(scd, s.toDF("id", "v"), Seq("id"), Seq("v"), lit(when))
+      val rows = scd.collect().map(r =>
+        (r.getAs[Int]("id"), r.getAs[Int]("_scd_version"), r.getAs[Boolean]("_scd_is_current")))
+      rows.groupBy(_._1).foreach { case (id, g) =>
+        assert(g.count(_._3) == 1, s"seed=$seed id=$id must have exactly one current row")
+        assert(g.map(_._2).sorted.toSeq == (1 to g.size).toSeq,
+          s"seed=$seed id=$id versions must be dense from 1")
+      }
+      val current = scd.filter(col("_scd_is_current")).collect()
+        .map(r => r.getAs[Int]("id") -> r.getAs[Int]("v")).toMap
+      s3.foreach { case (id, v) => assert(current(id) == v, s"seed=$seed id=$id") }
+    }
+  }
+
+  test("assignSplits: total, labels from the ratio set, deterministic") {
+    import spark.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new Random(200 + seed)
+      val ratios = (0 until 3).map(i => s"s$i" -> (1 + rnd.nextInt(10)).toDouble)
+      val df = (1 to 500).toDF("id")
+      val out = Curator.assignSplits(df, col("id"), ratios, seed = 7L)
+      assert(out.count() == 500)
+      val labels = out.select("split").distinct().collect().map(_.getString(0)).toSet
+      assert(labels.subsetOf(ratios.map(_._1).toSet), s"seed=$seed")
+      val again = Curator.assignSplits(df, col("id"), ratios, seed = 7L)
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+      assert(again == out.collect().map(r => (r.getInt(0), r.getString(1))).toSet)
+    }
+  }
+
+  test("CDC applyChanges: target keys = (old \\ deleted) union upserted") {
+    import spark.implicits._
+    import graft.extraction.Incremental
+    for (seed <- 1 to 5) {
+      val rnd = new Random(300 + seed)
+      val target = (0 until 20).map(i => (i, s"v$i")).toDF("id", "v")
+      val changes = (0 until 15).map { seq =>
+        val id = rnd.nextInt(30)
+        (id, s"new${id}_$seq", if (rnd.nextBoolean()) "UPSERT" else "DELETE", seq)
+      }
+      val latest = changes.groupBy(_._1).map { case (_, g) => g.maxBy(_._4) }.toSeq
+      val out = Incremental.applyChanges(
+        target,
+        changes.toDF("id", "v", "_change_type", "seq"),
+        Seq("id"), latestBy = Some(col("seq")))
+      val expect = (0 until 20).filterNot(i => latest.exists(c => c._1 == i)).map(i => i -> s"v$i") ++
+        latest.filter(_._3 == "UPSERT").map(c => c._1 -> c._2)
+      val got = out.collect().map(r => r.getInt(0) -> r.getString(1)).toSet
+      assert(got == expect.toSet, s"seed=$seed")
+    }
+  }
+}
