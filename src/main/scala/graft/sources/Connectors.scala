@@ -49,6 +49,18 @@ object Connectors {
   def readParquet(spark: SparkSession, path: String, mergeSchema: Boolean = false): DataFrame =
     spark.read.option("mergeSchema", mergeSchema).parquet(path)
 
+  /** bronze.py:126 `ingest_unstructured`: raw documents/media as rows
+    * of (path, modificationTime, length, content: binary) via Spark's
+    * binaryFile source — the on-ramp into the multimodal plumbing
+    * (graft.multimodal). `pathGlobFilter` bounds the listing; maximum
+    * file size is governed by spark.sql.sources.binaryFile.maxLength. */
+  def readBinaryFiles(
+      spark: SparkSession, path: String,
+      globFilter: Option[String] = None): DataFrame = {
+    val r = spark.read.format("binaryFile")
+    globFilter.map(g => r.option("pathGlobFilter", g)).getOrElse(r).load(path)
+  }
+
   /** bronze.py:36 METADATA_COLUMNS: stamp every ingested row with
     * ingestion time, source, file, batch id, and the partition-friendly
     * ingestion date. `ingestionTime` is injectable (epoch millis) so

@@ -56,6 +56,21 @@ class ComponentSpec extends SparkSpec {
     }
   }
 
+  test("binaryFile ingest feeds the multimodal pipeline end-to-end") {
+    import graft.multimodal.Multimodal
+    val dir = java.nio.file.Files.createTempDirectory("bin").toString
+    java.nio.file.Files.write(java.nio.file.Path.of(dir, "a.bin"), ("x" * 150).getBytes)
+    java.nio.file.Files.write(java.nio.file.Path.of(dir, "skip.txt"), "nope".getBytes)
+    val df = Connectors.readBinaryFiles(spark, dir, globFilter = Some("*.bin"))
+    assert(df.count() == 1)
+    val row = df.select("length", "content").head()
+    assert(row.getLong(0) == 150)
+    // chunk the ingested payload through the multimodal path
+    val chunked = Multimodal.chunk(
+      df.withColumnRenamed("content", "payload"), chunkSize = 64)
+    assert(chunked.count() == 3) // 150 bytes -> 64 + 64 + 22
+  }
+
   test("schema inference detects types from string data in one pass") {
     import spark.implicits._
     val df = Seq(
