@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time operators Spark has no built-in for: gap sessionization
+  * (batch form of streaming.Streaming.sessionize) and as-of joins.
+  *
+  * Both are single-shuffle window formulations: partition on the
+  * entity key, one in-partition sort — linear in data, no driver
+  * involvement, and AQE-splittable on skewed entities.
+  */
+object TimeOps {
+
+  /** Gap-based sessions over a batch table: a new session starts when
+    * the gap to the previous same-key event exceeds `gapMs`.
+    * → (key, session_start, session_end, n_events). Identical
+    * semantics to the streaming sessionizer (equivalence-tested);
+    * `tiebreaker` totally orders simultaneous events. */
+  def sessionize(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      gapMs: Long,
+      tiebreaker: Column): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol).asc, tiebreaker.asc)
+    val prev = lag(col(tsCol), 1).over(w)
+    val isNew = when(
+      prev.isNull || (unix_micros(col(tsCol)) - unix_micros(prev)) > gapMs * 1000L, 1)
+      .otherwise(0)
+    val sessId = sum(isNew).over(
+      Window.partitionBy(keyCol).orderBy(col(tsCol).asc, tiebreaker.asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    df.withColumn("_session", sessId)
+      .groupBy(col(keyCol), col("_session"))
+      .agg(
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .drop("_session")
+  }
+
+  /** As-of join: each left row picks up the LATEST right row with
+    * right.ts ≤ left.ts on the same key (the point-in-time lookup a
+    * feature pipeline needs against slowly-updating state).
+    *
+    * Formulated as union → one window over (key, ts) carrying the last
+    * non-null right payload forward — a single shuffle on the key, no
+    * range-join explosion, no per-key driver loops. Right rows sort
+    * before left rows at equal timestamps, so ties match (ts ≥
+    * semantics, like DuckDB's ASOF JOIN). */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    require(payloadCols.nonEmpty, "asofJoin needs at least one payload column")
+    val leftCols = left.columns.toSeq
+    val nulledPayload = payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(c))
+    val l = left
+      .select((leftCols.map(col) ++ nulledPayload :+ lit(1).as("_side")): _*)
+    val r = right
+      .select((Seq(col(keyCol), col(tsCol)) ++
+        leftCols.filterNot(c => c == keyCol || c == tsCol)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payloadCols.map(col) :+ lit(0).as("_side")): _*)
+      .select((leftCols.map(col) ++ payloadCols.map(col) :+ col("_side")): _*)
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payloadCols.foldLeft(l.unionByName(r)) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_side") === 1).drop("_side")
+  }
+}
