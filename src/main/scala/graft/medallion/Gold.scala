@@ -128,6 +128,43 @@ object Gold {
     fillZero.foldLeft(joined)((d, c) => d.withColumn(c, coalesce(col(c), lit(0))))
   }
 
+  /** Trailing time-window rolling metrics: for each row, aggregates
+    * over the same key's rows in [ts − window, ts]. A RANGE frame over
+    * epoch-micros — one shuffle on the key, one in-partition sort,
+    * frame evaluation is linear per partition. */
+  def rollingMetrics(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      windowMs: Long,
+      aggs: Seq[(Column, String)]): DataFrame = {
+    require(aggs.nonEmpty, "rollingMetrics needs at least one aggregate")
+    val w = Window.partitionBy(keyCol)
+      .orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-windowMs * 1000L, 0L)
+    aggs.foldLeft(df) { case (d, (agg, name)) => d.withColumn(name, agg.over(w)) }
+  }
+
+  /** Pivoted metrics without Spark's `pivot()` (which either runs an
+    * extra distinct-values job or trusts caller-supplied values anyway):
+    * one hash aggregation with a conditional aggregate per (value,
+    * metric) cell. Fixed, caller-controlled output schema — the only
+    * shape that works at 100 TB, where a distinct scan just to name
+    * columns is wasted I/O. */
+  def pivotMetrics(
+      df: DataFrame,
+      groupBy: Seq[String],
+      pivotCol: String,
+      pivotValues: Seq[String],
+      aggs: Seq[(String => Column, String)]): DataFrame = {
+    require(pivotValues.nonEmpty && aggs.nonEmpty, "pivotMetrics needs values and aggregates")
+    val exprs = for {
+      v <- pivotValues
+      (mk, suffix) <- aggs
+    } yield mk(v).as(s"${v}_$suffix")
+    df.groupBy(groupBy.map(col): _*).agg(exprs.head, exprs.tail: _*)
+  }
+
   /** Top-K rows per group (reporting/feature pattern). One shuffle; the
     * window sort is bounded per-partition. `orderBy` must be total
     * (include a unique tiebreaker) for deterministic results.

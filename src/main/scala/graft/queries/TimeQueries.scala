@@ -39,6 +39,46 @@ object TimeQueries {
           round(col("view_value"), 2).as("view_value"))
     }))
 
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  val rollingAndPivot: Map[String, Q] = Map(
+    "q112_rolling" -> ((s, d) =>
+      graft.medallion.Gold.rollingMetrics(
+        Tables.events(s, d).select("event_id", "user_id", "ts", "value"),
+        keyCol = "user_id", tsCol = "ts", windowMs = 3600L * 1000,
+        aggs = Seq(
+          (count(lit(1)), "n_1h"),
+          (sum(col("value")), "sum_1h")))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("n_1h").cast("long").as("n_1h"),
+          round(col("sum_1h"), 2).as("sum_1h"))),
+
+    "q113_pivot_metrics" -> ((s, d) =>
+      graft.medallion.Gold.pivotMetrics(
+        Tables.events(s, d),
+        groupBy = Seq("user_id"),
+        pivotCol = "event_type",
+        pivotValues = eventTypes,
+        aggs = Seq(
+          ((v: String) => count(when(col("event_type") === v, 1)), "n"),
+          ((v: String) => round(sum(when(col("event_type") === v, col("value"))), 2), "sum")))))
+
+  val rollingAndPivotOracles: Map[String, String] = Map(
+    "q112_rolling" ->
+      """SELECT event_id, user_id, ts,
+                count(*) OVER w AS n_1h,
+                round(sum(value) OVER w, 2) AS sum_1h
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""",
+
+    "q113_pivot_metrics" -> {
+      val cells = Seq("click", "error", "purchase", "signup", "view").flatMap(v => Seq(
+        s"count(*) FILTER (WHERE event_type = '$v') AS ${v}_n",
+        s"round(sum(value) FILTER (WHERE event_type = '$v'), 2) AS ${v}_sum"))
+      s"SELECT user_id, ${cells.mkString(", ")} FROM events GROUP BY user_id"
+    })
+
   val oracles: Map[String, String] = Map(
     "q110_sessionize" ->
       s"""WITH flagged AS (
