@@ -146,6 +146,48 @@ object TextDedup {
     verifyJaccard(lshCandidates(minhashSignatures(sets, k), k, bands), sets, threshold)
   }
 
+  /** Connected components over a near-dup pair graph: every node gets
+    * the MINIMUM id reachable through pairs as its cluster id
+    * (singletons cluster with themselves). Iterative min-label
+    * propagation — each round is one join + aggregate, and rounds
+    * needed = graph diameter (near-dup clusters are tiny, so 2–4);
+    * the driver only reads a did-anything-change scalar per round.
+    *
+    * `allIds` supplies the node universe (docs with no pairs still get
+    * a cluster row). → (id, cluster_id) */
+  def dedupClusters(pairs: DataFrame, allIds: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_1").as("a"), col("id_2").as("b"))
+      .union(pairs.select(col("id_2").as("a"), col("id_1").as("b")))
+    var labels = allIds.select(col("id"), col("id").as("cluster_id"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "b").withColumnRenamed("cluster_id", "_nl"), Seq("b"))
+        .groupBy(col("a").as("id")).agg(min(col("_nl")).as("_minNeighbor"))
+      val next = labels.join(viaNeighbor, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("_minNeighbor"), col("cluster_id"))).as("cluster_id"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "_old"), Seq("id"))
+        .filter(col("cluster_id") =!= col("_old")).limit(1).count() > 0
+      labels = next
+      converged = !changed
+      iter += 1
+    }
+    labels
+  }
+
+  /** End-to-end near-dup REMOVAL: MinHash+LSH pairs → components →
+    * keep the minimum-id document per cluster. */
+  def removeNearDuplicates(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 16, bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, n, k, bands, threshold)
+    val clusters = dedupClusters(pairs, df.select(col(idCol).as("id")))
+    df.join(clusters.filter(col("id") === col("cluster_id")).select(col("id").as(idCol)), Seq(idCol))
+  }
+
   // ---- SimHash (Spark-native: engine hash is fine, not cross-checked) ----
 
   /** 64-bit SimHash over a document's distinct tokens: bit i of the

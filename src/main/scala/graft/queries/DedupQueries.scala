@@ -41,7 +41,15 @@ object DedupQueries {
 
     "q94_dedup_ngram" -> ((s, d) =>
       TextDedup.jaccardPairs(
-        TextDedup.shingleSets(Tables.documents(s, d), "doc_id", "text", N), 0.5)))
+        TextDedup.shingleSets(Tables.documents(s, d), "doc_id", "text", N), 0.5)),
+
+    "q114_dedup_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = TextDedup.minhashLshPairs(docs, "doc_id", "text",
+        n = N, k = K, bands = Bands, threshold = 0.5)
+      TextDedup.dedupClusters(pairs, docs.select(col("doc_id").as("id")))
+        .select(col("id").as("doc_id"), col("cluster_id"))
+    }))
 
   private val tokSql =
     """tok AS (
@@ -71,7 +79,7 @@ object DedupQueries {
         JOIN sizes s2 ON id_2 = s2.id
         WHERE i / (s1.sz + s2.sz - i) >= $threshold"""
 
-  private val q92Sql = {
+  private val q92Ctes = {
     val mhCols = (0 until K).map(i =>
       s"min((sid * ${1 + 4 * i} + ${7 + 11 * i}) % $P) AS mh_$i").mkString(", ")
     val bandSelects = (0 until Bands).map { b =>
@@ -79,7 +87,7 @@ object DedupQueries {
           CAST(mh_${2 * b} AS VARCHAR) || '_' || CAST(mh_${2 * b + 1} AS VARCHAR) AS sig
           FROM mh"""
     }.mkString("\nUNION ALL\n")
-    s"""WITH $shSql,
+    s"""$shSql,
         sids AS (SELECT id, CAST(concat('0x', substr(md5(item), 1, 8)) AS BIGINT) AS sid FROM sh),
         mh AS (SELECT id, $mhCols FROM sids GROUP BY id),
         bands AS ($bandSelects),
@@ -92,11 +100,29 @@ object DedupQueries {
                     SELECT id_1, id_2, sh.item FROM cand JOIN sh ON sh.id = cand.id_1
                     UNION ALL
                     SELECT id_1, id_2, sh.item FROM cand JOIN sh ON sh.id = cand.id_2))
-                GROUP BY 1, 2)
-        SELECT id_1, id_2, (s1.sz + s2.sz - u) / u AS jaccard
-        FROM uni JOIN sizes s1 ON id_1 = s1.id JOIN sizes s2 ON id_2 = s2.id
-        WHERE (s1.sz + s2.sz - u) / u >= 0.5"""
+                GROUP BY 1, 2)"""
   }
+
+  private val q92Select =
+    """SELECT id_1, id_2, (s1.sz + s2.sz - u) / u AS jaccard
+       FROM uni JOIN sizes s1 ON id_1 = s1.id JOIN sizes s2 ON id_2 = s2.id
+       WHERE (s1.sz + s2.sz - u) / u >= 0.5"""
+
+  private val q92Sql = s"WITH $q92Ctes\n$q92Select"
+
+  /** Connected components over the q92 pair graph via recursive CTE:
+    * min reachable doc_id = cluster id (matches the Spark side's
+    * min-label propagation fixpoint). */
+  private val q114Sql =
+    s"""WITH RECURSIVE $q92Ctes,
+        verified AS ($q92Select),
+        edges AS (SELECT id_1 AS a, id_2 AS b FROM verified
+                  UNION ALL SELECT id_2, id_1 FROM verified),
+        reach(id, root) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.id)
+        SELECT id AS doc_id, min(root) AS cluster_id FROM reach GROUP BY id"""
 
   val oracles: Map[String, String] = Map(
     "q90_dedup_exact" ->
@@ -108,5 +134,6 @@ object DedupQueries {
          FROM all_docs GROUP BY md5(text)""",
     "q91_dedup_jaccard" -> jaccardSql(tokSql, "tok", 0.95),
     "q92_dedup_minhash" -> q92Sql,
-    "q94_dedup_ngram" -> jaccardSql(shSql, "sh", 0.5))
+    "q94_dedup_ngram" -> jaccardSql(shSql, "sh", 0.5),
+    "q114_dedup_clusters" -> q114Sql)
 }

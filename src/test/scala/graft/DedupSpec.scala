@@ -55,6 +55,24 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "LSH must join on band keys")
   }
 
+  test("dedupClusters: transitive pairs collapse to one cluster; removal keeps min id") {
+    import spark.implicits._
+    // chain 1-2, 2-3 (one component) plus isolated 4
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_1", "id_2")
+    val ids = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val clusters = TextDedup.dedupClusters(pairs, ids)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
+
+    val kept = TextDedup.removeNearDuplicates(
+      Tables.documents(spark, sfDir), "doc_id", "text")
+    val all = Tables.documents(spark, sfDir).count()
+    val pairCount = TextDedup.minhashLshPairs(
+      Tables.documents(spark, sfDir), "doc_id", "text").count()
+    assert(kept.count() < all || pairCount == 0)
+    assert(kept.count() >= all - 2 * pairCount) // each pair removes at most one doc
+  }
+
   test("exactDedup keeps min id and counts copies") {
     val out = TextDedup.exactDedup(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
