@@ -156,8 +156,12 @@ object TextDedup {
     * `allIds` supplies the node universe (docs with no pairs still get
     * a cluster row). → (id, cluster_id) */
   def dedupClusters(pairs: DataFrame, allIds: DataFrame, maxIter: Int = 10): DataFrame = {
+    // materialize the edge set once — every propagation round joins it,
+    // and without the cache each round would re-evaluate the entire
+    // upstream pair pipeline (e.g. the full LSH lineage)
     val edges = pairs.select(col("id_1").as("a"), col("id_2").as("b"))
       .union(pairs.select(col("id_2").as("a"), col("id_1").as("b")))
+      .cache()
     var labels = allIds.select(col("id"), col("id").as("cluster_id"))
     var iter = 0
     var converged = false
@@ -171,10 +175,12 @@ object TextDedup {
         .cache()
       val changed = next.join(labels.withColumnRenamed("cluster_id", "_old"), Seq("id"))
         .filter(col("cluster_id") =!= col("_old")).limit(1).count() > 0
+      if (iter > 0) labels.unpersist() // previous round's cache is dead now
       labels = next
       converged = !changed
       iter += 1
     }
+    edges.unpersist()
     labels
   }
 
