@@ -82,18 +82,22 @@ object Quality {
           val s1 = col(s"_cs1_$c").cast("double")
           val s2 = col(s"_cs2_$c").cast("double")
           (round(col(s"_min_$c"), 2), round(col(s"_max_$c"), 2),
-            round(col(s"_sum_$c"), 2) / cnt,
+            when(cnt > 0, round(col(s"_sum_$c"), 2) / cnt).otherwise(nullD),
             when(cnt > 1, sqrt((s2 - s1 * s1 / nd) / (nd - 1)) / 100.0).otherwise(nullD))
         } else (nullD, nullD, nullD, nullD)
       val (lmin, lmax, lavg) =
         if (kinds(c) == "string")
-          (col(s"_lmin_$c"), col(s"_lmax_$c"), round(col(s"_lsum_$c"), 2) / cnt)
+          (col(s"_lmin_$c"), col(s"_lmax_$c"),
+            when(cnt > 0, round(col(s"_lsum_$c"), 2) / cnt).otherwise(nullD))
         else (nullL, nullL, nullD)
+      // empty-input convention mirrors the reference: 0% rates when
+      // there are no rows (quality.py:262 guards the same way)
       struct(
         lit(c).as("column"), lit(kinds(c)).as("kind"),
         n.cast("long").as("total"), nulls.as("nulls"),
-        (nulls * 100.0 / n).as("null_pct"),
-        uni.as("unique"), (uni * 100.0 / n).as("unique_pct"),
+        when(n > 0, nulls * 100.0 / n).otherwise(lit(0.0)).as("null_pct"),
+        uni.as("unique"),
+        when(n > 0, uni * 100.0 / n).otherwise(lit(0.0)).as("unique_pct"),
         (uni <= 1).as("is_constant"),
         minV.cast("double").as("min_val"), maxV.cast("double").as("max_val"),
         meanV.cast("double").as("mean_val"), stdV.cast("double").as("std_val"),
@@ -223,8 +227,12 @@ object Quality {
       lit(ncols).as("column_count"),
       dup.cast("long").as("duplicate_rows"),
       col("_complete").cast("long").as("complete_rows"),
-      ((totalCells - nullCells) * 100.0 / totalCells).as("completeness_score"),
-      (avgCompleteness * 0.4 + (lit(100.0) - dup * 100.0 / nD) * 0.2 +
-        (lit(100.0) - constCols * 100.0 / ncols) * 0.2 + lit(100.0) * 0.2).as("quality_score"))
+      // empty dataset = vacuously perfect (quality.py:208 convention)
+      when(col("_n") > 0, (totalCells - nullCells) * 100.0 / totalCells)
+        .otherwise(lit(100.0)).as("completeness_score"),
+      when(col("_n") > 0,
+        avgCompleteness * 0.4 + (lit(100.0) - dup * 100.0 / nD) * 0.2 +
+          (lit(100.0) - constCols * 100.0 / ncols) * 0.2 + lit(100.0) * 0.2)
+        .otherwise(lit(100.0)).as("quality_score"))
   }
 }
