@@ -42,7 +42,11 @@ object Quality {
     * max_len, avg_len). Numeric stats are null for strings and vice
     * versa; kind ∈ {numeric, string, other}.
     */
-  def profile(df: DataFrame, columns: Seq[String]): DataFrame = {
+  def profile(df: DataFrame, columns: Seq[String]): DataFrame =
+    profileWith(df, columns, c => count_distinct(col(c)))
+
+  private def profileWith(
+      df: DataFrame, columns: Seq[String], distinctAgg: String => Column): DataFrame = {
     require(columns.nonEmpty, "profile needs at least one column")
     val kinds = columns.map { c =>
       val dt = df.schema(c).dataType
@@ -50,7 +54,7 @@ object Quality {
     }.toMap
 
     val aggs: Seq[Column] = count(lit(1)).as("_n") +: columns.flatMap { c =>
-      val base = Seq(count(col(c)).as(s"_cnt_$c"), count_distinct(col(c)).as(s"_uni_$c"))
+      val base = Seq(count(col(c)).as(s"_cnt_$c"), distinctAgg(c).cast("long").as(s"_uni_$c"))
       kinds(c) match {
         case "numeric" =>
           val (s1, s2) = centSums(c)
@@ -105,6 +109,15 @@ object Quality {
     }
     one.select(explode(array(rows: _*)).as("_r")).select(col("_r.*"))
   }
+
+  /** Scale variant of [[profile]]: identical shape, but unique counts
+    * come from HyperLogLog++ sketches (`approx_count_distinct`, default
+    * ~2% relative error) instead of exact distinct aggregation — at
+    * 100 TB the exact path's Expand operator multiplies the scan by
+    * #distinct-aggregates, the sketch path does not. Use exact for
+    * oracle comparisons, this for production profiling. */
+  def profileApprox(df: DataFrame, columns: Seq[String], rsd: Double = 0.02): DataFrame =
+    profileWith(df, columns, c => approx_count_distinct(col(c), rsd))
 
   /** quality.py:240 IQR outliers, per numeric column —
     * (column, q1, q3, lower, upper, n_outliers) with the Tukey fences

@@ -28,6 +28,19 @@ class QualitySpec extends SparkSpec {
     assert(p("const").getAs[Boolean]("is_constant"))
   }
 
+  test("profileApprox matches the exact profile within HLL error bounds") {
+    val li = Tables.lineitem(spark, sfDir)
+    val cols = Seq("l_orderkey", "l_quantity", "l_returnflag")
+    val exact = Quality.profile(li, cols).collect()
+      .map(r => r.getAs[String]("column") -> r.getAs[Long]("unique")).toMap
+    val approx = Quality.profileApprox(li, cols).collect()
+      .map(r => r.getAs[String]("column") -> r.getAs[Long]("unique")).toMap
+    cols.foreach { c =>
+      val rel = math.abs(approx(c) - exact(c)).toDouble / math.max(exact(c), 1)
+      assert(rel <= 0.05, s"$c: approx=${approx(c)} exact=${exact(c)} rel=$rel")
+    }
+  }
+
   test("outliersIqr flags values beyond the Tukey fences") {
     import spark.implicits._
     val d = (Seq.fill(20)(10.0) ++ Seq(1000.0)).toDF("v")
