@@ -21,7 +21,8 @@ object SparkEntry {
     GoldQueries.queries ++ SilverQueries.queries ++ Scd2Queries.queries ++
       ValidationQueries.queries ++ QualityQueries.queries ++ ExtractionQueries.queries ++
       RedactionQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++
-      TextQueries.queries ++ TimeQueries.queries ++ TimeQueries.rollingAndPivot
+      TextQueries.queries ++ TimeQueries.queries ++ TimeQueries.rollingAndPivot ++
+      TimeQueries.rangeJoinQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
     GoldQueries.oracles ++ SilverQueries.oracles ++ Scd2Queries.oracles ++
       ValidationQueries.oracles ++ QualityQueries.oracles ++ ExtractionQueries.oracles ++
       RedactionQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles ++
-      TextQueries.oracles ++ TimeQueries.oracles ++ TimeQueries.rollingAndPivotOracles
+      TextQueries.oracles ++ TimeQueries.oracles ++ TimeQueries.rollingAndPivotOracles ++
+      TimeQueries.rangeJoinOracles
 }

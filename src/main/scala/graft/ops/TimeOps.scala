@@ -41,6 +41,34 @@ object TimeOps {
       .drop("_session")
   }
 
+  /** Range (interval-containment) join: left rows match right intervals
+    * with start ≤ ts ≤ end on the same key. The naive formulation is a
+    * nested-loop/cartesian with a range predicate; this one bucketizes
+    * time into `grainMs` grains — intervals explode into the grains
+    * they cover, point rows map to one grain — so the match runs as an
+    * EQUI-join on (key, grain) with the exact containment predicate as
+    * a post-filter. Fan-out per interval = ⌈span/grain⌉: pick a grain
+    * near the typical interval span. */
+  def rangeJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      startCol: String,
+      endCol: String,
+      grainMs: Long): DataFrame = {
+    require(grainMs > 0, "grainMs must be positive")
+    val grain = grainMs * 1000L // micros
+    val l = left.withColumn("_grain", (unix_micros(col(tsCol)) / grain).cast("long"))
+    val r = right.withColumn("_grain",
+      explode(sequence(
+        (unix_micros(col(startCol)) / grain).cast("long"),
+        (unix_micros(col(endCol)) / grain).cast("long"))))
+    l.join(r, Seq(keyCol, "_grain"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("_grain")
+  }
+
   /** As-of join: each left row picks up the LATEST right row with
     * right.ts ≤ left.ts on the same key (the point-in-time lookup a
     * feature pipeline needs against slowly-updating state).

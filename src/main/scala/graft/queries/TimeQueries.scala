@@ -63,6 +63,44 @@ object TimeQueries {
           ((v: String) => count(when(col("event_type") === v, 1)), "n"),
           ((v: String) => round(sum(when(col("event_type") === v, col("value"))), 2), "sum")))))
 
+  val rangeJoinQueries: Map[String, Q] = Map(
+    // assign every event to its session interval: a self-consistency
+    // check of q110 (exactly one match per event) and the scalable
+    // grain-bucketed range-join pattern in one
+    "q115_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).select("event_id", "user_id", "ts")
+      val sessions = TimeOps.sessionize(
+        Tables.events(s, d).select("user_id", "ts", "event_id"),
+        keyCol = "user_id", tsCol = "ts", gapMs = gapMs, tiebreaker = col("event_id"))
+      TimeOps.rangeJoin(ev, sessions, "user_id", "ts",
+        "session_start", "session_end", grainMs = gapMs)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("session_start"), col("n_events"))
+    }))
+
+  val rangeJoinOracles: Map[String, String] = Map(
+    "q115_range_join" ->
+      s"""WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > ${gapMs}000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          numbered AS (
+            SELECT user_id, ts,
+                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sess
+            FROM flagged),
+          sessions AS (
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events
+            FROM numbered GROUP BY user_id, sess)
+          SELECT e.event_id, e.user_id, e.ts, s.session_start, s.n_events
+          FROM events e JOIN sessions s
+            ON e.user_id = s.user_id
+           AND e.ts BETWEEN s.session_start AND s.session_end""")
+
   val rollingAndPivotOracles: Map[String, String] = Map(
     "q112_rolling" ->
       """SELECT event_id, user_id, ts,

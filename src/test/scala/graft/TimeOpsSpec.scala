@@ -61,6 +61,18 @@ class TimeOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rangeJoin: containment inclusive on both ends, grain-boundary safe") {
+    import spark.implicits._
+    val points = Seq((1L, ts(0), "at-start"), (1L, ts(7), "inside"),
+      (1L, ts(10), "at-end"), (1L, ts(11), "outside"), (2L, ts(5), "other-key"))
+      .toDF("k", "ts", "tag")
+    val intervals = Seq((1L, ts(0), ts(10), "i1")).toDF("k", "s", "e", "name")
+    // grain (2 min) much smaller than the interval: exercises multi-grain explode
+    val out = TimeOps.rangeJoin(points, intervals, "k", "ts", "s", "e", grainMs = 2 * 60 * 1000)
+      .select("tag").collect().map(_.getString(0)).toSet
+    assert(out == Set("at-start", "inside", "at-end"))
+  }
+
   test("sessionize boundary: event exactly at the gap joins the session") {
     import spark.implicits._
     val df = Seq((1L, ts(0), 1L), (1L, ts(5), 2L), (1L, ts(11), 3L))
