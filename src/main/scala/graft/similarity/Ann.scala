@@ -77,6 +77,64 @@ object Ann {
       .select(col("id"), col("vec"), col("_b.band").as("band"), col("_b.sig").as("sig"))
   }
 
+  /** IVF (inverted-file) index: a k-means coarse quantizer assigns
+    * every corpus vector to its nearest centroid once at build time.
+    * Queries then probe only the `nprobe` nearest cells — candidate
+    * count is (nprobe/k)·corpus instead of corpus. Centroids are model
+    * metadata (k × dim doubles), legitimately driver-held.
+    * → (indexed corpus with `cluster`, centroid array) */
+  def ivfIndex(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = corpus.select(col(idCol), col(vecCol),
+      array_to_vector(col(vecCol).cast("array<double>")).as("_features"))
+    val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("_features")
+      .setPredictionCol("cluster").fit(feat)
+    val indexed = model.transform(feat).drop("_features")
+    (indexed, model.clusterCenters.map(_.toArray))
+  }
+
+  /** Squared L2 distance of a vector column to a centroid literal —
+    * higher-order aggregate, no explode, codegen-adjacent. */
+  private def distSq(vec: Column, center: Array[Double]): Column =
+    aggregate(
+      sequence(lit(0), lit(center.length - 1)), lit(0.0),
+      (acc, i) => {
+        val d = element_at(vec, i + 1) - element_at(lit(center), i + 1)
+        acc + d * d
+      })
+
+  /** IVF approximate top-k: each query probes its `nprobe` nearest
+    * cells; only corpus vectors in those cells are scored. The probe
+    * selection is a per-row array sort over k centroid distances —
+    * pure column expressions, fully distributed. */
+  def knnIvf(
+      indexedCorpus: DataFrame, centers: Array[Array[Double]],
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int, roundTo: Int = 4): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centers.length, "1 <= nprobe <= #centroids")
+    val cellDists = array(centers.zipWithIndex.map { case (ctr, j) =>
+      struct(distSq(col(vecCol), ctr).as("d"), lit(j).as("cell"))
+    }: _*)
+    val probes = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("_qvec"),
+      explode(slice(array_sort(cellDists), 1, nprobe)).as("_p"))
+      .select(col("query_id"), col("_qvec"), col("_p.cell").as("cluster"))
+    val candidates = indexedCorpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cvec"), col("cluster"))
+      .join(probes, Seq("cluster"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    candidates
+      .withColumn("cosine", round(cosineSim(col("_qvec"), col("_cvec")), roundTo))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Approximate top-k: score only corpus vectors sharing ≥1 band
     * signature with the query. One shuffle on (band, sig); candidate
     * count per query is bucket-bounded, not corpus-bounded. */

@@ -61,6 +61,30 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("IVF ANN: planted near-neighbors recovered with bounded probing") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val base = (0L until 60L).map(i => i -> Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val planted = (0L until 10L).map { i =>
+      (2000L + i) -> base(i.toInt)._2.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+    }
+    val corpus = (base ++ planted).toDF("vec_id", "embedding")
+    val queries = base.take(10).toDF("vec_id", "embedding")
+
+    val (indexed, centers) = Ann.ivfIndex(corpus, "vec_id", "embedding", k = 8)
+    assert(centers.length == 8 && centers.head.length == dim)
+    // a jittered copy lands in the same (or adjacent) cell as its
+    // original; nprobe=2 must recover it as top-1
+    val ivf = Ann.knnIvf(indexed, centers, queries, "vec_id", "embedding", k = 1, nprobe = 2)
+    val top = ivf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val recall = (0L until 10L).count(i => top.get(i).contains(2000L + i)) / 10.0
+    assert(recall >= 0.9, s"IVF recall $recall")
+    // probing is genuinely bounded: candidates < corpus for nprobe < k
+    val probedCells = indexed.groupBy("cluster").count().count()
+    assert(probedCells > 2, "quantizer must spread the corpus over cells")
+  }
+
   test("knnBrute matches a hand-computed top-k on a tiny corpus") {
     import spark.implicits._
     val corpus = Seq(
