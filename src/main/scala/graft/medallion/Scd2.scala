@@ -55,6 +55,12 @@ object Scd2 {
   /** scd.py:53 `apply_scd2` + scd.py:397 `merge_scd2`: merge a source
     * snapshot into an existing SCD2 table.
     *
+    * PRECONDITION (same as the reference): `source` holds at most ONE
+    * row per business key — it is a snapshot, not a change feed. A
+    * multi-row-per-key feed must first collapse via
+    * `Silver.dedup(source, businessKeys, orderKey)`; merging it raw
+    * would mint multiple "current" versions for the same key.
+    *
     * @param existing        SCD2 table (carries the `_scd_*` columns)
     * @param source          new snapshot: business keys + tracked columns
     *                        (+ optional delete-indicator column)

@@ -33,7 +33,11 @@ object Multimodal {
   def chunk(df: DataFrame, chunkSize: Int): DataFrame = {
     require(chunkSize > 0, "chunkSize must be positive")
     val nChunks = ceil(octet_length(col("payload")) / lit(chunkSize.toDouble)).cast("long")
-    df.withColumn("chunk_idx", explode(sequence(lit(0L), nChunks - 1)))
+    // zero-byte payloads yield zero chunk rows (explode drops them);
+    // the guard matters because sequence(0, -1) is an error under ANSI
+    val idxs = when(nChunks > 0, sequence(lit(0L), nChunks - 1))
+      .otherwise(array().cast("array<bigint>"))
+    df.withColumn("chunk_idx", explode(idxs))
       .withColumn("chunk",
         substring(col("payload"), (col("chunk_idx") * chunkSize + 1).cast("int"), lit(chunkSize)))
   }

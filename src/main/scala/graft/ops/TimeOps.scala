@@ -24,6 +24,8 @@ object TimeOps {
       tsCol: String,
       gapMs: Long,
       tiebreaker: Column): DataFrame = {
+    require(!df.columns.contains("_session"),
+      "input already has a _session column; rename it before sessionize()")
     val w = Window.partitionBy(keyCol).orderBy(col(tsCol).asc, tiebreaker.asc)
     val prev = lag(col(tsCol), 1).over(w)
     val isNew = when(
@@ -58,6 +60,9 @@ object TimeOps {
       endCol: String,
       grainMs: Long): DataFrame = {
     require(grainMs > 0, "grainMs must be positive")
+    val overlap = right.columns.toSet.intersect(left.columns.toSet) - keyCol
+    require(overlap.isEmpty,
+      s"left/right share non-key columns $overlap — rename before rangeJoin()")
     val grain = grainMs * 1000L // micros
     val l = left.withColumn("_grain", (unix_micros(col(tsCol)) / grain).cast("long"))
     val r = right.withColumn("_grain",
@@ -85,6 +90,8 @@ object TimeOps {
       tsCol: String,
       payloadCols: Seq[String]): DataFrame = {
     require(payloadCols.nonEmpty, "asofJoin needs at least one payload column")
+    require(payloadCols.forall(!left.columns.contains(_)),
+      s"payload columns ${payloadCols.filter(left.columns.contains)} collide with left columns")
     val leftCols = left.columns.toSeq
     val nulledPayload = payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(c))
     val l = left

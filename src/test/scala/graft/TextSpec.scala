@@ -54,6 +54,12 @@ class TextSpec extends SparkSpec {
     assert(Multimodal.sampleChunks(chunked, 2).count() == 2) // idx 0 and 2
   }
 
+  test("chunk yields zero rows for an empty payload instead of crashing") {
+    import spark.implicits._
+    val df = Seq((1L, "")).toDF("doc_id", "text")
+    assert(Multimodal.chunk(Multimodal.withBinaryPayload(df, "text"), 64).count() == 0)
+  }
+
   test("decodeImageStub is deterministic with plausible dimensions") {
     import spark.implicits._
     val df = Seq((1L, "some media bytes")).toDF("doc_id", "text")
