@@ -28,6 +28,20 @@ object Curator {
   def hashFraction(key: Column, seed: Long): Column =
     (pmod(xxhash64(key, lit(seed)), lit(1000000000L))) / lit(1000000000.0)
 
+  /** dataset_curator.py:40 DatasetMetadata, the data-derived part: one
+    * aggregate pass over a split-labeled dataset → per-split row counts
+    * plus totals, with the schema rendered driver-side (schema is
+    * metadata, not data). */
+  def manifest(
+      split: DataFrame,
+      splitCol: String = "split"): DataFrame = {
+    import org.apache.spark.sql.functions.{count => cnt}
+    split.groupBy(col(splitCol))
+      .agg(cnt(lit(1)).as("n_rows"))
+      .withColumn("schema",
+        lit(split.schema.fields.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")))
+  }
+
   /** Assign a split label per row. `ratios` are normalized; assignment
     * walks the cumulative distribution. */
   def assignSplits(

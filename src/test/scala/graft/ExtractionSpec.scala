@@ -64,6 +64,28 @@ class ExtractionSpec extends SparkSpec {
     assert(out == Map(1 -> "new1b", 3 -> "old3", 4 -> "new4"))
   }
 
+  test("splits hold ratios within every stratum; manifest counts per split") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val ratios = Seq("train" -> 0.8, "test" -> 0.1, "val" -> 0.1)
+    val split = Curator.assignSplits(docs, col("doc_id"), ratios)
+    // hash-based assignment is independent of any column, so ratios
+    // hold inside each language stratum (the property a curator needs)
+    val perLang = split.groupBy("lang", "split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val langs = split.select("lang").distinct().collect().map(_.getString(0))
+    langs.filter(l => perLang.keys.count(_._1 == l) > 0).foreach { l =>
+      val total = perLang.collect { case ((`l`, _), n) => n }.sum.toDouble
+      val train = perLang.getOrElse((l, "train"), 0L).toDouble
+      if (total >= 50) // only strata large enough for the LLN to bite
+        assert(math.abs(train / total - 0.8) < 0.15, s"lang=$l train=${train / total}")
+    }
+    val man = Curator.manifest(split).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(man.values.sum == docs.count())
+    assert(man.keySet.subsetOf(Set("train", "test", "val")))
+  }
+
   test("assignSplits is deterministic and roughly honors ratios") {
     import spark.implicits._
     val df = (1 to 10000).toDF("id")
