@@ -35,21 +35,50 @@ object Incremental {
     }
   }
 
+  /** One incremental batch: a bounded slice plus the watermark value it
+    * would advance to. The caller loads `slice`, then calls [[commit]]
+    * only after the load succeeds — on failure the watermark is
+    * untouched and the batch replays on retry (at-least-once, never
+    * silently skipped). */
+  final case class ExtractBatch(
+      slice: DataFrame,
+      candidateWatermark: Option[String],
+      manager: WatermarkManager,
+      sourceName: String,
+      watermarkColumn: String) {
+    /** Advance the stored watermark to this batch's upper bound. */
+    def commit(): Unit =
+      candidateWatermark.foreach(v => manager.set(sourceName, watermarkColumn, v))
+  }
+
   /** incremental.py:58 `IncrementalExtractor`, orchestrated: read rows
-    * past the stored watermark, then advance it to the batch max —
-    * the full extract-loop contract (initial load when no watermark
-    * exists). Returns the incremental slice; the watermark store
-    * mutation is the only side effect. */
+    * past the stored watermark, up to a pinned upper bound (initial
+    * load when no watermark exists).
+    *
+    * The upper bound is computed eagerly ONCE and baked into the
+    * slice's filter, so the returned (lazy) DataFrame is deterministic:
+    * rows arriving between this call and the caller's load are excluded
+    * now and picked up by the next batch — never delivered twice or
+    * dropped. The watermark store is NOT touched here; the caller
+    * commits via [[ExtractBatch.commit]] after a successful load. */
   def extract(
       df: DataFrame,
       manager: WatermarkManager,
       sourceName: String,
-      watermarkColumn: String): DataFrame = {
-    val since = manager.getValue(sourceName)
-      .map(v => lit(v).cast(df.schema(watermarkColumn).dataType))
-    val slice = readNewSince(df, watermarkColumn, since)
-    manager.updateFromDataFrame(slice, sourceName, watermarkColumn)
-    slice
+      watermarkColumn: String): ExtractBatch = {
+    val dt = df.schema(watermarkColumn).dataType
+    val since = manager.getValue(sourceName).map(v => lit(v).cast(dt))
+    // Single scalar aggregate over the not-yet-seen rows — the scan is
+    // watermark-pruned, so this is cheap even on a huge source.
+    val hi = Option(
+      readNewSince(df, watermarkColumn, since)
+        .agg(max(col(watermarkColumn)).cast("string")).head().getString(0))
+    val slice = hi match {
+      case Some(h) => readNewSince(df, watermarkColumn, since)
+        .filter(col(watermarkColumn) <= lit(h).cast(dt))
+      case None    => df.limit(0)
+    }
+    ExtractBatch(slice, hi, manager, sourceName, watermarkColumn)
   }
 
   /** incremental.py:337 `apply_changes`: latest-wins upsert + delete.

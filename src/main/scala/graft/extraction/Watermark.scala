@@ -67,12 +67,33 @@ object WatermarkManager {
       s"""{"source":"${esc(w.source)}","column":"${esc(w.column)}","value":"${esc(w.value)}"}"""
     }.mkString("[", ",", "]")
 
+  /** Exact inverse of [[esc]]: one left-to-right scan, so a literal
+    * backslash-n two-char sequence (escaped as `\\n`) round-trips as
+    * backslash+n instead of collapsing into a newline, and `\uXXXX`
+    * control-char escapes decode. */
+  private[extraction] def unesc(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n'                       => sb += '\n'; i += 2
+          case 'u' if i + 6 <= s.length  =>
+            sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+          case other                     => sb += other; i += 2 // covers \" and \\
+        }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
   /** Minimal parser for the flat array [[render]] writes (no nesting,
     * all fields strings) — avoids a JSON dependency the sandbox lacks. */
   private[extraction] def parse(json: String): Map[String, Watermark] = {
     val field = (name: String, obj: String) => {
       val m = ("\"" + name + "\":\"((?:[^\"\\\\]|\\\\.)*)\"").r.findFirstMatchIn(obj)
-      m.map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\").replace("\\n", "\n"))
+      m.map(g => unesc(g.group(1)))
     }
     "\\{[^{}]*\\}".r.findAllIn(json).flatMap { obj =>
       for (s <- field("source", obj); c <- field("column", obj); v <- field("value", obj))

@@ -108,18 +108,26 @@ object Scd2 {
       .drop("_src_hash", "_is_delete", "_close")
 
     // Branch 3: new versions from the source. Brand-new keys start at
-    // version 1; changed keys continue at current version + 1; hash-equal
-    // keys produce no row (scd.py:214 "unchanged").
-    val curKeyInfo = current.select(
-      (businessKeys.map(col) :+ col("_scd_hash").as("_cur_hash") :+ col("_scd_version").as("_cur_version")): _*)
+    // version 1; changed keys continue at version + 1; hash-equal keys
+    // produce no row (scd.py:214 "unchanged"). The next version derives
+    // from max(_scd_version) over ALL rows for the key — not just the
+    // current row — so a soft-deleted key that is later re-inserted
+    // continues its version sequence instead of minting a duplicate
+    // (key, version=1). One aggregate pass over `existing` yields both
+    // that max and the current row's hash (no second shuffle).
+    val curKeyInfo = existing
+      .groupBy(businessKeys.map(col): _*)
+      .agg(
+        max(when(col("_scd_is_current"), col("_scd_hash"))).as("_cur_hash"),
+        max(col("_scd_version")).as("_max_version"))
     val newVersions = upserts
       .join(curKeyInfo, businessKeys, "left")
       .filter(col("_cur_hash").isNull || col("_cur_hash") =!= col("_scd_hash"))
       .withColumn("_scd_effective_from", eff)
       .withColumn("_scd_effective_to", lit(null).cast("timestamp"))
       .withColumn("_scd_is_current", lit(true))
-      .withColumn("_scd_version", coalesce(col("_cur_version"), lit(0)) + 1)
-      .drop("_cur_hash", "_cur_version")
+      .withColumn("_scd_version", coalesce(col("_max_version"), lit(0)) + 1)
+      .drop("_cur_hash", "_max_version")
 
     val cols = existing.columns.toIndexedSeq
     history.select(cols.map(col): _*)

@@ -92,8 +92,10 @@ object RedactionQueries {
 
   private val q51Sql = {
     val sels = patterns.map { p =>
+      // CAST: DuckDB sums to HUGEINT, Spark's count is BIGINT — the
+      // driver hashes typed values, so align the oracle to BIGINT.
       s"""SELECT '${p.name}' AS entity,
-          sum(len(regexp_extract_all(text, '${p.patterns.head}'))) AS n_matches FROM pii"""
+          CAST(sum(len(regexp_extract_all(text, '${p.patterns.head}'))) AS BIGINT) AS n_matches FROM pii"""
     }.mkString("\nUNION ALL\n")
     s"WITH $piiTextSql\n$sels"
   }

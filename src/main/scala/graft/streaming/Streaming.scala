@@ -79,7 +79,10 @@ object Streaming {
           val t = e.ts.getTime
           acc match {
             case Some(a) if t - a.last <= gapMs =>
-              acc = Some(a.copy(last = math.max(a.last, t), n = a.n + 1))
+              // A late (in-watermark) event can precede the session's
+              // start — widen both edges so streaming matches the batch
+              // operator's global-sort result.
+              acc = Some(SessionAcc(math.min(a.start, t), math.max(a.last, t), a.n + 1))
             case Some(a) =>
               closed += Session(userId, new Timestamp(a.start), new Timestamp(a.last), a.n)
               acc = Some(SessionAcc(t, t, 1))

@@ -65,6 +65,21 @@ class Scd2Spec extends SparkSpec {
       .collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
   }
 
+  test("delete-then-reinsert continues the version sequence") {
+    val t1 = Scd2.initialLoad(snap(Seq((1, "A", 10.0))), keys, tracked, lit("2024-01-01"))
+    // soft-delete id=1
+    val delSrc = snap(Seq((1, "A", 10.0))).withColumn("_del", lit(true))
+    val t2 = Scd2.merge(t1, delSrc, keys, tracked, lit("2024-02-01"), Some("_del"))
+    assert(t2.filter(col("_scd_is_current")).count() == 0)
+    // revive id=1: must become version 2, not a duplicate (1, v1)
+    val t3 = Scd2.merge(t2, snap(Seq((1, "A2", 11.0))), keys, tracked, lit("2024-03-01"))
+    val rows = t3.filter(col("id") === 1).collect()
+    assert(rows.map(_.getAs[Int]("_scd_version")).sorted.toSeq == Seq(1, 2),
+      "versions must stay dense and unique across delete-then-revive")
+    val revived = rows.find(_.getAs[Boolean]("_scd_is_current")).get
+    assert(revived.getAs[Int]("_scd_version") == 2 && revived.getAs[String]("seg") == "A2")
+  }
+
   test("re-merging an identical snapshot is a no-op") {
     val t1 = Scd2.initialLoad(snap(Seq((1, "A", 10.0), (2, "B", 20.0))), keys, tracked, lit("2024-01-01"))
     val t2 = Scd2.merge(t1, snap(Seq((1, "A", 10.0), (2, "B", 20.0))), keys, tracked, lit("2024-02-01"))

@@ -88,4 +88,26 @@ class StreamingSpec extends SparkSpec {
       assert(sessions.contains((ts(20), ts(20), 1)), sessions.toString)
     } finally q.stop()
   }
+
+  test("sessionization: in-watermark late event widens session_start") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SessionEvent]
+    val out = Streaming.sessionize(in.toDS(), gapMs = 5 * 60 * 1000, watermarkDelay = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sessions_late").outputMode("append").start()
+    try {
+      in.addData(SessionEvent(1L, ts(5)))
+      drain(q)
+      // late but within the 10-minute watermark, BEFORE the session's
+      // start: must merge and lower session_start (batch equivalence)
+      in.addData(SessionEvent(1L, ts(3)))
+      drain(q)
+      in.addData(SessionEvent(1L, ts(20))) // gap break closes the session
+      drain(q)
+      val sessions = spark.table("sessions_late")
+        .select("session_start", "session_end", "n_events").collect()
+        .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getInt(2))).toSet
+      assert(sessions.contains((ts(3), ts(5), 2)), sessions.toString)
+    } finally q.stop()
+  }
 }
