@@ -15,8 +15,13 @@ object Bench {
     // query doesn't absorb classloading + codegen compilation cost.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // Optional comma-separated query filter for local iteration, e.g.
+    // SPARK_GRAFT_ONLY=q41_outliers,q114_dedup_clusters. Unset = all.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop-format write forces FULL evaluation of every column (a
       // count() would let Catalyst prune all projections); failures are

@@ -47,9 +47,68 @@ object TextDedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .drop("_content_hash")
 
-  /** Brute-force set-Jaccard pairs ≥ threshold. Shuffles on item — hub
-    * items fan out quadratically; baseline/oracle use only (the scale
-    * path is [[minhashLshPairs]]).
+  /** Exact set-Jaccard pairs ≥ threshold. Adaptive: a cheap probe
+    * counts the distinct-item vocabulary, and when it fits in 64 bits
+    * every set collapses to ONE long bitmask ([[jaccardPairsBitmask]]:
+    * popcount arithmetic over distinct masks — no item join at all).
+    * Larger vocabularies take the item-join path
+    * ([[jaccardPairsItemJoin]]). Both are exact; the choice is a
+    * physical-strategy decision, like AQE picking a join algorithm. */
+  def jaccardPairs(sets: DataFrame, threshold: Double): DataFrame = {
+    // Bounded driver read: at most 65 rows decide the strategy.
+    val vocab = sets.select("item").distinct().limit(65)
+      .collect().map(_.getString(0))
+    if (vocab.length <= 64) jaccardPairsBitmask(sets, threshold, vocab.sorted.toIndexedSeq)
+    else jaccardPairsItemJoin(sets, threshold)
+  }
+
+  /** Tiny-vocabulary fast path: with ≤64 distinct items, a document's
+    * token set IS a 64-bit mask, so |A∩B| = popcount(A&B) and
+    * |A∪B| = popcount(A|B). Docs first collapse to DISTINCT masks
+    * (exact duplicates — common in near-dup corpora — are compared
+    * once, not |group|² times); distinct masks compare all-pairs with
+    * three codegen'd bit ops per pair, then mask pairs expand back to
+    * doc pairs through two equi-joins. A tiny-vocab corpus is exactly
+    * the case where the item join degenerates (every item is a hub
+    * shared by ~all documents), and exactly the case where this path
+    * is linear-ish: #distinct masks ≤ min(2^vocab, #docs). */
+  private def jaccardPairsBitmask(
+      sets: DataFrame, threshold: Double, vocab: IndexedSeq[String]): DataFrame = {
+    val bitOf = map(vocab.zipWithIndex.flatMap {
+      case (it, i) => Seq(lit(it), lit(i))
+    }: _*)
+    // one shuffle on id with map-side partial bit_or
+    val masks = sets
+      .select(col("id"),
+        call_function("shiftleft", lit(1L), element_at(bitOf, col("item"))).as("_bit"))
+      .groupBy("id").agg(bit_or(col("_bit")).as("mask"))
+    val reps = masks.select("mask").distinct()
+    // distinct-mask all-pairs: broadcast nested-loop with pure bit math
+    val repPairs = reps.select(col("mask").as("m1"))
+      .crossJoin(reps.select(col("mask").as("m2")))
+      .filter(col("m1") < col("m2"))
+      .select(col("m1"), col("m2"),
+        (bit_count(col("m1").bitwiseAND(col("m2"))) /
+          bit_count(col("m1").bitwiseOR(col("m2")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    // expand: equal-mask doc pairs are exact duplicates (J = 1) …
+    val intra = masks.toDF("id_1", "mask")
+      .join(masks.toDF("id_2", "mask"), "mask")
+      .filter(col("id_1") < col("id_2"))
+      .select(col("id_1"), col("id_2"), lit(1.0).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    // … and qualifying mask pairs fan out to their doc groups
+    val inter = repPairs
+      .join(masks.select(col("mask").as("m1"), col("id").as("_ida")), "m1")
+      .join(masks.select(col("mask").as("m2"), col("id").as("_idb")), "m2")
+      .select(least(col("_ida"), col("_idb")).as("id_1"),
+        greatest(col("_ida"), col("_idb")).as("id_2"), col("jaccard"))
+    intra.unionByName(inter)
+  }
+
+  /** General item-join path for [[jaccardPairs]]. Shuffles on item —
+    * hub items fan out quadratically; baseline/oracle use only (the
+    * scale path is [[minhashLshPairs]]).
     *
     * One EXACT pruning applies: J(A,B) ≥ t forces |A∩B| ≥ t·(|A|+|B|)/(1+t)
     * and |A∩B| ≤ min(|A|,|B|), hence min/max set-size ratio ≥ t — so a
@@ -57,7 +116,7 @@ object TextDedup {
     * incompatible pairs BEFORE the pair aggregation, shrinking its
     * input by ~an order of magnitude at high thresholds without
     * changing a single output row. */
-  def jaccardPairs(sets: DataFrame, threshold: Double): DataFrame = {
+  def jaccardPairsItemJoin(sets: DataFrame, threshold: Double): DataFrame = {
     val sizes = sets.groupBy("id").agg(count(lit(1)).as("sz"))
     val withSz = sets.join(sizes, "id") // sizes side is tiny → auto-broadcast
     // Size-ratio-compatible pairs sit in the same or adjacent log-band
@@ -156,32 +215,42 @@ object TextDedup {
     * `allIds` supplies the node universe (docs with no pairs still get
     * a cluster row). → (id, cluster_id) */
   def dedupClusters(pairs: DataFrame, allIds: DataFrame, maxIter: Int = 10): DataFrame = {
-    // materialize the edge set once — every propagation round joins it,
-    // and without the cache each round would re-evaluate the entire
-    // upstream pair pipeline (e.g. the full LSH lineage)
-    val edges = pairs.select(col("id_1").as("a"), col("id_2").as("b"))
-      .union(pairs.select(col("id_2").as("a"), col("id_1").as("b")))
+    // Materialize the edge set once — every propagation round joins it.
+    // Each pair explodes into its two directed edges in ONE pass over
+    // the pair pipeline; the union-of-two-selects formulation would
+    // evaluate the entire upstream lineage (e.g. the full LSH pipeline)
+    // twice while filling this cache.
+    val edges = pairs.select(explode(array(
+        struct(col("id_1").as("a"), col("id_2").as("b")),
+        struct(col("id_2").as("a"), col("id_1").as("b")))).as("_e"))
+      .select(col("_e.a").as("a"), col("_e.b").as("b"))
       .cache()
-    var labels = allIds.select(col("id"), col("id").as("cluster_id"))
+    var labels = allIds.select(col("id"), col("id").as("cluster_id")).cache()
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
       val viaNeighbor = edges
-        .join(labels.withColumnRenamed("id", "b").withColumnRenamed("cluster_id", "_nl"), Seq("b"))
+        .join(labels.select(col("id").as("b"), col("cluster_id").as("_nl")), Seq("b"))
         .groupBy(col("a").as("id")).agg(min(col("_nl")).as("_minNeighbor"))
+      // the did-anything-change flag rides along in the same select, so
+      // one action per round both fills the round's cache and answers
+      // the convergence probe — no extra join-with-previous job. The
+      // probe is a FULL count (not limit(1)): a short-circuiting action
+      // would leave this round's cache partially filled and every later
+      // round would recompute the whole unpersisted label lineage.
       val next = labels.join(viaNeighbor, Seq("id"), "left")
         .select(col("id"),
-          least(col("cluster_id"), coalesce(col("_minNeighbor"), col("cluster_id"))).as("cluster_id"))
+          least(col("cluster_id"), coalesce(col("_minNeighbor"), col("cluster_id"))).as("cluster_id"),
+          (col("_minNeighbor") < col("cluster_id")).as("_changed"))
         .cache()
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "_old"), Seq("id"))
-        .filter(col("cluster_id") =!= col("_old")).limit(1).count() > 0
-      if (iter > 0) labels.unpersist() // previous round's cache is dead now
+      val changed = next.filter(col("_changed")).count() > 0
+      labels.unpersist()
       labels = next
       converged = !changed
       iter += 1
     }
     edges.unpersist()
-    labels
+    labels.select("id", "cluster_id")
   }
 
   /** End-to-end near-dup REMOVAL: MinHash+LSH pairs → components →

@@ -73,6 +73,23 @@ class DedupSpec extends SparkSpec {
     assert(kept.count() >= all - 2 * pairCount) // each pair removes at most one doc
   }
 
+  test("jaccardPairs: bitmask fast path == item-join path on the same sets") {
+    // documents at sf0.001 has a ≤64-token vocabulary, so jaccardPairs
+    // takes the bitmask path; the item-join path is the semantics
+    // reference — both must emit identical (id_1, id_2, jaccard) rows.
+    val sets = TextDedup.tokenSets(
+      Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", "text")
+    for (t <- Seq(0.5, 0.95)) {
+      val fast = TextDedup.jaccardPairs(sets, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val ref = TextDedup.jaccardPairsItemJoin(sets, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(fast == ref, s"threshold $t: paths disagree " +
+        s"(fast-only=${(fast -- ref).take(3)}, ref-only=${(ref -- fast).take(3)})")
+      assert(fast.nonEmpty, s"threshold $t: expected pairs in the corpus")
+    }
+  }
+
   test("exactDedup keeps min id and counts copies") {
     val out = TextDedup.exactDedup(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -11,9 +11,12 @@ class PlanShapeSpec extends SparkSpec {
 
   // Queries whose plans legitimately contain a broadcast nested-loop
   // join: an intentional crossJoin(broadcast(tiny)) — q41's 1-row
-  // bounds, q60's 1-row × 1-row report join, q95's small query set.
+  // bounds, q60's 1-row × 1-row report join, q95's small query set,
+  // q91's distinct-bitmask all-pairs (tiny-vocab fast path: the cross
+  // side is the deduplicated mask set, bounded by min(2^vocab, #docs)).
   // Everything else must join on keys.
-  private val intentionalCross = Set("q41_outliers", "q60_qa_compare", "q95_knn_brute")
+  private val intentionalCross =
+    Set("q41_outliers", "q60_qa_compare", "q95_knn_brute", "q91_dedup_jaccard")
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.map { case (name, fn) =>
