@@ -181,18 +181,21 @@ object TextDedup {
       .distinct()
   }
 
-  /** Candidate-bounded exact-Jaccard verification: |union| via the
-    * pair-scoped union of both sets (never an item-keyed set×set join),
-    * jaccard = (sz1 + sz2 − u) / u. → (id_1, id_2, jaccard ≥ threshold) */
+  /** Candidate-bounded exact-Jaccard verification: each pair explodes
+    * into its two member ids, ONE equi-join pulls both sets' items, and
+    * a two-level aggregate yields tot = |A|+|B| (every (id, item) row
+    * lands exactly once) and u = |A∪B| (distinct items), so
+    * jaccard = (tot − u) / u — identical to (sz1 + sz2 − u)/u with no
+    * per-id sizes join and only a single evaluation of the (possibly
+    * expensive) `sets` lineage. Never an item-keyed set×set join.
+    * → (id_1, id_2, jaccard ≥ threshold) */
   def verifyJaccard(candidates: DataFrame, sets: DataFrame, threshold: Double): DataFrame = {
-    val sizes = sets.groupBy("id").agg(count(lit(1)).as("sz"))
-    val u1 = candidates.join(sets.toDF("id_1", "item"), "id_1").select("id_1", "id_2", "item")
-    val u2 = candidates.join(sets.toDF("id_2", "item"), "id_2").select("id_1", "id_2", "item")
-    val uni = u1.union(u2).distinct().groupBy("id_1", "id_2").agg(count(lit(1)).as("u"))
-    uni
-      .join(sizes.toDF("id_1", "sz1"), "id_1")
-      .join(sizes.toDF("id_2", "sz2"), "id_2")
-      .withColumn("jaccard", (col("sz1") + col("sz2") - col("u")) / col("u"))
+    val members = candidates.select(col("id_1"), col("id_2"),
+      explode(array(col("id_1"), col("id_2"))).as("id"))
+    members.join(sets, "id")
+      .groupBy("id_1", "id_2", "item").agg(count(lit(1)).as("_c"))
+      .groupBy("id_1", "id_2").agg(sum(col("_c")).as("_tot"), count(lit(1)).as("u"))
+      .withColumn("jaccard", (col("_tot") - col("u")) / col("u"))
       .filter(col("jaccard") >= threshold)
       .select("id_1", "id_2", "jaccard")
   }
@@ -225,7 +228,12 @@ object TextDedup {
         struct(col("id_2").as("a"), col("id_1").as("b")))).as("_e"))
       .select(col("_e.a").as("a"), col("_e.b").as("b"))
       .cache()
-    var labels = allIds.select(col("id"), col("id").as("cluster_id")).cache()
+    // Propagate over edge-incident nodes ONLY — in a near-dup corpus
+    // almost every document is a singleton, and singletons can never
+    // change label; they rejoin once, lazily, after the fixpoint. At
+    // 100 TB this iterates over the pair graph (small), not the corpus.
+    var labels = edges.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster_id")).cache()
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -250,7 +258,8 @@ object TextDedup {
       iter += 1
     }
     edges.unpersist()
-    labels.select("id", "cluster_id")
+    allIds.join(labels.select("id", "cluster_id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 
   /** End-to-end near-dup REMOVAL: MinHash+LSH pairs → components →
