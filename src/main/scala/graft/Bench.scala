@@ -4,6 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Single-trial timings on a shared box swing 2-7x run-over-run (GC,
+    // page cache, JIT); every query runs `trials` times and the MEDIAN is
+    // reported so regressions are attributable to code, not the machine.
+    val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -19,26 +23,37 @@ object Bench {
     // SPARK_GRAFT_ONLY=q41_outliers,q114_dedup_clusters. Unset = all.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     var failed = List.empty[String]
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop-format write forces FULL evaluation of every column (a
-      // count() would let Catalyst prune all projections); failures are
-      // recorded as -1 and listed, never disguised as fast queries.
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        // noop-format write forces FULL evaluation of every column (a
+        // count() would let Catalyst prune all projections); failures are
+        // recorded as -1 and listed, never disguised as fast queries.
+        val times = (1 to trials).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); None
+          }
         }
-      if (!ok) failed ::= name
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+        if (times.isEmpty) failed ::= name
+        name -> (if (times.nonEmpty) (median(times), times.min, times.max)
+                 else (-1.0, -1.0, -1.0))
+      }
+    val qs = results.map { case (k, (m, _, _)) => "\"" + k + "\":" + m }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val spread = results.map { case (k, (_, lo, hi)) =>
+      "\"" + k + "\":[" + lo + "," + hi + "]"
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, (m, _, _)) if m >= 0 => m }.sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","trials":$trials,"queries":$qs,"minmax":$spread,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
