@@ -28,6 +28,14 @@ object QualityQueries {
     "q40_profile" -> ((s, d) =>
       Quality.profile(ValidationQueries.dirtyOrders(s, d), profiled.map(_._1))),
 
+    // Production-path twin of q40: HLL-sketch unique counts, no Expand
+    // operator in the plan — this is the profile a 100 TB job runs.
+    // approx_count_distinct is engine-specific, so no DuckDB oracle
+    // (driver records a rows-only check); exactness vs q40 is asserted
+    // structurally in QualitySpec instead.
+    "q40a_profile_approx" -> ((s, d) =>
+      Quality.profileApprox(ValidationQueries.dirtyOrders(s, d), profiled.map(_._1))),
+
     "q41_outliers" -> ((s, d) =>
       Quality.outliersIqr(Tables.lineitem(s, d), iqrCols)),
 

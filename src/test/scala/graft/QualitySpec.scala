@@ -41,6 +41,18 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("profileApprox plans no Expand operator (the 100 TB path)") {
+    val li = Tables.lineitem(spark, sfDir)
+    val cols = Seq("l_orderkey", "l_quantity", "l_returnflag")
+    // The exact path's multiple count_distincts force Catalyst to plan an
+    // Expand that replicates every input row per distinct group — a
+    // (#distinct+1)× scan multiplier. The sketch path must not.
+    val exactPlan = Quality.profile(li, cols).queryExecution.executedPlan.toString
+    val approxPlan = Quality.profileApprox(li, cols).queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"), "exact profile is expected to Expand (oracle path)")
+    assert(!approxPlan.contains("Expand"), s"approx profile must not Expand:\n$approxPlan")
+  }
+
   test("outliersIqr flags values beyond the Tukey fences") {
     import spark.implicits._
     val d = (Seq.fill(20)(10.0) ++ Seq(1000.0)).toDF("v")
