@@ -47,18 +47,27 @@ object TextDedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .drop("_content_hash")
 
-  /** Exact set-Jaccard pairs ≥ threshold. Adaptive: a cheap probe
-    * counts the distinct-item vocabulary, and when it fits in 64 bits
-    * every set collapses to ONE long bitmask ([[jaccardPairsBitmask]]:
-    * popcount arithmetic over distinct masks — no item join at all).
-    * Larger vocabularies take the item-join path
-    * ([[jaccardPairsItemJoin]]). Both are exact; the choice is a
-    * physical-strategy decision, like AQE picking a join algorithm. */
-  def jaccardPairs(sets: DataFrame, threshold: Double): DataFrame = {
+  /** Exact set-Jaccard pairs ≥ threshold, threshold ∈ (0, 1]. Adaptive:
+    * a cheap probe counts the distinct-item vocabulary, and when it fits
+    * in 64 bits every set collapses to ONE long bitmask
+    * ([[jaccardPairsBitmask]]: popcount arithmetic over distinct masks —
+    * no item join at all). Larger vocabularies — or tiny vocabularies
+    * whose distinct-mask count exceeds `maxMasks` — take the item-join
+    * path ([[jaccardPairsItemJoin]]). Both are exact over the supported
+    * threshold domain; the choice is a physical-strategy decision, like
+    * AQE picking a join algorithm. (threshold ≤ 0 is rejected: the
+    * bitmask path would emit fully-disjoint pairs the item join cannot
+    * see, so the two strategies would stop being row-identical.) */
+  def jaccardPairs(sets: DataFrame, threshold: Double, maxMasks: Int = 50000): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"jaccardPairs threshold must be in (0, 1], got $threshold")
     // Bounded driver read: at most 65 rows decide the strategy.
     val vocab = sets.select("item").distinct().limit(65)
       .collect().map(_.getString(0))
-    if (vocab.length <= 64) jaccardPairsBitmask(sets, threshold, vocab.sorted.toIndexedSeq)
+    require(!vocab.contains(null),
+      "jaccardPairs: sets contains a null item — tokenSets/shingleSets never emit " +
+        "one; a hand-built sets input must filter nulls first")
+    if (vocab.length <= 64) jaccardPairsBitmask(sets, threshold, vocab.sorted.toIndexedSeq, maxMasks)
     else jaccardPairsItemJoin(sets, threshold)
   }
 
@@ -73,16 +82,31 @@ object TextDedup {
     * shared by ~all documents), and exactly the case where this path
     * is linear-ish: #distinct masks ≤ min(2^vocab, #docs). */
   private def jaccardPairsBitmask(
-      sets: DataFrame, threshold: Double, vocab: IndexedSeq[String]): DataFrame = {
+      sets: DataFrame, threshold: Double, vocab: IndexedSeq[String],
+      maxMasks: Int): DataFrame = {
     val bitOf = map(vocab.zipWithIndex.flatMap {
       case (it, i) => Seq(lit(it), lit(i))
     }: _*)
-    // one shuffle on id with map-side partial bit_or
+    // One shuffle on id with map-side partial bit_or. The result feeds
+    // five downstream uses (reps + two joins each in intra/inter), so it
+    // is materialized ONCE via an eager localCheckpoint: downstream
+    // reads hit executor-local blocks instead of re-running the
+    // tokenSets/shingleSets lineage, and — unlike cache() — nothing is
+    // left registered in the cache manager after the query returns
+    // (blocks free with the DataFrame, no caller-release contract).
     val masks = sets
       .select(col("id"),
         call_function("shiftleft", lit(1L), element_at(bitOf, col("item"))).as("_bit"))
       .groupBy("id").agg(bit_or(col("_bit")).as("mask"))
+      .localCheckpoint(true)
     val reps = masks.select("mask").distinct()
+    // A ≤64-item vocabulary bounds distinct masks only by
+    // min(2^vocab, #docs) — on a huge corpus that can still be millions,
+    // and the all-pairs compare below is O(m²). Probe the actual count
+    // (bounded scan: limit maxMasks+1) and fall back to the item join
+    // when the quadratic side would dominate.
+    if (reps.limit(maxMasks + 1).count() > maxMasks)
+      return jaccardPairsItemJoin(sets, threshold)
     // distinct-mask all-pairs: broadcast nested-loop with pure bit math
     val repPairs = reps.select(col("mask").as("m1"))
       .crossJoin(reps.select(col("mask").as("m2")))
@@ -257,8 +281,15 @@ object TextDedup {
       converged = !changed
       iter += 1
     }
+    // Materialize the fixpoint into executor-local checkpoint blocks,
+    // then drop EVERY cache this method created: the returned plan reads
+    // the checkpoint, not the iterative lineage, so unpersisting here
+    // cannot force a recompute, and a long-running session accretes no
+    // cached DataFrames per call (blocks free when the result is GC'd).
+    val finalLabels = labels.select("id", "cluster_id").localCheckpoint(true)
+    labels.unpersist()
     edges.unpersist()
-    allIds.join(labels.select("id", "cluster_id"), Seq("id"), "left")
+    allIds.join(finalLabels, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 

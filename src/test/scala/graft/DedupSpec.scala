@@ -90,6 +90,48 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedupClusters leaves no cached DataFrames behind after evaluation") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_1", "id_2")
+    val ids = Seq(1L, 2L, 3L, 4L).toDF("id")
+    TextDedup.dedupClusters(pairs, ids).collect()
+    // the iterative labels/edges caches must all be released — a
+    // long-running session would otherwise accrete one pinned cache
+    // entry per near-dup query forever
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "dedupClusters left DataFrames in the cache manager")
+  }
+
+  test("jaccardPairs falls back to the item join when distinct masks exceed maxMasks") {
+    import spark.implicits._
+    // 12 docs over a 6-token vocabulary with (almost) all-distinct masks:
+    // vocab ≤ 64 so the bitmask path is eligible, but maxMasks=4 forces
+    // the guard to reject the O(masks²) cross join and take the item join.
+    val vocabDocs = (1L to 12L)
+      .map(i => i -> (0 until 6).filter(b => ((i >> b) & 1L) == 1L).map(b => s"tok$b").mkString(" "))
+      .toDF("doc_id", "text")
+    val sets = TextDedup.tokenSets(vocabDocs, "doc_id", "text")
+    val guarded = TextDedup.jaccardPairs(sets, 0.5, maxMasks = 4)
+    val plan = guarded.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"mask guard must avoid the all-pairs compare:\n$plan")
+    // and the fallback is still exact
+    val ref = TextDedup.jaccardPairsItemJoin(sets, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = guarded.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == ref)
+  }
+
+  test("jaccardPairs rejects thresholds outside (0, 1] and null items") {
+    import spark.implicits._
+    val sets = TextDedup.tokenSets(docs, "doc_id", "text")
+    intercept[IllegalArgumentException](TextDedup.jaccardPairs(sets, 0.0))
+    intercept[IllegalArgumentException](TextDedup.jaccardPairs(sets, 1.5))
+    val withNull = sets.unionByName(Seq((99L, null: String)).toDF("id", "item"))
+    val e = intercept[IllegalArgumentException](TextDedup.jaccardPairs(withNull, 0.5))
+    assert(e.getMessage.contains("null item"))
+  }
+
   test("exactDedup keeps min id and counts copies") {
     val out = TextDedup.exactDedup(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
