@@ -72,29 +72,31 @@ object Streaming {
         state.remove()
         Iterator(Session(userId, new Timestamp(a.start), new Timestamp(a.last), a.n))
       } else {
-        val sorted = evs.toSeq.sortBy(_.ts.getTime)
-        val closed = Seq.newBuilder[Session]
-        var acc = state.getOption
-        sorted.foreach { e =>
-          val t = e.ts.getTime
-          acc match {
-            case Some(a) if t - a.last <= gapMs =>
-              // A late (in-watermark) event can precede the session's
-              // start — widen both edges so streaming matches the batch
-              // operator's global-sort result.
-              acc = Some(SessionAcc(math.min(a.start, t), math.max(a.last, t), a.n + 1))
-            case Some(a) =>
-              closed += Session(userId, new Timestamp(a.start), new Timestamp(a.last), a.n)
-              acc = Some(SessionAcc(t, t, 1))
-            case None =>
-              acc = Some(SessionAcc(t, t, 1))
-          }
+        // Merge the open session (an interval) and this batch's events
+        // (points) on one sorted-by-start timeline: adjacent items fuse
+        // when they sit within the gap — exactly the batch operator's
+        // global-sort rule. A late (in-watermark) event that precedes
+        // the open session's start therefore WIDENS it only when it is
+        // within the gap of the start; an event earlier than
+        // start − gap forms its own, separate session (and consecutive
+        // such events group together), matching batch output instead of
+        // being absorbed.
+        val items = state.getOption.toList ++
+          evs.toSeq.sortBy(_.ts.getTime).map(e => SessionAcc(e.ts.getTime, e.ts.getTime, 1))
+        val merged = items.sortBy(a => (a.start, a.last))
+          .foldLeft(List.empty[SessionAcc]) {
+            case (cur :: done, nxt) if nxt.start - cur.last <= gapMs =>
+              SessionAcc(cur.start, math.max(cur.last, nxt.last), cur.n + nxt.n) :: done
+            case (done, nxt) => nxt :: done
+          } // head = latest session, tail = earlier ones in reverse
+        merged match {
+          case latest :: earlier =>
+            state.update(latest)
+            state.setTimeoutTimestamp(latest.last + gapMs)
+            earlier.reverse.iterator.map(a =>
+              Session(userId, new Timestamp(a.start), new Timestamp(a.last), a.n))
+          case Nil => Iterator.empty
         }
-        acc.foreach { a =>
-          state.update(a)
-          state.setTimeoutTimestamp(a.last + gapMs)
-        }
-        closed.result().iterator
       }
     }
 

@@ -110,4 +110,31 @@ class StreamingSpec extends SparkSpec {
       assert(sessions.contains((ts(3), ts(5), 2)), sessions.toString)
     } finally q.stop()
   }
+
+  test("sessionization: in-watermark event before start minus gap SPLITS, not merges") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SessionEvent]
+    val out = Streaming.sessionize(in.toDS(), gapMs = 5 * 60 * 1000, watermarkDelay = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("sessions_split").outputMode("append").start()
+    try {
+      in.addData(SessionEvent(1L, ts(30)))
+      drain(q)
+      // two late events, in-watermark (wm = 10:00), both earlier than
+      // 10:30 − 5min: batch (global sort) groups them as their OWN
+      // session {10:03..10:05} — the vacuous `t − last ≤ gap` merge
+      // would instead have widened the open session to 10:03..10:30
+      in.addData(SessionEvent(1L, ts(3)), SessionEvent(1L, ts(5)))
+      drain(q)
+      in.addData(SessionEvent(1L, ts(50))) // gap break closes {10:30}
+      drain(q)
+      val sessions = spark.table("sessions_split")
+        .select("session_start", "session_end", "n_events").collect()
+        .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getInt(2))).toSet
+      assert(sessions.contains((ts(3), ts(5), 2)), sessions.toString)
+      assert(sessions.contains((ts(30), ts(30), 1)), sessions.toString)
+      assert(!sessions.exists(s => s._1 == ts(3) && s._2 == ts(30)),
+        s"disjoint late events must not widen the open session: $sessions")
+    } finally q.stop()
+  }
 }
