@@ -21,6 +21,26 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Idempotent incremental publish (ref storage/delta.py:122 overwrite
+    * with partition filters): `mode("overwrite")` with DYNAMIC partition
+    * overwrite replaces ONLY the partitions present in `df` and leaves
+    * every other partition untouched — so re-running a failed batch
+    * rewrites its own partitions and nothing else (static mode, the
+    * default, would drop the whole table first). This is the safe
+    * restatement path for partition-aligned batches (e.g. a daily
+    * silver/SCD2 output keyed by ingestion date); for arbitrary
+    * row-level merges use [[VersionedTable.upsert]]. */
+  def writePartitionedIdempotent(
+      df: DataFrame, path: String, partitionBy: Seq[String]): Unit = {
+    require(partitionBy.nonEmpty,
+      "dynamic overwrite without partition columns would replace the whole table")
+    df.write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .partitionBy(partitionBy: _*)
+      .parquet(path)
+  }
+
   /** Bucketed + sorted managed table (bucketing metadata only survives
     * via the catalog, hence saveAsTable). */
   def writeBucketed(

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.CosineSimilarity
 import graft.services.{Qa, Redaction}
-import graft.sources.Sinks
+import graft.sources.{Sinks, VersionedTable}
 
 /** Bucketed writes (exchange-free co-located joins), SQL-registered
   * cosine_similarity, redaction verification.
@@ -29,6 +29,67 @@ class SinksSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bucketed_a")
       spark.sql("DROP TABLE IF EXISTS bucketed_b")
     }
+  }
+
+  test("dynamic partition overwrite replaces only the batch's partitions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dyn").toString
+    val day1 = Seq(("2024-01-01", 1L, 10.0), ("2024-01-02", 2L, 20.0)).toDF("dt", "id", "v")
+    Sinks.writePartitionedIdempotent(day1, dir, Seq("dt"))
+    // restatement of day 2 only — day 1 must survive untouched
+    val day2fix = Seq(("2024-01-02", 2L, 99.0)).toDF("dt", "id", "v")
+    Sinks.writePartitionedIdempotent(day2fix, dir, Seq("dt"))
+    // partition-value inference types dt as DATE on read — compare as string
+    val got = spark.read.parquet(dir).select(col("dt").cast("string"), col("v")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toSet
+    assert(got == Set("2024-01-01" -> 10.0, "2024-01-02" -> 99.0))
+  }
+
+  test("versioned table: failed audit publishes nothing; reader stays on previous version") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft_vt").toString + "/tbl"
+    val v1 = VersionedTable.commit(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    assert(v1 == 1)
+    // audit gate rejects the second write mid-commit (after data files land)
+    intercept[IllegalStateException] {
+      VersionedTable.commit(spark, t, Seq((3L, "c")).toDF("id", "s"),
+        audit = staged => if (staged.count() < 100) throw new IllegalStateException("too few rows"))
+    }
+    assert(VersionedTable.versions(spark, t) == Seq(1), "failed commit must not be visible")
+    assert(VersionedTable.read(spark, t).count() == 2, "previous version must stay readable")
+    // a marker-less directory (simulated crash between write and publish)
+    // is invisible to readers and swept by vacuum
+    val crashDir = new org.apache.hadoop.fs.Path(t, "v=00002")
+    Seq((9L, "z")).toDF("id", "s").write.mode("overwrite").parquet(crashDir.toString)
+    assert(VersionedTable.versions(spark, t) == Seq(1))
+    val v3 = VersionedTable.commit(spark, t, Seq((3L, "c")).toDF("id", "s"))
+    assert(VersionedTable.read(spark, t).count() == 1 && v3 == 3)
+    VersionedTable.vacuum(spark, t, keep = 2)
+    val fs = crashDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(crashDir), "vacuum must sweep dead staging directories")
+  }
+
+  test("versioned table: upsert/delete/time-travel/restore/vacuum semantics") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft_vt2").toString + "/tbl"
+    VersionedTable.commit(spark, t, Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "s", "v"))
+    VersionedTable.upsert(spark, t,
+      Seq((2L, "B", 20.0), (3L, "c", 3.0)).toDF("id", "s", "v"), keys = Seq("id"))
+    val afterUpsert = VersionedTable.read(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(afterUpsert.toSeq == Seq((1L, "a", 1.0), (2L, "B", 20.0), (3L, "c", 3.0)))
+    VersionedTable.delete(spark, t, col("id") === 1L)
+    assert(VersionedTable.read(spark, t).count() == 2)
+    // time travel to v1, then restore it as the new head
+    assert(VersionedTable.read(spark, t, asOf = Some(1)).count() == 2)
+    val restored = VersionedTable.restore(spark, t, toVersion = 1)
+    assert(restored == 4)
+    assert(VersionedTable.read(spark, t).orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // vacuum expires old versions, current stays readable
+    val expired = VersionedTable.vacuum(spark, t, keep = 1)
+    assert(expired == Seq(1, 2, 3))
+    assert(VersionedTable.versions(spark, t) == Seq(4))
+    assert(VersionedTable.read(spark, t).count() == 2)
   }
 
   test("cosine_similarity is SQL-callable after registration") {
