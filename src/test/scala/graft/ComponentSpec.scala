@@ -92,6 +92,63 @@ class ComponentSpec extends SparkSpec {
       Map("OrderKey" -> "order_key", "total-price" -> "total_price"))
   }
 
+  test("document extraction: html/markdown/text decode, office formats error-tag") {
+    import spark.implicits._
+    import graft.multimodal.DocumentExtract
+    val html =
+      """<html><head><title> The  Title </title><style>p{color:red}</style>
+        |<script>var x = "<b>not text</b>";</script></head>
+        |<body><p>Hello &amp; welcome to the &lt;real&gt; world.</p></body></html>""".stripMargin
+    val md = "# Heading\n\nSome *emphasis* and a [link](http://x.y) plus `code`.\n- item one\n> quoted"
+    val docs = Seq(
+      ("a/page.html", html),
+      ("b/readme.md", md),
+      ("c/notes.txt", "plain line one\nline two"),
+      ("d/deck.pptx", "binary-ish"),
+      ("e/file.xyz", "???")
+    ).toDF("path", "content")
+      .withColumn("payload", encode(col("content"), "UTF-8").cast("binary"))
+    val out = DocumentExtract.extractDocuments(docs, "path", "payload")
+      .select("path", "doc_format", "title", "text", "line_count", "error")
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    assert(out("a/page.html").getString(1) == "html")
+    assert(out("a/page.html").getString(2) == "The Title")
+    // title text stays part of the body text — same as the reference's
+    // soup.get_text(), which only decomposes script/style
+    assert(out("a/page.html").getString(3) == "The Title Hello & welcome to the <real> world.",
+      out("a/page.html").getString(3))
+    assert(out("b/readme.md").getString(3) ==
+      "Heading Some emphasis and a link plus code. item one quoted")
+    assert(out("c/notes.txt").getLong(4) == 2)
+    assert(out("d/deck.pptx").getString(5).contains("no parser for powerpoint"))
+    assert(out("d/deck.pptx").isNullAt(3))
+    assert(out("e/file.xyz").getString(5) == "unsupported extension")
+  }
+
+  test("extracted document text feeds q97-q99 text analysis unchanged") {
+    import spark.implicits._
+    import graft.multimodal.DocumentExtract
+    import graft.text.TextAnalysis
+    val docs = Seq(
+      ("en/page.html", "<html><body>The quick brown fox jumps over the lazy dog and the rest of the words follow in plain English prose.</body></html>"),
+      ("misc/readme.md", "# Title\nthe and of to in is that it was for on are as with his they at"))
+      .toDF("path", "content")
+      .withColumn("payload", encode(col("content"), "UTF-8").cast("binary"))
+    val analyzed = DocumentExtract.extractDocuments(docs, "path", "payload")
+      .filter(col("text").isNotNull)
+      .select(col("path"),
+        TextAnalysis.languageId(col("text")).as("lang"),
+        TextAnalysis.qualityMetrics(col("text")).as("q"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+    val rows = analyzed.collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.size == 2)
+    assert(rows("en/page.html").getString(1) == "en")
+    rows.values.foreach { r =>
+      assert(!r.isNullAt(2) && !r.isNullAt(3), "quality metrics + fingerprint must compute")
+    }
+  }
+
   test("rule-based NL->SQL fallback") {
     val cols = Seq("region", "revenue")
     assert(RuleBasedNl2Sql.toSql("how many orders by region", "orders", cols) ==
