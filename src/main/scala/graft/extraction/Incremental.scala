@@ -56,11 +56,16 @@ object Incremental {
     * load when no watermark exists).
     *
     * The upper bound is computed eagerly ONCE and baked into the
-    * slice's filter, so the returned (lazy) DataFrame is deterministic:
-    * rows arriving between this call and the caller's load are excluded
-    * now and picked up by the next batch — never delivered twice or
-    * dropped. The watermark store is NOT touched here; the caller
-    * commits via [[ExtractBatch.commit]] after a successful load. */
+    * slice's filter as a VALUE range — so no row is ever delivered
+    * twice or lost across batches (delivery-once is range-based:
+    * (watermark, bound] now, (bound, next] later). Note the pin is by
+    * value, not arrival: on a live source, a straggler row whose value
+    * falls inside the pinned range and that lands before the lazy
+    * slice is evaluated IS included, and two evaluations of the same
+    * slice can differ — intra-batch determinism holds for static
+    * sources (or a single evaluation, e.g. an immediate write). The
+    * watermark store is NOT touched here; the caller commits via
+    * [[ExtractBatch.commit]] after a successful load. */
   def extract(
       df: DataFrame,
       manager: WatermarkManager,

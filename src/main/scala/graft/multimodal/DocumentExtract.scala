@@ -17,7 +17,9 @@ import org.apache.spark.sql.functions._
   * `error`-tagged rows with null text — the same failure contract the
   * reference emits when its parsers are missing — behind the identical
   * output schema, so swapping a real parser in later changes no
-  * downstream code.
+  * downstream code. Exception: XLSX — [[graft.sources.Excel]] IS a
+  * real parser (zip + XML are JVM-native); route spreadsheet files
+  * there and keep this extractor for text-bearing formats.
   *
   * Output feeds straight into [[graft.text.TextAnalysis]] (language id,
   * quality metrics, fingerprints — q97–q99 run unchanged over
@@ -97,8 +99,9 @@ object DocumentExtract {
       .withColumn("line_count",
         when(text.isNotNull, size(split(text, "\n")).cast("long"))) // documents.py:210
       .withColumn("error",
-        when(fmt.isin("word", "powerpoint", "excel"),
-          concat(lit("no parser for "), fmt, lit(" in this environment")))
+        when(fmt === "excel", lit("spreadsheets route through graft.sources.Excel"))
+          .when(fmt.isin("word", "powerpoint"),
+            concat(lit("no parser for "), fmt, lit(" in this environment")))
           .when(fmt === "unknown", lit("unsupported extension")))
   }
 }
