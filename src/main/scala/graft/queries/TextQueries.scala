@@ -37,6 +37,25 @@ object TextQueries {
         first(col("meta.content_hash")).as("content_hash"),
         count(lit(1)).as("n_chunks"),
         count(when(col("chunk_idx") % 4 === 0, 1)).as("n_sampled"))
+    }),
+
+    // End-to-end HTML extraction gate: wrap each document in noisy HTML
+    // (title, style subtree, comment), run the full binary → extract
+    // pipeline, and hash-compare against a first-principles oracle —
+    // valid because the corpus text contains no <>& and is already
+    // whitespace-normalized (checked; the EXTRACTOR still has to strip
+    // the style/comment/tag noise correctly to match).
+    "q101_doc_extract" -> ((s, d) => {
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title><style>p { color: red; }</style></head>\n<body><p>"),
+        col("text"), lit("</p><!-- generated --></body></html>"))
+      val binary = Tables.documents(s, d).select(
+        col("doc_id"),
+        concat(lit("mem/doc"), col("doc_id"), lit(".html")).as("path"),
+        encode(html, "UTF-8").cast("binary").as("payload"))
+      graft.multimodal.DocumentExtract.extractDocuments(binary, "path", "payload")
+        .select(col("doc_id"), col("doc_format"), col("title"), col("text"), col("line_count"))
     }))
 
   private val toksSql =
@@ -99,9 +118,17 @@ object TextQueries {
          ((strlen(text) + 63) // 64 + 3) // 4 AS n_sampled
        FROM documents"""
 
+  private val q101Sql =
+    """SELECT doc_id, 'html' AS doc_format,
+         'Doc ' || doc_id AS title,
+         'Doc ' || doc_id || ' ' || text AS text,
+         CAST(1 AS BIGINT) AS line_count
+       FROM documents"""
+
   val oracles: Map[String, String] = Map(
     "q97_lang_id" -> q97Sql,
     "q98_text_quality" -> q98Sql,
     "q99_fingerprint" -> q99Sql,
-    "q100_multimodal" -> q100Sql)
+    "q100_multimodal" -> q100Sql,
+    "q101_doc_extract" -> q101Sql)
 }
