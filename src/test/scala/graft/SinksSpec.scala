@@ -92,6 +92,22 @@ class SinksSpec extends SparkSpec {
     assert(VersionedTable.read(spark, t).count() == 2)
   }
 
+  test("versioned table: append with a new column evolves the schema") {
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft_vt3").toString + "/tbl"
+    VersionedTable.commit(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    // iceberg tables.py:447 add_column, expressed as copy-on-write:
+    // new rows carry the extra column, prior rows read back null for it
+    VersionedTable.append(spark, t, Seq((2L, "b", 9.5)).toDF("id", "s", "score"))
+    val cur = VersionedTable.read(spark, t)
+    assert(cur.columns.toSeq.sorted == Seq("id", "s", "score"))
+    val byId = cur.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).isNullAt(byId(1L).fieldIndex("score")))
+    assert(byId(2L).getDouble(byId(2L).fieldIndex("score")) == 9.5)
+    // time travel still returns v1's own (pre-evolution) schema
+    assert(VersionedTable.read(spark, t, Some(1)).columns.toSeq == Seq("id", "s"))
+  }
+
   test("cosine_similarity is SQL-callable after registration") {
     CosineSimilarity.registerSql(spark)
     val v = spark.sql(
