@@ -78,6 +78,38 @@ class KafkaSpec extends SparkSpec {
     assert(bad.head.getAs[String]("_topic") == "events")
   }
 
+  test("kinesis/pubsub option maps and wire adaptation into the shared parse") {
+    import graft.streaming.Brokers
+    import graft.streaming.Brokers.{KinesisSourceConfig, PubSubSourceConfig}
+    val k = KinesisSourceConfig("clicks", region = "eu-west-1",
+      startingPosition = "TRIM_HORIZON", consumerName = Some("graft-efo")).options
+    assert(k("streamName") == "clicks" && k("region") == "eu-west-1")
+    assert(k("startingPosition") == "TRIM_HORIZON" && k("consumerName") == "graft-efo")
+    intercept[IllegalArgumentException](
+      KinesisSourceConfig("s", startingPosition = "YESTERDAY"))
+    val p = PubSubSourceConfig("proj1", "sub1", maxMessagesPerBatch = Some(500L)).options
+    assert(p("pubsublite.subscription") == "projects/proj1/locations/subscriptions/sub1")
+    assert(p("pubsublite.flowcontrol.maxmessages") == "500")
+    intercept[IllegalArgumentException](PubSubSourceConfig("", "sub"))
+
+    // a kinesis-shaped frame adapts onto the kafka wire names and flows
+    // through the SAME payload parse
+    import spark.implicits._
+    val kin = Seq((
+      "pk1",
+      """{"event_id":9,"ts":1700000009000000,"user_id":3,"event_type":"click","value":0.5,"props":"{}"}""".getBytes("UTF-8"),
+      "clicks", "49590338271490256608559692538361571095921575989136588898",
+      new Timestamp(1700000009000L)))
+      .toDF("partitionKey", "data", "streamName", "sequenceNumber", "approximateArrivalTimestamp")
+      // kinesis sequence numbers overflow long — surrogate ordinal stands in
+      .withColumn("seq_ord", monotonically_increasing_id())
+    val adapted = Brokers.adaptWire(kin, "data", "partitionKey", "streamName",
+      "seq_ord", "approximateArrivalTimestamp")
+    assert(adapted.columns.toSeq == Kafka.WireSchema.fieldNames.toSeq)
+    val events = Kafka.eventsFromKafka(adapted).collect()
+    assert(events.length == 1 && events.head.getAs[Long]("event_id") == 9L)
+  }
+
   test("payload parse + windowed agg run under streaming execution") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
