@@ -234,14 +234,21 @@ object TextDedup {
 
   /** Connected components over a near-dup pair graph: every node gets
     * the MINIMUM id reachable through pairs as its cluster id
-    * (singletons cluster with themselves). Iterative min-label
-    * propagation — each round is one join + aggregate, and rounds
-    * needed = graph diameter (near-dup clusters are tiny, so 2–4);
-    * the driver only reads a did-anything-change scalar per round.
+    * (singletons cluster with themselves). Adaptive, like
+    * [[jaccardPairs]]: the edge set is proportional to NEAR-DUP PAIRS —
+    * tiny relative to the corpus even at 100 TB — so when it fits under
+    * `maxDriverEdges` a driver-side union-find resolves components in
+    * one collect + one broadcast join (micro-seconds of CPU vs 3–4
+    * distributed rounds of fixed job overhead). Beyond the threshold,
+    * iterative min-label propagation takes over — each round one join +
+    * aggregate over the edge set, rounds = graph diameter (2–4 for
+    * near-dup clusters), one did-anything-change scalar read per round.
     *
     * `allIds` supplies the node universe (docs with no pairs still get
     * a cluster row). → (id, cluster_id) */
-  def dedupClusters(pairs: DataFrame, allIds: DataFrame, maxIter: Int = 10): DataFrame = {
+  def dedupClusters(
+      pairs: DataFrame, allIds: DataFrame, maxIter: Int = 10,
+      maxDriverEdges: Long = 4000000): DataFrame = {
     // Materialize the edge set once — every propagation round joins it.
     // Each pair explodes into its two directed edges in ONE pass over
     // the pair pipeline; the union-of-two-selects formulation would
@@ -252,6 +259,33 @@ object TextDedup {
         struct(col("id_2").as("a"), col("id_1").as("b")))).as("_e"))
       .select(col("_e.a").as("a"), col("_e.b").as("b"))
       .cache()
+    // Fast path: bounded collect (the count doubles as the cache fill).
+    val edgeCount = edges.count()
+    if (edgeCount <= maxDriverEdges) {
+      val collected = edges.filter(col("a") < col("b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      edges.unpersist()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      collected.foreach { case (x, y) =>
+        val (rx, ry) = (find(x), find(y))
+        if (rx != ry) { val (lo, hi) = if (rx < ry) (rx, ry) else (ry, rx); parent(hi) = lo }
+      }
+      val assignment = collected.iterator.flatMap(p => Iterator(p._1, p._2))
+        .toSet.toSeq.map((n: Long) => (n, find(n)))
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      // labels ≤ edge-incident nodes ≤ 2·maxDriverEdges rows → broadcast
+      return allIds
+        .join(broadcast(assignment.toDF("id", "cluster_id")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+    }
     // Propagate over edge-incident nodes ONLY — in a near-dup corpus
     // almost every document is a singleton, and singletons can never
     // change label; they rejoin once, lazily, after the fixpoint. At

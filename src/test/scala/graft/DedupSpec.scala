@@ -57,12 +57,17 @@ class DedupSpec extends SparkSpec {
 
   test("dedupClusters: transitive pairs collapse to one cluster; removal keeps min id") {
     import spark.implicits._
-    // chain 1-2, 2-3 (one component) plus isolated 4
+    // chain 1-2, 2-3 (one component) plus isolated 4 — verified on BOTH
+    // physical strategies: driver union-find (default) and iterative
+    // propagation (forced via maxDriverEdges = 0)
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_1", "id_2")
     val ids = Seq(1L, 2L, 3L, 4L).toDF("id")
-    val clusters = TextDedup.dedupClusters(pairs, ids)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
+    for (threshold <- Seq(4000000L, 0L)) {
+      val clusters = TextDedup.dedupClusters(pairs, ids, maxDriverEdges = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L),
+        s"maxDriverEdges=$threshold")
+    }
 
     val kept = TextDedup.removeNearDuplicates(
       Tables.documents(spark, sfDir), "doc_id", "text")
@@ -94,12 +99,13 @@ class DedupSpec extends SparkSpec {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_1", "id_2")
     val ids = Seq(1L, 2L, 3L, 4L).toDF("id")
-    TextDedup.dedupClusters(pairs, ids).collect()
-    // the iterative labels/edges caches must all be released — a
-    // long-running session would otherwise accrete one pinned cache
-    // entry per near-dup query forever
-    assert(spark.sharedState.cacheManager.isEmpty,
-      "dedupClusters left DataFrames in the cache manager")
+    // both strategies must release every cache — a long-running session
+    // would otherwise accrete one pinned entry per near-dup query forever
+    for (threshold <- Seq(4000000L, 0L)) {
+      TextDedup.dedupClusters(pairs, ids, maxDriverEdges = threshold).collect()
+      assert(spark.sharedState.cacheManager.isEmpty,
+        s"dedupClusters left cached DataFrames (maxDriverEdges=$threshold)")
+    }
   }
 
   test("jaccardPairs falls back to the item join when distinct masks exceed maxMasks") {
