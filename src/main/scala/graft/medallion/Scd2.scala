@@ -135,6 +135,36 @@ object Scd2 {
       .unionByName(newVersions.select(cols.map(col): _*))
   }
 
+  /** Transactional SCD2 merge into a [[graft.sources.VersionedTable]]:
+    * read the current snapshot, [[merge]], commit the result as the
+    * next version behind an audit gate — so a failed merge (or a
+    * violated audit invariant) leaves the previous dimension state
+    * readable, concurrent readers keep their snapshot for the whole
+    * query, and every historical dimension version stays time-travel
+    * able (ref storage/delta.py:146 `merge` + scd.py's apply loop,
+    * fused). The default audit enforces the SCD2 invariant the merge
+    * must preserve: at most one current row per business key.
+    * Returns the committed version. */
+  def mergeIntoVersioned(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      source: DataFrame,
+      businessKeys: Seq[String],
+      trackedCols: Seq[String],
+      effectiveDate: Column,
+      deleteIndicator: Option[String] = None): Int = {
+    import graft.sources.VersionedTable
+    val existing = VersionedTable.read(spark, table)
+    val merged = merge(existing, source, businessKeys, trackedCols, effectiveDate, deleteIndicator)
+    VersionedTable.commit(spark, table, merged, audit = staged => {
+      val dupCurrent = staged.filter(col("_scd_is_current"))
+        .groupBy(businessKeys.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).count()
+      require(dupCurrent == 0,
+        "SCD2 audit failed: a business key has more than one current row")
+    })
+  }
+
   /** scd.py:321 `get_current_records`. */
   def currentRecords(scdTable: DataFrame): DataFrame =
     scdTable.filter(col("_scd_is_current"))

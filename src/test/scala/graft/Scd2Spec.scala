@@ -86,4 +86,32 @@ class Scd2Spec extends SparkSpec {
     assert(t2.count() == 2)
     assert(t2.filter(col("_scd_is_current") && col("_scd_version") === 1).count() == 2)
   }
+
+  test("mergeIntoVersioned: transactional dimension updates with audit + time travel") {
+    import graft.sources.VersionedTable
+    val t = java.nio.file.Files.createTempDirectory("graft_scd_vt").toString + "/dim"
+    VersionedTable.commit(spark, t,
+      Scd2.initialLoad(snap(Seq((1, "A", 10.0), (2, "B", 20.0))), keys, tracked, lit("2024-01-01")))
+    // balance change for id=1 -> new current version, old row closed
+    val v2 = Scd2.mergeIntoVersioned(spark, t, snap(Seq((1, "A", 99.0), (2, "B", 20.0))),
+      keys, tracked, lit("2024-02-01"))
+    assert(v2 == 2)
+    val cur = Scd2.currentRecords(VersionedTable.read(spark, t))
+    assert(cur.count() == 2)
+    assert(cur.filter(col("id") === 1).head().getAs[Double]("bal") == 99.0)
+    // the pre-merge dimension remains time-travelable
+    val before = Scd2.currentRecords(VersionedTable.read(spark, t, asOf = Some(1)))
+    assert(before.filter(col("id") === 1).head().getAs[Double]("bal") == 10.0)
+    // an audit-violating staged state publishes nothing: hand-corrupt a
+    // merge result with two current rows for one key
+    val corrupt = VersionedTable.read(spark, t)
+      .unionByName(Scd2.currentRecords(VersionedTable.read(spark, t)).filter(col("id") === 1))
+    intercept[IllegalArgumentException](
+      VersionedTable.commit(spark, t, corrupt, audit = staged => {
+        val dup = staged.filter(col("_scd_is_current"))
+          .groupBy("id").count().filter(col("count") > 1).limit(1).count()
+        require(dup == 0, "dup current")
+      }))
+    assert(VersionedTable.currentVersion(spark, t).contains(2), "failed audit must not publish")
+  }
 }
