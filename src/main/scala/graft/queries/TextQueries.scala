@@ -56,6 +56,20 @@ object TextQueries {
         encode(html, "UTF-8").cast("binary").as("payload"))
       graft.multimodal.DocumentExtract.extractDocuments(binary, "path", "payload")
         .select(col("doc_id"), col("doc_format"), col("title"), col("text"), col("line_count"))
+    }),
+
+    // Same gate for the markdown extractor: heading/emphasis/link/list
+    // markers wrap the document and must strip back to plain text.
+    "q102_md_extract" -> ((s, d) => {
+      val md = concat(
+        lit("# Doc "), col("doc_id"), lit("\n\n> quoted intro\n\n**"),
+        col("text"), lit("**\n\n- see [docs](http://example.com/spark) here\n"))
+      val binary = Tables.documents(s, d).select(
+        col("doc_id"),
+        concat(lit("mem/doc"), col("doc_id"), lit(".md")).as("path"),
+        encode(md, "UTF-8").cast("binary").as("payload"))
+      graft.multimodal.DocumentExtract.extractDocuments(binary, "path", "payload")
+        .select(col("doc_id"), col("doc_format"), col("text"), col("line_count"))
     }))
 
   private val toksSql =
@@ -125,10 +139,17 @@ object TextQueries {
          CAST(1 AS BIGINT) AS line_count
        FROM documents"""
 
+  private val q102Sql =
+    """SELECT doc_id, 'markdown' AS doc_format,
+         'Doc ' || doc_id || ' quoted intro ' || text || ' see docs here' AS text,
+         CAST(1 AS BIGINT) AS line_count
+       FROM documents"""
+
   val oracles: Map[String, String] = Map(
     "q97_lang_id" -> q97Sql,
     "q98_text_quality" -> q98Sql,
     "q99_fingerprint" -> q99Sql,
     "q100_multimodal" -> q100Sql,
-    "q101_doc_extract" -> q101Sql)
+    "q101_doc_extract" -> q101Sql,
+    "q102_md_extract" -> q102Sql)
 }
