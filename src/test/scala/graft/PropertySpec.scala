@@ -91,4 +91,50 @@ class PropertySpec extends SparkSpec {
       assert(got == expect.toSet, s"seed=$seed")
     }
   }
+
+  test("versioned table: random op sequences agree with an in-memory model") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    for (seed <- 1 to 3) {
+      val rnd = new Random(200 + seed)
+      val t = java.nio.file.Files.createTempDirectory(s"graft_vt_prop$seed").toString + "/tbl"
+      // model: committed snapshots as Maps id -> value, index = version-1
+      var model = Vector.empty[Map[Long, Int]]
+      def df(m: Map[Long, Int]) = m.toSeq.toDF("id", "v")
+      // initial commit
+      val init = (0L until 5L).map(_ -> rnd.nextInt(10)).toMap
+      VersionedTable.commit(spark, t, df(init)); model :+= init
+      for (_ <- 1 to 8) {
+        rnd.nextInt(4) match {
+          case 0 => // append fresh ids
+            val add = (1 to 1 + rnd.nextInt(2)).map(_ => (100L + rnd.nextInt(50)).toLong -> rnd.nextInt(10))
+              .toMap -- model.last.keySet
+            VersionedTable.append(spark, t, df(add)); model :+= model.last ++ add
+          case 1 => // upsert: overwrite some + add one
+            val up = model.last.keys.take(2).map(_ -> rnd.nextInt(10)).toMap + ((200L + rnd.nextInt(20)) -> rnd.nextInt(10))
+            VersionedTable.upsert(spark, t, df(up), Seq("id")); model :+= model.last ++ up
+          case 2 => // delete ids below a threshold
+            val cut = rnd.nextInt(5).toLong
+            VersionedTable.delete(spark, t, col("id") < cut)
+            model :+= model.last.filter(_._1 >= cut)
+          case 3 => // restore a random earlier version
+            val v = 1 + rnd.nextInt(model.size)
+            VersionedTable.restore(spark, t, v); model :+= model(v - 1)
+        }
+      }
+      // every committed version matches the model, current included
+      val versions = VersionedTable.versions(spark, t)
+      assert(versions == (1 to model.size), s"seed=$seed")
+      versions.foreach { v =>
+        val got = VersionedTable.read(spark, t, Some(v)).collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap
+        assert(got == model(v - 1), s"seed=$seed version=$v")
+      }
+      // vacuum keeps the newest 2 and they still match
+      VersionedTable.vacuum(spark, t, keep = 2)
+      assert(VersionedTable.versions(spark, t) == Seq(model.size - 1, model.size), s"seed=$seed")
+      assert(VersionedTable.read(spark, t).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        == model.last, s"seed=$seed post-vacuum")
+    }
+  }
 }
