@@ -53,6 +53,25 @@ object Silver {
     df.toDF(df.columns.map(toSnake).toIndexedSeq: _*)
   }
 
+  /** Recursively flatten nested struct columns to top level with
+    * separator-joined names (ref utils/helpers.py:117 `flatten_dict` —
+    * the JSON-ingest companion: semi-structured payloads arrive as
+    * structs and the silver layer wants flat columns). Pure projection:
+    * struct field access is free in Catalyst (no shuffle, pruning still
+    * reaches the scan for the fields actually selected). Arrays and
+    * maps stay as values — flattening them is an explode, a row-count
+    * change the caller must opt into. */
+  def flattenStructs(df: DataFrame, sep: String = "_"): DataFrame = {
+    def expand(prefix: String, field: org.apache.spark.sql.types.StructField,
+        path: Column): Seq[(String, Column)] = field.dataType match {
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.toSeq.flatMap(f => expand(prefix + sep + f.name, f, path.getField(f.name)))
+      case _ => Seq(prefix -> path)
+    }
+    val cols = df.schema.fields.toSeq.flatMap(f => expand(f.name, f, col(f.name)))
+    df.select(cols.map { case (n, c) => c.as(n) }: _*)
+  }
+
   /** Rename columns per mapping, ignoring absent sources (silver.py:189). */
   def applySchemaMapping(df: DataFrame, mapping: Map[String, String]): DataFrame =
     mapping.foldLeft(df) { case (d, (from, to)) =>

@@ -103,4 +103,20 @@ class MedallionSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
   }
+
+  test("flattenStructs lifts nested structs to separator-joined columns") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, ("ada", (10, "nl")), Seq(1, 2))).toDF("id", "user", "tags")
+      .select(col("id"),
+        col("user").cast("struct<name:string,geo:struct<zip:int,cc:string>>").as("user"),
+        col("tags"))
+    val flat = graft.medallion.Silver.flattenStructs(df)
+    assert(flat.columns.toSeq == Seq("id", "user_name", "user_geo_zip", "user_geo_cc", "tags"))
+    val r = flat.head()
+    assert(r.getString(1) == "ada" && r.getInt(2) == 10 && r.getString(3) == "nl")
+    assert(r.getSeq[Int](4) == Seq(1, 2), "arrays stay as values")
+    // idempotent on an already-flat frame
+    assert(graft.medallion.Silver.flattenStructs(flat).columns.toSeq == flat.columns.toSeq)
+  }
 }
