@@ -46,14 +46,27 @@ object Bench {
         name -> (if (times.nonEmpty) (median(times), times.min, times.max)
                  else (-1.0, -1.0, -1.0))
       }
-    val qs = results.map { case (k, (m, _, _)) => "\"" + k + "\":" + m }
+    // Times print with limited precision so the primary stdout line stays
+    // small: the round-4 driver captured only the TAIL of stdout, and one
+    // giant line with full-precision doubles + minmax pushed the medians
+    // out of the capture window ("parsed": null). The compact line below
+    // (~1.5 KB: medians + errors only) is what the gate parses; the full
+    // detail (min/max spreads) goes to target/bench.json, which survives
+    // regardless of how stdout is captured.
+    def f(d: Double): String = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, (m, _, _)) => "\"" + k + "\":" + f(m) }
       .mkString("{", ",", "}")
     val spread = results.map { case (k, (_, lo, hi)) =>
-      "\"" + k + "\":[" + lo + "," + hi + "]"
+      "\"" + k + "\":[" + f(lo) + "," + f(hi) + "]"
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, (m, _, _)) if m >= 0 => m }.sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","trials":$trials,"queries":$qs,"minmax":$spread,"errors":$errs,"sf":"$sfDir"}""")
+    val compact = s"""{"metric":"total","value":${f(total)},"unit":"sec","trials":$trials,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","trials":$trials,"queries":$qs,"minmax":$spread,"errors":$errs,"sf":"$sfDir"}"""
+    val out = java.nio.file.Paths.get("target", "bench.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out, (full + "\n").getBytes("UTF-8"))
+    println(compact)
     spark.stop()
   }
 }

@@ -262,28 +262,25 @@ object TextDedup {
     // Fast path: bounded collect (the count doubles as the cache fill).
     val edgeCount = edges.count()
     if (edgeCount <= maxDriverEdges) {
-      val collected = edges.filter(col("a") < col("b"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
-      edges.unpersist()
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent(r)
-        var c = x // path compression
-        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      collected.foreach { case (x, y) =>
-        val (rx, ry) = (find(x), find(y))
-        if (rx != ry) { val (lo, hi) = if (rx < ry) (rx, ry) else (ry, rx); parent(hi) = lo }
-      }
-      val assignment = collected.iterator.flatMap(p => Iterator(p._1, p._2))
-        .toSet.toSeq.map((n: Long) => (n, find(n)))
       val spark = pairs.sparkSession
       import spark.implicits._
+      // Tuple2 is @specialized on Long, so this lands as flat 16-byte
+      // pairs (~64 MB at the 4M-edge default), not boxed Rows.
+      val collected = edges.filter(col("a") < col("b"))
+        .select(col("a"), col("b")).as[(Long, Long)].collect()
+      edges.unpersist()
+      // Driver-heap math at maxDriverEdges = 4M: ≤8M distinct nodes →
+      // the open-addressing table pre-sizes to the next power of two at
+      // ≤50% load = 2^24 slots → keys 128 MB + parents 128 MB + 16 MB
+      // occupancy = ~270 MB of flat arrays, no per-entry boxing, no GC
+      // churn (the boxed mutable.Map this replaces cost ~1 GB in
+      // Long-box + entry objects at the same size).
+      val uf = new LongUnionFind(expectedNodes = 2 * collected.length)
+      var i = 0
+      while (i < collected.length) { uf.union(collected(i)._1, collected(i)._2); i += 1 }
       // labels ≤ edge-incident nodes ≤ 2·maxDriverEdges rows → broadcast
       return allIds
-        .join(broadcast(assignment.toDF("id", "cluster_id")), Seq("id"), "left")
+        .join(broadcast(uf.entries.toDF("id", "cluster_id")), Seq("id"), "left")
         .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
     }
     // Propagate over edge-incident nodes ONLY — in a near-dup corpus
@@ -335,6 +332,87 @@ object TextDedup {
     val pairs = minhashLshPairs(df, idCol, textCol, n, k, bands, threshold)
     val clusters = dedupClusters(pairs, df.select(col(idCol).as("id")))
     df.join(clusters.filter(col("id") === col("cluster_id")).select(col("id").as(idCol)), Seq(idCol))
+  }
+
+  /** Primitive-long union-find over an open-addressing hash table
+    * (linear probing, power-of-two capacity pre-sized to ≤50% load —
+    * never grows, so every insert is O(probe chain) with no rehash).
+    * Union always attaches the LARGER root under the smaller, so after
+    * path compression `find(x)` is the minimum id reachable from x —
+    * the cluster-id convention [[dedupClusters]] needs. Both endpoints
+    * of every union are inserted as keys, so [[entries]] enumerates
+    * exactly the edge-incident nodes. */
+  private final class LongUnionFind(expectedNodes: Int) {
+    private val cap: Int = {
+      var c = 64
+      while (c < expectedNodes * 2 && c < (1 << 30)) c <<= 1
+      c
+    }
+    private val mask = cap - 1
+    private val keys = new Array[Long](cap)
+    private val parents = new Array[Long](cap)
+    private val used = new Array[Boolean](cap)
+    private var count = 0
+
+    /** Slot of key k (its own slot if absent). Fibonacci-mix then mask —
+      * sequential ids would otherwise chain badly under linear probing. */
+    private def slot(k: Long): Int = {
+      var h = k * -7046029254386353131L // golden-ratio odd constant
+      h ^= (h >>> 32)
+      var i = h.toInt & mask
+      while (used(i) && keys(i) != k) i = (i + 1) & mask
+      i
+    }
+
+    /** Current parent (k itself when never linked). */
+    private def parentOf(k: Long): Long = {
+      val i = slot(k); if (used(i)) parents(i) else k
+    }
+
+    private def setParent(k: Long, p: Long): Unit = {
+      val i = slot(k)
+      if (!used(i)) {
+        require(count < cap - 1, "LongUnionFind over capacity — expectedNodes was wrong")
+        used(i) = true; keys(i) = k; count += 1
+      }
+      parents(i) = p
+    }
+
+    def find(x: Long): Long = {
+      var r = x
+      var p = parentOf(r)
+      while (p != r) { r = p; p = parentOf(r) }
+      var c = x // path compression
+      while (c != r) { val n = parentOf(c); setParent(c, r); c = n }
+      r
+    }
+
+    def union(x: Long, y: Long): Unit = {
+      val rx = find(x); val ry = find(y)
+      if (rx != ry) { if (rx < ry) setParent(ry, rx) else setParent(rx, ry) }
+      // ensure both endpoints are enumerable via `entries` (a root that
+      // is never linked under anything would otherwise have no slot)
+      if (slotAbsent(x)) setParent(x, find(x))
+      if (slotAbsent(y)) setParent(y, find(y))
+    }
+
+    private def slotAbsent(k: Long): Boolean = !used(slot(k))
+
+    /** (node, min-reachable-id) for every node seen by [[union]].
+      * Labels resolve into a primitive array first; the returned
+      * IndexedSeq builds each tuple on demand as the Dataset encoder
+      * iterates — no second driver-side materialization of boxed
+      * tuples. */
+    def entries: IndexedSeq[(Long, Long)] = {
+      val occupied = Array.range(0, cap).filter(used)
+      val labels = new Array[Long](occupied.length)
+      var j = 0
+      while (j < occupied.length) { labels(j) = find(keys(occupied(j))); j += 1 }
+      new scala.collection.immutable.IndexedSeq[(Long, Long)] {
+        def length: Int = occupied.length
+        def apply(idx: Int): (Long, Long) = (keys(occupied(idx)), labels(idx))
+      }
+    }
   }
 
   // ---- SimHash (Spark-native: engine hash is fine, not cross-checked) ----

@@ -42,6 +42,13 @@ object QualityQueries {
     "q42_dataset_quality" -> ((s, d) =>
       Quality.datasetQuality(ValidationQueries.dirtyOrders(s, d))),
 
+    // Production-path twin of q42 (the q40a pattern): HLL per-column
+    // uniques + a 64-bit-row-hash duplicate estimate — single pass, no
+    // Expand. Engine-specific sketches ⇒ rows-only driver check;
+    // closeness to q42 is asserted in QualitySpec.
+    "q42a_dataset_quality_approx" -> ((s, d) =>
+      Quality.datasetQualityApprox(ValidationQueries.dirtyOrders(s, d))),
+
     // drift: clean orders (without o_orderdate) vs the dirtied view
     // (with it) — exercises added-column detection plus null/mean drift
     "q43_profile_drift" -> ((s, d) =>

@@ -215,13 +215,35 @@ object Quality {
     * here — outlier scoring is [[outliersIqr]]'s job; wiring it in
     * would force a second scan for a heuristic penalty).
     */
-  def datasetQuality(df: DataFrame): DataFrame = {
+  def datasetQuality(df: DataFrame): DataFrame =
+    datasetQualityWith(df,
+      c => count_distinct(col(c)),
+      cols => count_distinct(struct(cols.map(col): _*)))
+
+  /** Scale variant of [[datasetQuality]]: identical shape, but the
+    * per-column unique counts are HyperLogLog++ sketches and the
+    * duplicate-row estimate comes from `approx_count_distinct` over a
+    * single xxhash64 of the whole row (a 64-bit hash collides at
+    * ~n²/2⁶⁵ — negligible next to the sketch's ~2% error). The exact
+    * path plans one Expand per distinct-aggregate (the scan is
+    * multiplied #cols+1 times); this path is a single pass with no
+    * Expand — QualitySpec asserts the plan shape. Use exact for oracle
+    * comparisons, this for production quality monitoring. */
+  def datasetQualityApprox(df: DataFrame, rsd: Double = 0.02): DataFrame =
+    datasetQualityWith(df,
+      c => approx_count_distinct(col(c), rsd),
+      cols => approx_count_distinct(xxhash64(cols.map(col): _*), rsd))
+
+  private def datasetQualityWith(
+      df: DataFrame,
+      uniqueAgg: String => Column,
+      rowDistinctAgg: Seq[String] => Column): DataFrame = {
     val cols = df.columns.toSeq
     val n = count(lit(1))
     val aggs: Seq[Column] =
-      Seq(n.as("_n"), count_distinct(struct(cols.map(col): _*)).as("_dist"),
+      Seq(n.as("_n"), rowDistinctAgg(cols).cast("long").as("_dist"),
         count(when(cols.map(col(_).isNotNull).reduce(_ && _), 1)).as("_complete")) ++
-        cols.flatMap(c => Seq(count(col(c)).as(s"_cnt_$c"), count_distinct(col(c)).as(s"_uni_$c")))
+        cols.flatMap(c => Seq(count(col(c)).as(s"_cnt_$c"), uniqueAgg(c).cast("long").as(s"_uni_$c")))
     val one = df.agg(aggs.head, aggs.tail: _*)
 
     val nD = col("_n").cast("double")

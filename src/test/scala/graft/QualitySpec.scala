@@ -53,6 +53,22 @@ class QualitySpec extends SparkSpec {
     assert(!approxPlan.contains("Expand"), s"approx profile must not Expand:\n$approxPlan")
   }
 
+  test("datasetQualityApprox tracks the exact scores and plans no Expand") {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity", "l_returnflag")
+    val exact = Quality.datasetQuality(li).collect().head
+    val approx = Quality.datasetQualityApprox(li).collect().head
+    assert(approx.getAs[Long]("row_count") == exact.getAs[Long]("row_count"))
+    // duplicate estimate from a 64-bit row hash + HLL: within sketch error
+    val dupRel = math.abs(approx.getAs[Long]("duplicate_rows") - exact.getAs[Long]("duplicate_rows")).toDouble /
+      math.max(exact.getAs[Long]("row_count"), 1)
+    assert(dupRel <= 0.05, s"duplicate_rows drifted: $approx vs $exact")
+    assert(math.abs(approx.getAs[Double]("quality_score") - exact.getAs[Double]("quality_score")) <= 2.0)
+    val exactPlan = Quality.datasetQuality(li).queryExecution.executedPlan.toString
+    val approxPlan = Quality.datasetQualityApprox(li).queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"), "exact datasetQuality is expected to Expand (oracle path)")
+    assert(!approxPlan.contains("Expand"), s"approx datasetQuality must not Expand:\n$approxPlan")
+  }
+
   test("outliersIqr flags values beyond the Tukey fences") {
     import spark.implicits._
     val d = (Seq.fill(20)(10.0) ++ Seq(1000.0)).toDF("v")
