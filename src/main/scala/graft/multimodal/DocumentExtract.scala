@@ -33,7 +33,7 @@ object DocumentExtract {
     "pptx" -> "powerpoint", "ppt" -> "powerpoint",
     "xlsx" -> "excel", "xls" -> "excel",
     "txt" -> "text", "md" -> "markdown",
-    "html" -> "html", "htm" -> "html")
+    "html" -> "html", "htm" -> "html", "pdf" -> "pdf")
 
   /** Lowercased extension → document format; "unknown" otherwise. */
   def detectFormat(path: Column): Column = {
@@ -100,6 +100,7 @@ object DocumentExtract {
         when(text.isNotNull, size(split(text, "\n")).cast("long"))) // documents.py:210
       .withColumn("error",
         when(fmt === "excel", lit("spreadsheets route through graft.sources.Excel"))
+          .when(fmt === "pdf", lit("PDFs route through graft.multimodal.Pdf"))
           .when(fmt.isin("word", "powerpoint"),
             concat(lit("no parser for "), fmt, lit(" in this environment")))
           .when(fmt === "unknown", lit("unsupported extension")))

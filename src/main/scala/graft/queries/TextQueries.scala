@@ -58,6 +58,38 @@ object TextQueries {
         .select(col("doc_id"), col("doc_format"), col("title"), col("text"), col("line_count"))
     }),
 
+    // End-to-end PDF extraction gate: build a real two-page PDF per
+    // document (catalog → page tree → per-page content streams, parens/
+    // backslashes escaped per the literal-string grammar), run the full
+    // binary → Pdf parser, and hash-compare the round trip. Streams are
+    // uncompressed here (deflate is not a column expression); the
+    // FlateDecode path is proven against Deflater-built fixtures in
+    // PdfSpec. The parser still has to walk Kids order, slice streams
+    // by /Length, unescape, and apply the Td newline rule to match.
+    "q103_pdf_extract" -> ((s, d) => {
+      val esc = regexp_replace(col("text"), "([\\\\()])", "\\\\$1")
+      val c1 = concat(
+        lit("BT /F1 12 Tf 72 720 Td (Doc "), col("doc_id"),
+        lit(") Tj 0 -14 Td ("), esc, lit(") Tj ET"))
+      val c2 = concat(lit("BT /F1 12 Tf 72 720 Td (End of doc "), col("doc_id"), lit(") Tj ET"))
+      val pdf = concat(
+        lit("%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+          "2 0 obj\n<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>\nendobj\n" +
+          "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n" +
+          "4 0 obj\n<< /Length "), call_function("octet_length", c1), lit(" >>\nstream\n"), c1,
+        lit("\nendstream\nendobj\n" +
+          "5 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>\nendobj\n" +
+          "6 0 obj\n<< /Length "), call_function("octet_length", c2), lit(" >>\nstream\n"), c2,
+        lit("\nendstream\nendobj\ntrailer\n<< /Root 1 0 R >>\n%%EOF\n"))
+      val binary = Tables.documents(s, d).select(
+        concat(lit("mem/doc"), col("doc_id"), lit(".pdf")).as("path"),
+        encode(pdf, "UTF-8").cast("binary").as("content"))
+      graft.multimodal.Pdf.fromBinary(binary)
+        .select(
+          regexp_extract(col("path"), "doc(\\d+)\\.pdf", 1).cast("long").as("doc_id"),
+          col("doc_format"), col("n_pages"), col("text"))
+    }),
+
     // Same gate for the markdown extractor: heading/emphasis/link/list
     // markers wrap the document and must strip back to plain text.
     "q102_md_extract" -> ((s, d) => {
@@ -145,11 +177,20 @@ object TextQueries {
          CAST(1 AS BIGINT) AS line_count
        FROM documents"""
 
+  // escape → build PDF → parse → unescape must round-trip exactly, so
+  // the oracle is the identity reconstruction (Td breaks lines, pages
+  // join with a newline)
+  private val q103Sql =
+    """SELECT doc_id, 'pdf' AS doc_format, CAST(2 AS BIGINT) AS n_pages,
+         'Doc ' || doc_id || chr(10) || text || chr(10) || 'End of doc ' || doc_id AS text
+       FROM documents"""
+
   val oracles: Map[String, String] = Map(
     "q97_lang_id" -> q97Sql,
     "q98_text_quality" -> q98Sql,
     "q99_fingerprint" -> q99Sql,
     "q100_multimodal" -> q100Sql,
     "q101_doc_extract" -> q101Sql,
-    "q102_md_extract" -> q102Sql)
+    "q102_md_extract" -> q102Sql,
+    "q103_pdf_extract" -> q103Sql)
 }
