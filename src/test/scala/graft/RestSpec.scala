@@ -77,6 +77,88 @@ class RestSpec extends SparkSpec {
     assert(df.orderBy("id").collect().map(_.getLong(0)).toSeq == (0L to 4L))
   }
 
+  // ---- typed API flavors (ApiConnectors) over fixture bodies ----
+
+  test("Stripe: starting_after cursor derives from the last data id, has_more gates") {
+    import graft.sources.ApiConnectors.Stripe
+    val calls = scala.collection.mutable.ArrayBuffer.empty[Map[String, String]]
+    def body(ids: Seq[String], hasMore: Boolean): String =
+      s"""{"object":"list","has_more":$hasMore,"data":[${ids.map(i =>
+        s"""{"id":"$i","object":"customer","email":"$i@x.io","name":"N $i","created":1700000000,"livemode":false}""")
+        .mkString(",")}]}"""
+    val fetch = (endpoint: String, params: Map[String, String]) => {
+      assert(endpoint == "/v1/customers")
+      calls += params
+      params.get("starting_after") match {
+        case None        => body(Seq("cus_1", "cus_2"), hasMore = true)
+        case Some("cus_2") => body(Seq("cus_3"), hasMore = false)
+        case other       => fail(s"unexpected cursor $other")
+      }
+    }
+    val pages = Stripe.extractPages(fetch, "/v1/customers", pageSize = 2,
+      extraParams = Map("created[gte]" -> "1690000000"))
+    assert(pages.size == 2)
+    assert(calls.forall(_("created[gte]") == "1690000000")) // filters ride every page
+    val df = Stripe.land(spark, pages, Stripe.customerSchema)
+    assert(df.count() == 3)
+    assert(df.columns.toSeq == Seq("id", "object", "email", "name", "created", "livemode"))
+    assert(Stripe.headers("sk_test")("Stripe-Version") == "2023-10-16")
+  }
+
+  test("Salesforce: nextRecordsUrl endpoint-following until done") {
+    import graft.sources.ApiConnectors.Salesforce
+    val endpoints = scala.collection.mutable.ArrayBuffer.empty[String]
+    val fetch = (endpoint: String, params: Map[String, String]) => {
+      endpoints += endpoint
+      endpoint match {
+        case "/services/data/v58.0/query" =>
+          assert(params("q") == "SELECT Id, Name FROM Account")
+          """{"totalSize":3,"done":false,"nextRecordsUrl":"/services/data/v58.0/query/01g-2000",
+             "records":[{"attributes":{"type":"Account"},"Id":"001A","Name":"Acme"},
+                        {"attributes":{"type":"Account"},"Id":"001B","Name":"Globex"}]}"""
+        case "/services/data/v58.0/query/01g-2000" =>
+          assert(params.isEmpty) // the URL is self-contained
+          """{"totalSize":3,"done":true,
+             "records":[{"attributes":{"type":"Account"},"Id":"001C","Name":"Initech"}]}"""
+        case other => fail(s"unexpected endpoint $other")
+      }
+    }
+    val pages = Salesforce.queryPages(fetch, "SELECT Id, Name FROM Account")
+    assert(pages.size == 2)
+    assert(endpoints.toSeq ==
+      Seq("/services/data/v58.0/query", "/services/data/v58.0/query/01g-2000"))
+    val schema = new StructType().add("Id", StringType).add("Name", StringType)
+    val df = Salesforce.land(spark, pages, schema)
+    assert(df.columns.toSeq == Seq("Id", "Name")) // attributes envelope never lands
+    assert(df.orderBy("Id").collect().map(_.getString(1)).toSeq ==
+      Seq("Acme", "Globex", "Initech"))
+  }
+
+  test("HubSpot: paging.next.after token, nested properties flatten on landing") {
+    import graft.sources.ApiConnectors.HubSpot
+    val calls = scala.collection.mutable.ArrayBuffer.empty[Map[String, String]]
+    def contact(id: String, email: String): String =
+      s"""{"id":"$id","properties":{"email":"$email","firstname":"F$id"},"archived":false}"""
+    val fetch = (endpoint: String, params: Map[String, String]) => {
+      assert(endpoint == "/crm/v3/objects/contacts")
+      assert(params("properties") == "email,firstname")
+      calls += params
+      params.get("after") match {
+        case None       => s"""{"results":[${contact("1", "a@x.io")},${contact("2", "b@x.io")}],
+                               "paging":{"next":{"after":"pg2","link":"…"}}}"""
+        case Some("pg2") => s"""{"results":[${contact("3", "c@x.io")}]}"""
+        case other      => fail(s"unexpected after $other")
+      }
+    }
+    val pages = HubSpot.objectPages(fetch, "contacts", properties = Seq("email", "firstname"))
+    assert(pages.size == 2 && calls.size == 2)
+    val props = new StructType().add("email", StringType).add("firstname", StringType)
+    val df = HubSpot.land(spark, pages, props)
+    assert(df.columns.toSeq == Seq("id", "email", "firstname"))
+    assert(df.orderBy("id").collect().map(_.getString(1)).toSeq ==
+      Seq("a@x.io", "b@x.io", "c@x.io"))
+  }
+
   test("webhook signature verification matches HMAC-SHA256 hexdigest") {
     val payload = """{"event":"x"}""".getBytes("UTF-8")
     val mac = javax.crypto.Mac.getInstance("HmacSHA256")
