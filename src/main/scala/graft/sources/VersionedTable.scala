@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types
 
 /** Transactional table format over plain parquet (ref storage/delta.py:
   * 73-336 read/append/overwrite/merge/upsert/delete/restore/vacuum,
@@ -138,6 +139,71 @@ object VersionedTable {
     * version (history stays intact — restore is itself versioned). */
   def restore(spark: SparkSession, table: String, toVersion: Int): Int =
     commit(spark, table, read(spark, table, Some(toVersion)))
+
+  // ---- schema evolution (ref storage/iceberg/schemas.py:433
+  // SchemaEvolution, catalog.py:263) — each evolve op is compatibility-
+  // checked against the CURRENT snapshot schema and committed as a
+  // normal table version, so time travel across an evolution reads each
+  // version with the schema it was written under (parquet is
+  // self-describing per version directory — no separate metadata log
+  // needed in this format). ----
+
+  /** Iceberg's lossless type-promotion rules (schemas.py `_is_compatible`
+    * mirrors the same spec set): integral ladder up to long,
+    * float→double, decimal precision growth at fixed scale. Everything
+    * else — narrowing, cross-family, scale changes — is incompatible. */
+  def canWiden(from: types.DataType, to: types.DataType): Boolean = {
+    import types._
+    (from, to) match {
+      case (f, t) if f == t => true
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) => t.scale == f.scale && t.precision >= f.precision
+      case _ => false
+    }
+  }
+
+  /** schemas.py add_column: new nullable column with an optional
+    * default backfill for existing rows, committed as a new version. */
+  def addColumn(
+      spark: SparkSession, table: String, name: String,
+      dataType: types.DataType, default: Column = lit(null)): Int = {
+    val cur = read(spark, table)
+    require(!cur.columns.contains(name), s"column $name already exists at $table")
+    commit(spark, table, cur.withColumn(name, default.cast(dataType)))
+  }
+
+  /** schemas.py rename_column: same data, new name. */
+  def renameColumn(spark: SparkSession, table: String, from: String, to: String): Int = {
+    val cur = read(spark, table)
+    require(cur.columns.contains(from), s"column $from does not exist at $table")
+    require(!cur.columns.contains(to), s"column $to already exists at $table")
+    commit(spark, table, cur.withColumnRenamed(from, to))
+  }
+
+  /** schemas.py update_column (type promotion): rewrite the column at
+    * the wider type — refused unless [[canWiden]] holds, so an evolve
+    * can never silently lose data (the check is the point; the cast
+    * itself would "succeed" lossily for plenty of illegal pairs). */
+  def widenColumnType(
+      spark: SparkSession, table: String, column: String, to: types.DataType): Int = {
+    val cur = read(spark, table)
+    val field = cur.schema.fields.find(_.name == column)
+      .getOrElse(throw new IllegalArgumentException(s"column $column does not exist at $table"))
+    require(canWiden(field.dataType, to),
+      s"cannot widen $column: ${field.dataType.simpleString} → ${to.simpleString} is not a lossless promotion")
+    commit(spark, table, cur.withColumn(column, col(column).cast(to)))
+  }
+
+  /** schemas.py delete_column. */
+  def dropColumn(spark: SparkSession, table: String, name: String): Int = {
+    val cur = read(spark, table)
+    require(cur.columns.contains(name), s"column $name does not exist at $table")
+    require(cur.columns.length > 1, s"cannot drop the last column of $table")
+    commit(spark, table, cur.drop(name))
+  }
 
   /** delta.py:336 vacuum: expire all but the newest `keep` committed
     * versions (and any marker-less debris from failed writes). Readers

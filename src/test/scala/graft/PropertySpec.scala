@@ -92,20 +92,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("versioned table: random op sequences agree with an in-memory model") {
+  test("versioned table: random op sequences (incl. schema evolution) agree with a model") {
     import spark.implicits._
     import graft.sources.VersionedTable
+    import org.apache.spark.sql.types.{LongType, StringType}
     for (seed <- 1 to 3) {
       val rnd = new Random(200 + seed)
       val t = java.nio.file.Files.createTempDirectory(s"graft_vt_prop$seed").toString + "/tbl"
-      // model: committed snapshots as Maps id -> value, index = version-1
+      // model: committed snapshots as Maps id -> value, index = version-1.
+      // Evolution ops add/rename/widen EXTRA columns or widen v — the
+      // (id, v) value model is invariant under all of them, which is
+      // itself the property: evolving a schema never disturbs data.
       var model = Vector.empty[Map[Long, Int]]
+      var extraCols = 0
       def df(m: Map[Long, Int]) = m.toSeq.toDF("id", "v")
       // initial commit
       val init = (0L until 5L).map(_ -> rnd.nextInt(10)).toMap
       VersionedTable.commit(spark, t, df(init)); model :+= init
-      for (_ <- 1 to 8) {
-        rnd.nextInt(4) match {
+      for (_ <- 1 to 10) {
+        rnd.nextInt(6) match {
           case 0 => // append fresh ids
             val add = (1 to 1 + rnd.nextInt(2)).map(_ => (100L + rnd.nextInt(50)).toLong -> rnd.nextInt(10))
               .toMap -- model.last.keySet
@@ -117,24 +122,86 @@ class PropertySpec extends SparkSpec {
             val cut = rnd.nextInt(5).toLong
             VersionedTable.delete(spark, t, col("id") < cut)
             model :+= model.last.filter(_._1 >= cut)
-          case 3 => // restore a random earlier version
+          case 3 => // restore a random earlier version (may revert schema too)
             val v = 1 + rnd.nextInt(model.size)
             VersionedTable.restore(spark, t, v); model :+= model(v - 1)
+          case 4 => // evolve: add a fresh string column (values untouched)
+            extraCols += 1
+            VersionedTable.addColumn(spark, t, s"x$extraCols", StringType,
+              lit(s"d$extraCols"))
+            model :+= model.last
+          case 5 => // evolve: widen v int→long when it is int, else rename an extra
+            val cur = VersionedTable.read(spark, t)
+            if (cur.schema("v").dataType != LongType) {
+              VersionedTable.widenColumnType(spark, t, "v", LongType)
+              model :+= model.last
+            } else cur.columns.find(_.startsWith("x")) match {
+              case Some(x) =>
+                VersionedTable.renameColumn(spark, t, x, s"renamed_$x")
+                model :+= model.last
+              case None => // nothing to evolve this round; widen again is a no-op op-skip
+                VersionedTable.addColumn(spark, t, s"x${extraCols + 1}", StringType)
+                extraCols += 1
+                model :+= model.last
+            }
         }
       }
-      // every committed version matches the model, current included
+      // every committed version matches the model regardless of the
+      // schema it was written under (per-version parquet self-describes)
       val versions = VersionedTable.versions(spark, t)
       assert(versions == (1 to model.size), s"seed=$seed")
       versions.foreach { v =>
-        val got = VersionedTable.read(spark, t, Some(v)).collect()
-          .map(r => r.getLong(0) -> r.getInt(1)).toMap
+        val got = VersionedTable.read(spark, t, Some(v)).select("id", "v").collect()
+          .map(r => r.getLong(0) -> r.getAs[Number](1).intValue()).toMap
         assert(got == model(v - 1), s"seed=$seed version=$v")
       }
       // vacuum keeps the newest 2 and they still match
       VersionedTable.vacuum(spark, t, keep = 2)
       assert(VersionedTable.versions(spark, t) == Seq(model.size - 1, model.size), s"seed=$seed")
-      assert(VersionedTable.read(spark, t).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(VersionedTable.read(spark, t).select("id", "v").collect()
+        .map(r => r.getLong(0) -> r.getAs[Number](1).intValue()).toMap
         == model.last, s"seed=$seed post-vacuum")
     }
+  }
+
+  test("schema evolution: compat checks enforced, time travel spans evolutions") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    import org.apache.spark.sql.types._
+    val t = java.nio.file.Files.createTempDirectory("graft_vt_evolve").toString + "/tbl"
+    VersionedTable.commit(spark, t, Seq((1L, 10), (2L, 20)).toDF("id", "v")) // v1
+    val v2 = VersionedTable.addColumn(spark, t, "tag", StringType)            // v2
+    VersionedTable.append(spark, t, Seq((3L, 30, "c")).toDF("id", "v", "tag")) // v3
+    val v4 = VersionedTable.widenColumnType(spark, t, "v", LongType)          // v4
+    VersionedTable.renameColumn(spark, t, "tag", "label")                     // v5
+    val v6 = VersionedTable.dropColumn(spark, t, "label")                     // v6
+    assert((v2, v4, v6) == (2, 4, 6))
+
+    // incompatible evolutions are refused up front
+    intercept[IllegalArgumentException](
+      VersionedTable.addColumn(spark, t, "v", StringType)) // exists
+    intercept[IllegalArgumentException](
+      VersionedTable.renameColumn(spark, t, "ghost", "x")) // missing
+    intercept[IllegalArgumentException](
+      VersionedTable.widenColumnType(spark, t, "v", IntegerType)) // narrowing
+    intercept[IllegalArgumentException](
+      VersionedTable.widenColumnType(spark, t, "v", StringType)) // cross-family
+    assert(VersionedTable.canWiden(FloatType, DoubleType))
+    assert(VersionedTable.canWiden(DecimalType(10, 2), DecimalType(18, 2)))
+    assert(!VersionedTable.canWiden(DecimalType(10, 2), DecimalType(18, 4))) // scale change
+    assert(!VersionedTable.canWiden(LongType, DoubleType)) // lossy beyond 2^53
+
+    // time travel reads each version under its own schema
+    val r1 = VersionedTable.read(spark, t, Some(1))
+    assert(r1.columns.toSeq == Seq("id", "v") && r1.schema("v").dataType == IntegerType)
+    val r3 = VersionedTable.read(spark, t, Some(3))
+    assert(r3.columns.contains("tag") && r3.count() == 3)
+    val r4 = VersionedTable.read(spark, t, Some(4))
+    assert(r4.schema("v").dataType == LongType)
+    val r5 = VersionedTable.read(spark, t, Some(5))
+    assert(r5.columns.contains("label") && !r5.columns.contains("tag"))
+    assert(VersionedTable.read(spark, t).columns.toSeq == Seq("id", "v"))
+    // failed evolutions committed nothing: current is still v6
+    assert(VersionedTable.currentVersion(spark, t).contains(6))
   }
 }
