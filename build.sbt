@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: an 8g heap at local[32] over sf0.1 leaves the bench
+  // JVM GC-bound once broadcast/codegen debris accumulates across 46
+  // queries; the box has 128g. 512m code cache keeps whole-stage
+  // codegen (hundreds of generated classes per full bench run) from
+  // churning the JIT.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  "-XX:ReservedCodeCacheSize=512m",
 )

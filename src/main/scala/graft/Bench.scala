@@ -15,37 +15,71 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JIT/session warm-up outside the timed region so the first timed
-    // query doesn't absorb classloading + codegen compilation cost.
-    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
     // Optional comma-separated query filter for local iteration, e.g.
     // SPARK_GRAFT_ONLY=q41_outliers,q114_dedup_clusters. Unset = all.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
-    var failed = List.empty[String]
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    // Trial scheme (round 5 — the q21/q31 cross-run mystery): a long
+    // shared-JVM run develops PHASE states — JIT compile backlog, code
+    // cache churn, GC geometry — that make some sub-second query
+    // consistently 3-5x slower for a stretch of one run and fast in the
+    // next (observed: q21 tight at ~2.0s in one full run and 0.37s in
+    // another, q31 the inverse — identical code, identical plans). Two
+    // countermeasures, both about MEASUREMENT not execution:
+    //  1. a full untimed WARM-UP pass compiles every query's codegen
+    //     before any timing starts (no query's sample is dominated by
+    //     its own first-compilation);
+    //  2. trials run as INTERLEAVED ROUNDS (q1..qN, repeat) rather than
+    //     back-to-back, so the three samples of a query come from three
+    //     different epochs of the JVM — a transient degraded phase
+    //     poisons at most one sample and the median discards it.
+    queries.foreach { case (_, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () } // failures re-surface in timed rounds
+    }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    // This box is a VM on a shared host: phases of CPU steal make whole
+    // minutes 2-5x slower regardless of what Spark does. Steal jiffies
+    // from /proc/stat are sampled per round so a slow round is
+    // ATTRIBUTABLE (high round_steal_pct = host contention, not a
+    // regression) — the gate should never again argue about a number
+    // the environment produced.
+    def stealTotal(): (Long, Long) =
+      try {
+        val parts = scala.io.Source.fromFile("/proc/stat").getLines().next()
+          .trim.split("\\s+").drop(1).map(_.toLong)
+        (if (parts.length > 7) parts(7) else 0L, parts.sum)
+      } catch { case _: Throwable => (0L, 0L) }
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    val roundSteal = Seq.newBuilder[Double]
+    for (_ <- 1 to trials) {
+      val (s0, t0all) = stealTotal()
+      for ((name, fn) <- queries) {
         // noop-format write forces FULL evaluation of every column (a
         // count() would let Catalyst prune all projections); failures are
         // recorded as -1 and listed, never disguised as fast queries.
-        val times = (1 to trials).flatMap { _ =>
-          val t0 = System.nanoTime()
-          try {
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            Some((System.nanoTime() - t0) / 1e9)
-          } catch { case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); None
-          }
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples.getOrElse(name, Nil)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
-        if (times.isEmpty) failed ::= name
-        name -> (if (times.nonEmpty) (median(times), times.min, times.max)
-                 else (-1.0, -1.0, -1.0))
       }
+      val (s1, t1all) = stealTotal()
+      roundSteal += (if (t1all > t0all) (s1 - s0) * 100.0 / (t1all - t0all) else 0.0)
+    }
+    var failed = List.empty[String]
+    val results = queries.map { case (name, _) =>
+      val times = samples.getOrElse(name, Nil)
+      if (times.isEmpty) failed ::= name
+      name -> (if (times.nonEmpty) (median(times), times.min, times.max)
+               else (-1.0, -1.0, -1.0))
+    }
     // Times print with limited precision so the primary stdout line stays
     // small: the round-4 driver captured only the TAIL of stdout, and one
     // giant line with full-precision doubles + minmax pushed the medians
@@ -61,8 +95,9 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, (m, _, _)) if m >= 0 => m }.sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val compact = s"""{"metric":"total","value":${f(total)},"unit":"sec","trials":$trials,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
-    val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","trials":$trials,"queries":$qs,"minmax":$spread,"errors":$errs,"sf":"$sfDir"}"""
+    val steal = roundSteal.result().map(f).mkString("[", ",", "]")
+    val compact = s"""{"metric":"total","value":${f(total)},"unit":"sec","trials":$trials,"queries":$qs,"errors":$errs,"round_steal_pct":$steal,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","trials":$trials,"queries":$qs,"minmax":$spread,"errors":$errs,"round_steal_pct":$steal,"sf":"$sfDir"}"""
     val out = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, (full + "\n").getBytes("UTF-8"))
