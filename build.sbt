@@ -26,11 +26,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 24g default: an 8g heap at local[32] over sf0.1 leaves the bench
-  // JVM GC-bound once broadcast/codegen debris accumulates across 46
-  // queries; the box has 128g. 512m code cache keeps whole-stage
-  // codegen (hundreds of generated classes per full bench run) from
-  // churning the JIT.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 48g default (box has 128g): measured at local[32]/sf0.1, a 24g
+  // heap left the full bench suite in a G1 regime where the most
+  // allocation-heavy query (q13's per-row JSON parsing) ran ~10x
+  // slower on re-execution; at 48g the same run shows ~20ms young
+  // pauses, zero full GCs, and q13 stable at 0.74s (see
+  // BENCHMARKS.md round 5). 512m code cache keeps whole-stage codegen
+  // (hundreds of generated classes per full bench run) from churning
+  // the JIT.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
   "-XX:ReservedCodeCacheSize=512m",
 )
