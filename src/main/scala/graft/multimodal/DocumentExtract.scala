@@ -12,14 +12,12 @@ import org.apache.spark.sql.functions._
   * DETERMINISTIC extractors — HTML, markdown, plain text — are
   * implemented fully as codegen'd column expressions (no UDFs: every
   * regexp_replace below runs inside whole-stage codegen, scales
-  * per-row, and shuffles nothing). Binary office formats (docx/pptx/
-  * xlsx) genuinely require parser libraries; they surface as
-  * `error`-tagged rows with null text — the same failure contract the
-  * reference emits when its parsers are missing — behind the identical
-  * output schema, so swapping a real parser in later changes no
-  * downstream code. Exception: XLSX — [[graft.sources.Excel]] IS a
-  * real parser (zip + XML are JVM-native); route spreadsheet files
-  * there and keep this extractor for text-bearing formats.
+  * per-row, and shuffles nothing). Binary formats route to their real
+  * first-principles parsers — XLSX → [[graft.sources.Excel]], DOCX/
+  * PPTX → [[Office]], PDF → [[Pdf]] (zip, XML, Inflater are all
+  * JVM-native) — and this extractor error-tags them with the routing
+  * hint behind the identical output schema, so a caller that lands
+  * everything through one entry point loses nothing.
   *
   * Output feeds straight into [[graft.text.TextAnalysis]] (language id,
   * quality metrics, fingerprints — q97–q99 run unchanged over
@@ -102,7 +100,7 @@ object DocumentExtract {
         when(fmt === "excel", lit("spreadsheets route through graft.sources.Excel"))
           .when(fmt === "pdf", lit("PDFs route through graft.multimodal.Pdf"))
           .when(fmt.isin("word", "powerpoint"),
-            concat(lit("no parser for "), fmt, lit(" in this environment")))
+            lit("office documents route through graft.multimodal.Office"))
           .when(fmt === "unknown", lit("unsupported extension")))
   }
 }

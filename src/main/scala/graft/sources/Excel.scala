@@ -130,7 +130,9 @@ object Excel {
   private[graft] def colIndex(cellRef: String): Int =
     cellRef.takeWhile(_.isLetter).foldLeft(0)((acc, ch) => acc * 26 + (ch.toUpper - 'A' + 1))
 
-  private def readZip(bytes: Array[Byte]): Map[String, Array[Byte]] = {
+  /** Shared OOXML-container reader (also used by
+    * [[graft.multimodal.Office]] for docx/pptx). */
+  private[graft] def readZip(bytes: Array[Byte]): Map[String, Array[Byte]] = {
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
     val out = Map.newBuilder[String, Array[Byte]]
     try {

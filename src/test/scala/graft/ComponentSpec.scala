@@ -121,7 +121,7 @@ class ComponentSpec extends SparkSpec {
     assert(out("b/readme.md").getString(3) ==
       "Heading Some emphasis and a link plus code. item one quoted")
     assert(out("c/notes.txt").getLong(4) == 2)
-    assert(out("d/deck.pptx").getString(5).contains("no parser for powerpoint"))
+    assert(out("d/deck.pptx").getString(5).contains("route through graft.multimodal.Office"))
     assert(out("d/deck.pptx").isNullAt(3))
     assert(out("e/file.xyz").getString(5) == "unsupported extension")
   }
