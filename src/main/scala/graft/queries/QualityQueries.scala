@@ -54,6 +54,14 @@ object QualityQueries {
     "q43_profile_drift" -> ((s, d) =>
       Quality.compareProfiles(
         Tables.orders(s, d), profiled.map(_._1).filterNot(_ == "o_orderdate"),
+        ValidationQueries.dirtyOrders(s, d), profiled.map(_._1))),
+
+    // production twin of q43 (the q40a/q42a pattern): both profile
+    // passes are HLL-sketched, no Expand in either scan. Rows-only
+    // driver check; closeness asserted in QualitySpec.
+    "q43a_profile_drift_approx" -> ((s, d) =>
+      Quality.compareProfilesApprox(
+        Tables.orders(s, d), profiled.map(_._1).filterNot(_ == "o_orderdate"),
         ValidationQueries.dirtyOrders(s, d), profiled.map(_._1))))
 
   // ---- q40 oracle: per-column aggregate block + per-column SELECT ----

@@ -177,11 +177,27 @@ object Quality {
     */
   def compareProfiles(
       before: DataFrame, beforeCols: Seq[String],
+      after: DataFrame, afterCols: Seq[String]): DataFrame =
+    compareProfilesWith(profile)(before, beforeCols, after, afterCols)
+
+  /** Scale variant of [[compareProfiles]]: both sides profile via
+    * [[profileApprox]] (HLL unique counts, no Expand — two plain scans
+    * total). Null-rate and mean drift are exact either way; only the
+    * unique_pct_diff column carries sketch error, and drift thresholds
+    * (10 points, [[detectAnomalies]]) dwarf a ~2% relative error. The
+    * production drift monitor for 100 TB snapshots. */
+  def compareProfilesApprox(
+      before: DataFrame, beforeCols: Seq[String],
+      after: DataFrame, afterCols: Seq[String]): DataFrame =
+    compareProfilesWith(profileApprox(_, _))(before, beforeCols, after, afterCols)
+
+  private def compareProfilesWith(prof: (DataFrame, Seq[String]) => DataFrame)(
+      before: DataFrame, beforeCols: Seq[String],
       after: DataFrame, afterCols: Seq[String]): DataFrame = {
-    val b = profile(before, beforeCols).select(
+    val b = prof(before, beforeCols).select(
       col("column"),
       col("null_pct").as("_b_null"), col("unique_pct").as("_b_uni"), col("mean_val").as("_b_mean"))
-    val a = profile(after, afterCols).select(
+    val a = prof(after, afterCols).select(
       col("column"),
       col("null_pct").as("_a_null"), col("unique_pct").as("_a_uni"), col("mean_val").as("_a_mean"))
     b.join(a, Seq("column"), "full_outer")

@@ -69,6 +69,20 @@ class QualitySpec extends SparkSpec {
     assert(!approxPlan.contains("Expand"), s"approx datasetQuality must not Expand:\n$approxPlan")
   }
 
+  test("compareProfilesApprox tracks exact drift and plans no Expand") {
+    val o = Tables.orders(spark, sfDir)
+    val cols = Seq("o_orderkey", "o_totalprice", "o_orderstatus")
+    val shrunk = o.limit(500)
+    val exact = Quality.compareProfiles(o, cols, shrunk, cols).collect()
+      .map(r => r.getAs[String]("column") -> r.getAs[Double]("null_pct_diff")).toMap
+    val approx = Quality.compareProfilesApprox(o, cols, shrunk, cols).collect()
+      .map(r => r.getAs[String]("column") -> r.getAs[Double]("null_pct_diff")).toMap
+    cols.foreach(c => assert(math.abs(approx(c) - exact(c)) < 1e-9)) // null drift is exact
+    val plan = Quality.compareProfilesApprox(o, cols, shrunk, cols)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"approx drift must not Expand:\n$plan")
+  }
+
   test("outliersIqr flags values beyond the Tukey fences") {
     import spark.implicits._
     val d = (Seq.fill(20)(10.0) ++ Seq(1000.0)).toDF("v")
