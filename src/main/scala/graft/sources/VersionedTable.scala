@@ -205,6 +205,42 @@ object VersionedTable {
     commit(spark, table, cur.drop(name))
   }
 
+  /** OPTIMIZE-style compaction (Delta's bin-packing rewrite; ref
+    * storage/delta.py's maintenance surface): rewrite the current
+    * snapshot into ~`targetFileBytes` files, optionally clustering
+    * rows by `clusterBy` columns on the way (sorted parquet row groups
+    * carry tighter min/max stats → better predicate pruning for every
+    * later reader — the single cheapest read-amplification fix on a
+    * streaming-ingested table full of small files). Committed as a
+    * normal version: time travel still sees the un-compacted history,
+    * readers never observe a half-rewritten table, and a failed
+    * compaction leaves nothing behind (the WAP contract). Returns the
+    * committed version. */
+  def compact(
+      spark: SparkSession, table: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      clusterBy: Seq[String] = Seq.empty): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val current = currentVersion(spark, table)
+      .getOrElse(throw new IllegalArgumentException(s"no committed versions at $table"))
+    val dir = versionDir(table, current)
+    val f = fs(spark, table)
+    // size the output file count from the CURRENT snapshot's real bytes
+    // (not row counts — compression ratio is what matters)
+    val bytes = f.listStatus(dir).filter(_.isFile)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val snapshot = read(spark, table, Some(current))
+    val packed =
+      if (clusterBy.nonEmpty)
+        // range-partition on the cluster key: each output file owns a
+        // contiguous key range → min/max pruning works across files too
+        snapshot.repartitionByRange(nFiles, clusterBy.map(col): _*)
+          .sortWithinPartitions(clusterBy.map(col): _*)
+      else snapshot.coalesce(nFiles)
+    commit(spark, table, packed)
+  }
+
   /** delta.py:336 vacuum: expire all but the newest `keep` committed
     * versions (and any marker-less debris from failed writes). Readers
     * of expired versions lose time travel — same contract as Delta's

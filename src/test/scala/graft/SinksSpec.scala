@@ -108,6 +108,33 @@ class SinksSpec extends SparkSpec {
     assert(VersionedTable.read(spark, t, Some(1)).columns.toSeq == Seq("id", "s"))
   }
 
+  test("versioned table: compaction bin-packs small files and preserves data + history") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val t = java.nio.file.Files.createTempDirectory("graft_vt4").toString + "/tbl"
+    // streaming-ingest shape: a snapshot fragmented into many tiny files
+    val rows = (1L to 2000L).map(i => (i, i % 7, s"payload_$i")).toDF("id", "k", "s")
+    VersionedTable.commit(spark, t, rows.repartition(32))
+    def filesOf(v: Int): Seq[Path] = {
+      val fsys = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.listStatus(new Path(t, f"v=$v%05d")).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet")).map(_.getPath)
+    }
+    assert(filesOf(1).size == 32)
+    val v2 = VersionedTable.compact(spark, t, targetFileBytes = 1024L * 1024)
+    assert(v2 == 2 && filesOf(2).size < 8) // 2000 tiny rows pack into few files
+    // data identical, history intact, old fragmentation still time-travelable
+    assert(VersionedTable.read(spark, t).collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 2000L))
+    assert(filesOf(1).size == 32)
+    // clustered compaction: range partitioning keeps each key's rows in
+    // one file → a k-filter prunes to a subset of files via min/max
+    val v3 = VersionedTable.compact(spark, t, targetFileBytes = 16L * 1024, clusterBy = Seq("k"))
+    assert(v3 == 3)
+    assert(VersionedTable.read(spark, t).filter(col("k") === 3).count() ==
+      (1L to 2000L).count(_ % 7 == 3))
+  }
+
   test("cosine_similarity is SQL-callable after registration") {
     CosineSimilarity.registerSql(spark)
     val v = spark.sql(
