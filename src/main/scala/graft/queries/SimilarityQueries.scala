@@ -25,7 +25,13 @@ object SimilarityQueries {
     "q95_knn_brute" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Ann.knnBrute(emb, emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", k = 5)
-    }))
+    }),
+
+    // embedding-cosine near-dup pairs, exact semantics gate (threshold
+    // chosen so the synthetic corpus yields a few hundred pairs); the
+    // 100 TB path is cosineNearDupLsh — recall-tested in SimilaritySpec
+    "q116_embed_neardup" -> ((s, d) =>
+      Ann.cosineNearDupBrute(Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.35)))
 
   val oracles: Map[String, String] = Map(
     "q95_knn_brute" ->
@@ -47,5 +53,20 @@ object SimilarityQueries {
          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                  ORDER BY cosine DESC, neighbor_id) AS rank
                FROM pairs)
-         WHERE rank <= 5""")
+         WHERE rank <= 5""",
+
+    "q116_embed_neardup" ->
+      """SELECT * FROM (
+           SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+             round(
+               list_sum(list_transform(range(1, len(a.embedding) + 1),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+                    i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
+               4) AS cosine
+           FROM embeddings a, embeddings b
+           WHERE a.vec_id < b.vec_id)
+         WHERE cosine >= 0.35""")
 }

@@ -135,6 +135,49 @@ object Ann {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Exact embedding near-dup PAIRS: every (id_1 < id_2) pair with
+    * cosine ≥ threshold. O(n²) similarity evaluations — the semantics
+    * baseline and oracle for [[cosineNearDupLsh]], same division of
+    * labor as exact Jaccard (q91) vs MinHash+LSH (q92). Run it on a
+    * sample or a single shard; never on the corpus. */
+  def cosineNearDupBrute(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, roundTo: Int = 4): DataFrame = {
+    val a = df.select(col(idCol).as("id_1"), col(vecCol).as("_v1"))
+    val b = df.select(col(idCol).as("id_2"), col(vecCol).as("_v2"))
+    a.crossJoin(broadcast(b)) // oracle-scale input: one side fits by contract
+      .filter(col("id_1") < col("id_2"))
+      .withColumn("cosine", round(cosineSim(col("_v1"), col("_v2")), roundTo))
+      .filter(col("cosine") >= threshold)
+      .select("id_1", "id_2", "cosine")
+  }
+
+  /** Scale path for embedding near-dup pairs: hyperplane band buckets
+    * generate candidates (vectors sharing ≥1 of `bands` sign-pattern
+    * signatures — one shuffle on (band, sig), bucket-bounded fan-out),
+    * then the exact codegen'd cosine verifies each candidate once.
+    * Recall is a function of the true cosine: a 0.95-cosine pair
+    * survives 4×4-bit banding with p ≈ 0.99 (each bit agrees with
+    * p = 1 − θ/π ≈ 0.9), which is exactly the near-DUPLICATE regime
+    * this exists for; distant pairs are pruned, which is the point.
+    * Output feeds [[graft.dedup.TextDedup.dedupClusters]] unchanged
+    * for embedding-level corpus dedup. */
+  def cosineNearDupLsh(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int,
+      bands: Int = 4, bitsPerBand: Int = 4, seed: Long = 42L,
+      roundTo: Int = 4): DataFrame = {
+    val sig = bandSignatures(df, idCol, vecCol, bands, bitsPerBand, dim, seed)
+    sig.toDF("id_1", "_v1", "band", "sig")
+      .join(sig.toDF("id_2", "_v2", "band", "sig"), Seq("band", "sig"))
+      .filter(col("id_1") < col("id_2"))
+      .select("id_1", "_v1", "id_2", "_v2")
+      .dropDuplicates("id_1", "id_2")
+      .withColumn("cosine", round(cosineSim(col("_v1"), col("_v2")), roundTo))
+      .filter(col("cosine") >= threshold)
+      .select("id_1", "id_2", "cosine")
+  }
+
   /** Approximate top-k: score only corpus vectors sharing ≥1 band
     * signature with the query. One shuffle on (band, sig); candidate
     * count per query is bucket-bounded, not corpus-bounded. */

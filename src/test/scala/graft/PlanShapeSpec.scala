@@ -15,8 +15,12 @@ class PlanShapeSpec extends SparkSpec {
   // q91's distinct-bitmask all-pairs (tiny-vocab fast path: the cross
   // side is the deduplicated mask set, bounded by min(2^vocab, #docs)).
   // Everything else must join on keys.
+  // q116's exact all-pairs cosine is the oracle baseline for the
+  // LSH-bucketed production path (Ann.cosineNearDupLsh) — same
+  // division of labor as q91 vs q92.
   private val intentionalCross =
-    Set("q41_outliers", "q60_qa_compare", "q95_knn_brute", "q91_dedup_jaccard")
+    Set("q41_outliers", "q60_qa_compare", "q95_knn_brute", "q91_dedup_jaccard",
+      "q116_embed_neardup")
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.map { case (name, fn) =>

@@ -61,6 +61,32 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("cosine near-dup pairs: brute = ground truth, LSH recalls planted dups, prunes noise") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val base = (0L until 60L).map(i => i -> Array.fill(dim)(rnd.nextGaussian().toFloat))
+    // plant 12 jittered near-duplicates (cosine ~0.99)
+    val planted = (0L until 12L).map { i =>
+      (1000L + i) -> base(i.toInt)._2.map(x => x + 0.04f * rnd.nextGaussian().toFloat)
+    }
+    val corpus = (base ++ planted).toDF("vec_id", "embedding")
+    val brute = Ann.cosineNearDupBrute(corpus, "vec_id", "embedding", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: exactly the planted pairs
+    assert(brute == (0L until 12L).map(i => (i, 1000L + i)).toSet)
+    val lsh = Ann.cosineNearDupLsh(corpus, "vec_id", "embedding", threshold = 0.9, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute), "LSH verify must never emit a below-threshold pair")
+    assert(lsh.size >= 11, s"recall ${lsh.size}/12") // ≥~0.99^12 expected survival
+    // feeds cluster resolution unchanged: each dup pair collapses to min id
+    val pairs = Ann.cosineNearDupLsh(corpus, "vec_id", "embedding", threshold = 0.9, dim = dim)
+    val clusters = graft.dedup.TextDedup.dedupClusters(
+      pairs, corpus.select(col("vec_id").as("id")))
+    val byCluster = clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    lsh.foreach { case (a, b) => assert(byCluster(b) == byCluster(a)) }
+  }
+
   test("IVF ANN: planted near-neighbors recovered with bounded probing") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
