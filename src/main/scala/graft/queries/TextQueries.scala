@@ -133,6 +133,9 @@ object TextQueries {
         SELECT doc_id,
           CAST(length(text) AS BIGINT) AS n_chars,
           CAST(len(tk) AS BIGINT) AS n_tokens,
+          CAST(len(regexp_extract_all(text,
+            '${graft.text.TextAnalysis.BpeishPattern.replace("'", "''")}')) AS BIGINT)
+            AS n_bpeish_tokens,
           list_sum(list_transform(tk, t -> length(t))) * 1.0 / len(tk) AS avg_token_len,
           len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) * 1.0 / length(text) AS punct_ratio,
           len(regexp_extract_all(text, '[A-Z]')) * 1.0 / length(text) AS upper_ratio,

@@ -49,10 +49,26 @@ object TextAnalysis {
     cases.otherwise("unknown")
   }
 
-  /** Quality metrics struct: n_chars, n_tokens, avg_token_len,
-    * punct_ratio, upper_ratio, stopword_ratio, quality_score —
-    * the length/punctuation/stopword heuristics a pretraining filter
-    * applies per document. */
+  /** GPT-2-style pre-tokenizer pattern, lookahead-free: contraction
+    * suffixes, space-prefixed letter runs, digit runs, symbol runs,
+    * residual whitespace. RE2-compatible (no `(?!…)`), so the SAME
+    * pattern replays in the DuckDB oracle — the full GPT-2 pattern's
+    * trailing-space lookahead only changes how inter-token whitespace
+    * groups, not the count's scaling behavior. */
+  val BpeishPattern: String = "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+|\\s+"
+
+  /** Sub-word-ish token count: matches of [[BpeishPattern]]. Tracks a
+    * real BPE tokenizer's pre-tokenization count (each match splits
+    * into ≥1 merges), which is the budgeting signal a training-data
+    * pipeline needs — sequence-length estimation, cost accounting —
+    * without shipping a merges table. Pure codegen'd expression. */
+  def bpeishTokenCount(text: Column): Column =
+    coalesce(regexp_count(text, lit(BpeishPattern)), lit(0)).cast("long")
+
+  /** Quality metrics struct: n_chars, n_tokens, n_bpeish_tokens,
+    * avg_token_len, punct_ratio, upper_ratio, stopword_ratio,
+    * quality_score — the length/punctuation/stopword heuristics a
+    * pretraining filter applies per document. */
   def qualityMetrics(text: Column): Column = {
     val toks = tokens(text)
     val nChars = length(text)
@@ -71,6 +87,7 @@ object TextAnalysis {
     struct(
       nChars.cast("long").as("n_chars"),
       nToks.cast("long").as("n_tokens"),
+      bpeishTokenCount(text).as("n_bpeish_tokens"),
       (sumLen * 1.0 / nToks).as("avg_token_len"),
       punctRatio.as("punct_ratio"),
       (upper * 1.0 / nChars).as("upper_ratio"),

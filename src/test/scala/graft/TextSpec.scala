@@ -21,6 +21,29 @@ class TextSpec extends SparkSpec {
       .collect().foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
   }
 
+  test("bpeishTokenCount: contractions split, runs group, whitespace-type boundaries") {
+    import spark.implicits._
+    import graft.text.TextAnalysis
+    val cases = Seq(
+      "don't stop",  // don + 't + " stop" = 3
+      "hello world", // two space-prefixed letter runs = 2
+      "abc123",      // letter run + digit run = 2
+      "a,b",         // a + , + b = 3
+      "")            // 0
+    val got = cases.toDF("t")
+      .select(TextAnalysis.bpeishTokenCount(org.apache.spark.sql.functions.col("t")))
+      .collect().map(_.getLong(0)).toSeq
+    // verify against the JVM regex directly — the column must agree
+    val p = java.util.regex.Pattern.compile(TextAnalysis.BpeishPattern)
+    val expected = cases.map { s =>
+      val m = p.matcher(s); var n = 0L; while (m.find()) n += 1; n
+    }
+    assert(got == expected)
+    assert(expected(1) == 2L && expected(2) == 2L && expected(3) == 3L && expected(4) == 0L)
+    // "don't" splits the contraction: don + 't (+ " stop")
+    assert(expected(0) == 3L)
+  }
+
   test("fingerprint is order-sensitive; normalizedFingerprint is layout-invariant") {
     import spark.implicits._
     val df = Seq(
