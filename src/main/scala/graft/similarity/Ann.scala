@@ -178,6 +178,21 @@ object Ann {
       .select("id_1", "id_2", "cosine")
   }
 
+  /** End-to-end embedding-level near-dup REMOVAL: LSH pair generation →
+    * connected components → keep the minimum-id row per cluster — the
+    * embedding-space mirror of
+    * [[graft.dedup.TextDedup.removeNearDuplicates]] (crawl corpora
+    * carry both text-level and representation-level duplicates; the
+    * second kind survives text dedup when boilerplate differs). */
+  def removeNearDuplicateEmbeddings(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int,
+      bands: Int = 4, bitsPerBand: Int = 4, seed: Long = 42L): DataFrame = {
+    val pairs = cosineNearDupLsh(df, idCol, vecCol, threshold, dim, bands, bitsPerBand, seed)
+    val clusters = graft.dedup.TextDedup.dedupClusters(pairs, df.select(col(idCol).as("id")))
+    df.join(clusters.filter(col("id") === col("cluster_id")).select(col("id").as(idCol)), Seq(idCol))
+  }
+
   /** Approximate top-k: score only corpus vectors sharing ≥1 band
     * signature with the query. One shuffle on (band, sig); candidate
     * count per query is bucket-bounded, not corpus-bounded. */

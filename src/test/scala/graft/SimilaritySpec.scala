@@ -85,6 +85,12 @@ class SimilaritySpec extends SparkSpec {
       pairs, corpus.select(col("vec_id").as("id")))
     val byCluster = clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     lsh.foreach { case (a, b) => assert(byCluster(b) == byCluster(a)) }
+    // end-to-end removal: exactly one survivor (the min id) per dup pair
+    val kept = Ann.removeNearDuplicateEmbeddings(
+      corpus, "vec_id", "embedding", threshold = 0.9, dim = dim)
+      .collect().map(_.getLong(0)).toSet
+    lsh.foreach { case (a, b) => assert(kept(a) && !kept(b), s"pair ($a,$b)") }
+    assert(kept.size == 72 - lsh.size)
   }
 
   test("IVF ANN: planted near-neighbors recovered with bounded probing") {
