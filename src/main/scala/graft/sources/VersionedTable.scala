@@ -109,6 +109,52 @@ object VersionedTable {
     }
   }
 
+  /** Idempotent append keyed by a caller token (txn-app-id semantics —
+    * the contract Delta's `txnAppId`/`txnVersion` gives streaming
+    * writers): if ANY committed version already carries `token`, the
+    * call is a no-op returning that version. The token lands as a
+    * `_TXN_<token>` marker file inside the version directory BEFORE
+    * the commit marker, so a retried micro-batch — the normal failure
+    * mode of foreachBatch, which replays a batch id on recovery —
+    * can never double-append. Token scan is one directory listing per
+    * committed version (metadata-only). */
+  def appendIdempotent(
+      spark: SparkSession, table: String, rows: DataFrame, token: String,
+      audit: DataFrame => Unit = _ => ()): Int = {
+    require(token.matches("[A-Za-z0-9._-]+"), s"token must be filename-safe, got '$token'")
+    val f = fs(spark, table)
+    val existing = versions(spark, table).find(v =>
+      f.exists(new Path(versionDir(table, v), s"_TXN_$token")))
+    existing.getOrElse {
+      val base = currentVersion(spark, table).map(_ => read(spark, table))
+      commitWithExtras(spark, table,
+        base.map(_.unionByName(rows, allowMissingColumns = true)).getOrElse(rows),
+        audit, extraMarkers = Seq(s"_TXN_$token"))
+    }
+  }
+
+  /** [[commit]] plus extra marker files created before `_COMMITTED`
+    * (visible exactly when the version is). */
+  private def commitWithExtras(
+      spark: SparkSession, table: String, df: DataFrame,
+      audit: DataFrame => Unit, extraMarkers: Seq[String]): Int = {
+    val f = fs(spark, table)
+    var v = currentVersion(spark, table).getOrElse(0) + 1
+    while (f.exists(versionDir(table, v)) || !f.mkdirs(versionDir(table, v))) v += 1
+    val dir = versionDir(table, v)
+    try {
+      df.write.mode("overwrite").parquet(dir.toString)
+      audit(spark.read.parquet(dir.toString))
+      extraMarkers.foreach(m => require(f.createNewFile(new Path(dir, m)), s"marker $m exists"))
+      require(f.createNewFile(new Path(dir, Marker)), s"marker already exists in $dir")
+      v
+    } catch {
+      case e: Throwable =>
+        f.delete(dir, true)
+        throw e
+    }
+  }
+
   /** delta.py:115 append: previous snapshot ∪ new rows, as one commit. */
   def append(
       spark: SparkSession, table: String, rows: DataFrame,

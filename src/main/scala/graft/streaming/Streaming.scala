@@ -20,6 +20,29 @@ import graft.medallion.Gold
   */
 object Streaming {
 
+  /** Exactly-once streaming sink into a versioned lakehouse table:
+    * each micro-batch appends through
+    * [[graft.sources.VersionedTable.appendIdempotent]] keyed by
+    * `<queryName>-<batchId>` — Structured Streaming replays a batch id
+    * after recovery (at-least-once delivery to foreachBatch), and the
+    * idempotence token collapses the replay to a no-op, yielding
+    * end-to-end exactly-once WITHOUT a Delta/Iceberg jar (the
+    * txnAppId/txnVersion contract on the marker-file format). The
+    * per-batch transform runs on a plain batch DataFrame, so every
+    * batch-layer operator applies unchanged inside the stream. */
+  def foreachBatchVersioned(
+      stream: DataFrame,
+      table: String,
+      queryName: String,
+      transform: DataFrame => DataFrame = identity): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .queryName(queryName)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.sources.VersionedTable.appendIdempotent(
+          batch.sparkSession, table, transform(batch.toDF()), s"$queryName-$batchId")
+        ()
+      }
+
   /** Windowed aggregation with a watermark. Reuses [[Gold.AggSpec]] so
     * batch and streaming compute identical aggregate expressions
     * (append mode: a window emits once, when the watermark passes its

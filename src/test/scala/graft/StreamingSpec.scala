@@ -137,4 +137,34 @@ class StreamingSpec extends SparkSpec {
         s"disjoint late events must not widen the open session: $sessions")
     } finally q.stop()
   }
+
+  test("foreachBatchVersioned: one committed version per micro-batch, replay is a no-op") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    implicit val sqlCtx = spark.sqlContext
+    val table = java.nio.file.Files.createTempDirectory("graft_stream_vt").toString + "/tbl"
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.foreachBatchVersioned(
+      in.toDF().toDF("id", "v"), table, queryName = "evt_sink",
+      transform = _.withColumn("tag", lit("s")))
+      .start()
+    try {
+      in.addData((1L, "a")); drain(q)
+      in.addData((2L, "b"), (3L, "c")); drain(q)
+      assert(VersionedTable.read(spark, table).count() == 3)
+      assert(VersionedTable.versions(spark, table).size == 2)
+      assert(VersionedTable.read(spark, table).columns.contains("tag"))
+    } finally q.stop()
+    // recovery semantics: foreachBatch replays a batch id — simulate the
+    // retry directly; the txn token collapses it to the committed version
+    val replayRows = Seq((1L, "a")).toDF("id", "v").withColumn("tag", lit("s"))
+    val vBefore = VersionedTable.currentVersion(spark, table).get
+    val vReplay = VersionedTable.appendIdempotent(spark, table, replayRows, "evt_sink-0")
+    assert(vReplay == 1, "replayed batch 0 must return its original version")
+    assert(VersionedTable.currentVersion(spark, table).contains(vBefore))
+    assert(VersionedTable.read(spark, table).count() == 3, "no double-append on replay")
+    // a NEW token still appends
+    val v3 = VersionedTable.appendIdempotent(spark, table, replayRows, "evt_sink-99")
+    assert(v3 == vBefore + 1 && VersionedTable.read(spark, table).count() == 4)
+  }
 }
