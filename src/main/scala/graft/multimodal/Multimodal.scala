@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   * Images/audio/video travel through the pipeline as `binary` columns
   * with a metadata struct; Spark never interprets the bytes. The
   * plumbing — schema, chunking, frame sampling, batch shapes — is real
-  * and tested; the only stub is the media DECODE step
-  * ([[decodeImageStub]]), because no imaging/audio libraries exist in
-  * this environment. A production deployment swaps the stub for a
-  * `mapPartitions` (or Python `mapInPandas`) decoder with the same
-  * output schema — nothing upstream or downstream changes.
+  * and tested. Decoders now exist for every JVM-native format: images →
+  * [[Image]] (`javax.imageio`: PNG/JPEG/BMP/GIF decode, features,
+  * thumbnails), audio → [[Audio]] (PCM WAV), documents → [[Pdf]] /
+  * [[Office]] / [[graft.sources.Excel]]. [[decodeImageStub]] remains
+  * only as the schema-stable stand-in for formats with no JVM codec
+  * (webp/heic/video) — swap a `mapPartitions` decoder behind the same
+  * schema and nothing upstream or downstream changes.
   */
 object Multimodal {
 
