@@ -95,7 +95,11 @@ object Office {
         val slides = slideParts.map { part =>
           val xml = scala.xml.XML.loadString(new String(parts(part), "UTF-8"))
           // shapes with a text frame; shape.text = its a:p paragraphs
-          // joined "\n" (python-pptx semantics, documents.py:166-169)
+          // joined "\n" (python-pptx semantics, documents.py:166-169).
+          // Descendant search deliberately includes shapes nested in
+          // group shapes — python-pptx's top-level loop SKIPS grouped
+          // text, which is a text-extraction loss, not a behavior worth
+          // preserving (the reference's own goal is "all slide text").
           (xml \\ "sp")
             .flatMap { sp =>
               val tb = sp \ "txBody"
