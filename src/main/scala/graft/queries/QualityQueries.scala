@@ -39,6 +39,13 @@ object QualityQueries {
     "q41_outliers" -> ((s, d) =>
       Quality.outliersIqr(Tables.lineitem(s, d), iqrCols)),
 
+    // production twin of q41: approx_percentile bounds (no per-column
+    // full sort) — fences shift within sketch error, which is fine for
+    // a heuristic outlier screen. Engine-specific sketch ⇒ rows-only
+    // driver check; QualitySpec asserts fence closeness vs exact.
+    "q41a_outliers_approx" -> ((s, d) =>
+      Quality.outliersIqr(Tables.lineitem(s, d), iqrCols, exact = false)),
+
     "q42_dataset_quality" -> ((s, d) =>
       Quality.datasetQuality(ValidationQueries.dirtyOrders(s, d))),
 

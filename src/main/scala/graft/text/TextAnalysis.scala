@@ -115,4 +115,42 @@ object TextAnalysis {
   /** Content fingerprint invariant to whitespace/punctuation layout:
     * md5 of the space-joined token sequence. */
   def normalizedFingerprint(text: Column): Column = md5(concat_ws(" ", tokens(text)))
+
+  /** Key-value extraction from structured-ish text (ref
+    * llm/entity_extractor.py:189 `extract_key_values` — there an LLM
+    * prompt; here the deterministic core it falls back to in spirit:
+    * `Key: Value` / `Key = Value` lines, the shape of headers, config
+    * blocks, form exports and log preambles). Keys normalize to
+    * snake_case; the FIRST occurrence of a duplicate key wins (document
+    * order, reproducible). Pure column expressions → map<string,string>.
+    * Free-prose extraction stays the LLM's job — the seam, as
+    * everywhere, is the schema this returns. */
+  def keyValues(text: Column): Column = {
+    val rx = "^\\s*([^:=\\n]{1,64}?)\\s*[:=]\\s*(.+?)\\s*$"
+    val entries = filter(
+      transform(split(text, "\r?\n"), l => {
+        val k = regexp_extract(l, rx, 1)
+        val v = regexp_extract(l, rx, 2)
+        when(k =!= "" && v =!= "",
+          struct(
+            lower(regexp_replace(trim(k), "[^A-Za-z0-9]+", "_")).as("key"),
+            v.as("value")))
+      }),
+      e => e.isNotNull)
+    // first-wins dedup: keep entry i only if no earlier entry has its key
+    val deduped = filter(entries, (e, i) =>
+      !exists(slice(entries, lit(1), i), p => p.getField("key") === e.getField("key")))
+    map_from_entries(deduped)
+  }
+
+  /** entity_extractor.py:193 `expected_keys` contract: one column per
+    * expected key (normalized), null when absent. */
+  def extractKeys(text: Column, expectedKeys: Seq[String]): Column = {
+    require(expectedKeys.nonEmpty, "extractKeys needs at least one key")
+    val kv = keyValues(text)
+    struct(expectedKeys.map { k =>
+      val norm = k.trim.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+      element_at(kv, norm).as(norm)
+    }: _*)
+  }
 }

@@ -19,8 +19,8 @@ class PlanShapeSpec extends SparkSpec {
   // LSH-bucketed production path (Ann.cosineNearDupLsh) — same
   // division of labor as q91 vs q92.
   private val intentionalCross =
-    Set("q41_outliers", "q60_qa_compare", "q95_knn_brute", "q91_dedup_jaccard",
-      "q116_embed_neardup")
+    Set("q41_outliers", "q41a_outliers_approx", "q60_qa_compare", "q95_knn_brute",
+      "q91_dedup_jaccard", "q116_embed_neardup")
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.map { case (name, fn) =>

@@ -83,6 +83,21 @@ class QualitySpec extends SparkSpec {
     assert(!plan.contains("Expand"), s"approx drift must not Expand:\n$plan")
   }
 
+  test("approx outliers track the exact fences within sketch tolerance") {
+    val li = Tables.lineitem(spark, sfDir)
+    val cols = Seq("l_quantity", "l_extendedprice")
+    val exact = Quality.outliersIqr(li, cols).collect()
+      .map(r => r.getAs[String]("column") -> (r.getAs[Double]("q1"), r.getAs[Double]("q3"))).toMap
+    val approx = Quality.outliersIqr(li, cols, exact = false).collect()
+      .map(r => r.getAs[String]("column") -> (r.getAs[Double]("q1"), r.getAs[Double]("q3"))).toMap
+    cols.foreach { c =>
+      val ((eq1, eq3), (aq1, aq3)) = (exact(c), approx(c))
+      val spreadE = math.max(eq3 - eq1, 1e-9)
+      assert(math.abs(aq1 - eq1) / spreadE < 0.05, s"$c q1: $aq1 vs $eq1")
+      assert(math.abs(aq3 - eq3) / spreadE < 0.05, s"$c q3: $aq3 vs $eq3")
+    }
+  }
+
   test("outliersIqr flags values beyond the Tukey fences") {
     import spark.implicits._
     val d = (Seq.fill(20)(10.0) ++ Seq(1000.0)).toDF("v")

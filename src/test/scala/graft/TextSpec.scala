@@ -44,6 +44,34 @@ class TextSpec extends SparkSpec {
     assert(expected(0) == 3L)
   }
 
+  test("keyValues parses colon/equals lines, snake_cases keys, first duplicate wins") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.text.TextAnalysis
+    val doc =
+      """Invoice Number: INV-2024-001
+        |Customer Name = Acme Corp
+        |  Total Amount:  1,234.56
+        |free prose line without a separator
+        |Invoice Number: DUPLICATE-SHOULD-LOSE
+        |: no key
+        |Empty Value:
+        |""".stripMargin
+    val kv = Seq(doc).toDF("t")
+      .select(TextAnalysis.keyValues(col("t")).as("kv"))
+      .collect().head.getMap[String, String](0)
+    assert(kv("invoice_number") == "INV-2024-001") // first wins
+    assert(kv("customer_name") == "Acme Corp")
+    assert(kv("total_amount") == "1,234.56")
+    assert(kv.size == 3) // prose, keyless and valueless lines dropped
+    val typed = Seq(doc).toDF("t")
+      .select(TextAnalysis.extractKeys(col("t"),
+        Seq("Invoice Number", "Customer Name", "Missing Key")).as("e"))
+      .select("e.*").collect().head
+    assert(typed.getAs[String]("invoice_number") == "INV-2024-001")
+    assert(typed.getAs[String]("missing_key") == null)
+  }
+
   test("fingerprint is order-sensitive; normalizedFingerprint is layout-invariant") {
     import spark.implicits._
     val df = Seq(
