@@ -81,6 +81,10 @@ object Pdf {
     // search runs over the raw bytes without corruption.
     val raw = new String(bytes, "ISO-8859-1")
     if (!raw.startsWith("%PDF")) return Left("not a PDF (missing %PDF header)")
+    // conservative: /Encrypt ANYWHERE error-tags (a trailer-only check
+    // needs xref parsing, which this scanner deliberately skips; a
+    // false positive degrades to the reference's own missing-parser
+    // behavior rather than emitting ciphertext as "text")
     if (raw.contains("/Encrypt")) return Left("encrypted PDF unsupported")
     val objs = scanObjects(bytes, raw)
     if (objs.isEmpty) return Left("no PDF objects found")

@@ -117,7 +117,13 @@ object VersionedTable {
     * the commit marker, so a retried micro-batch — the normal failure
     * mode of foreachBatch, which replays a batch id on recovery —
     * can never double-append. Token scan is one directory listing per
-    * committed version (metadata-only). */
+    * committed version (metadata-only).
+    *
+    * Contract: one writer per token namespace (a streaming query is a
+    * single writer replaying its own batch ids — the foreachBatch
+    * model). Two CONCURRENT writers racing the same fresh token could
+    * both pass the scan and commit twice; cross-process same-token
+    * fencing needs the catalog lock a real table format provides. */
   def appendIdempotent(
       spark: SparkSession, table: String, rows: DataFrame, token: String,
       audit: DataFrame => Unit = _ => ()): Int = {
