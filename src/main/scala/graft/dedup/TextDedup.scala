@@ -140,7 +140,16 @@ object TextDedup {
     * incompatible pairs BEFORE the pair aggregation, shrinking its
     * input by ~an order of magnitude at high thresholds without
     * changing a single output row. */
-  def jaccardPairsItemJoin(sets: DataFrame, threshold: Double): DataFrame = {
+  def jaccardPairsItemJoin(sets0: DataFrame, threshold: Double): DataFrame = {
+    // The sets lineage (tokenize/shingle Generate + DISTINCT shuffle)
+    // feeds four consumers below (sizes, probe, build — and the probe's
+    // band explode makes the subtrees non-identical, so ReusedExchange
+    // cannot collapse them). Materialize ONCE into executor-local
+    // checkpoint blocks — same eager-localCheckpoint discipline as the
+    // bitmask path's masks: nothing stays registered in the cache
+    // manager, blocks free with the DataFrame. Measured at sf0.1 this
+    // removes 3 of 4 shingle-set evaluations from q94's plan.
+    val sets = sets0.localCheckpoint(true)
     val sizes = sets.groupBy("id").agg(count(lit(1)).as("sz"))
     val withSz = sets.join(sizes, "id") // sizes side is tiny → auto-broadcast
     // Size-ratio-compatible pairs sit in the same or adjacent log-band

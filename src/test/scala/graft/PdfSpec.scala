@@ -93,6 +93,27 @@ class PdfSpec extends SparkSpec {
     assert(out(1).getAs[String]("text") == null && out(1).getAs[String]("error") != null)
   }
 
+  test("property: random text round-trips through build→escape→parse (seeded)") {
+    // strings drawn from a hostile alphabet: parens (nested + unbalanced),
+    // backslashes, newlines, tabs, digits — everything the literal-string
+    // grammar has to escape or pass through
+    val alphabet = "ab c(d)e\\f\n\tg0(9"
+    for (seed <- 1 to 20) {
+      val rnd = new scala.util.Random(seed)
+      val text = Seq.fill(1 + rnd.nextInt(80))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      val escaped = text.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+      val content = s"BT ($escaped) Tj ET".getBytes("UTF-8")
+      val pdf = onePagePdf(content)
+      Pdf.extractText(pdf) match {
+        case Right((1, got)) => assert(got == text, s"seed=$seed: ${got} != ${text}")
+        case Right((n, _))   => fail(s"seed=$seed: $n pages")
+        case Left(err) =>
+          // an all-whitespace draw legitimately error-tags as image-only
+          assert(text.trim.isEmpty && err.contains("image-only"), s"seed=$seed: $err")
+      }
+    }
+  }
+
   test("q103 query matches its oracle reconstruction on sf0.001") {
     val q = SparkEntry.queries("q103_pdf_extract")(spark, sfDir)
     val docs = Tables.documents(spark, sfDir).select(
