@@ -233,7 +233,13 @@ object TextDedup {
       .select("id_1", "id_2", "jaccard")
   }
 
-  /** The full MinHash+LSH near-dup pipeline over word n-gram shingles. */
+  /** The full MinHash+LSH near-dup pipeline over word n-gram shingles.
+    * The shingle lineage feeds both the signature aggregation and the
+    * verification join, but — unlike the item-join path — those two
+    * subtrees are IDENTICAL, so ReusedExchange already collapses the
+    * distinct shuffle to one execution; an explicit checkpoint here was
+    * measured SLOWER (q92 2.1 → 3.6 s: pure added materialization).
+    * Checkpoint only where plan shape defeats reuse (jaccardPairsItemJoin). */
   def minhashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 16, bands: Int = 8, threshold: Double = 0.5): DataFrame = {
