@@ -58,6 +58,23 @@ object TextQueries {
         .select(col("doc_id"), col("doc_format"), col("title"), col("text"), col("line_count"))
     }),
 
+    // Repetition metrics (Gopher filter family): the corpus text is
+    // single-line, so the query manufactures line/paragraph structure
+    // deterministically — sentence breaks become newlines and the text
+    // is doubled with a blank-line separator (⇒ every paragraph is a
+    // duplicate: dup_para_frac = 0.5 exactly; line/bigram fractions
+    // vary per document). Oracle replays the same construction.
+    "q117_repetition" -> ((s, d) => {
+      val multi = concat(
+        regexp_replace(col("text"), "\\. ", ".\n"), lit("\n\n"),
+        regexp_replace(col("text"), "\\. ", ".\n"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.repetitionMetrics(multi).as("_m"),
+        TextAnalysis.passesRepetitionFilter(multi).as("passes"))
+        .select(col("doc_id"), col("_m.*"), col("passes"))
+    }),
+
     // End-to-end PDF extraction gate: build a real two-page PDF per
     // document (catalog → page tree → per-page content streams, parens/
     // backslashes escaped per the literal-string grammar), run the full
@@ -180,6 +197,40 @@ object TextQueries {
          CAST(1 AS BIGINT) AS line_count
        FROM documents"""
 
+  // q117: same doubled multi-line construction, same integer-count
+  // arithmetic — the single count/count division runs on identical
+  // operands in both engines
+  private val q117Sql =
+    """WITH m AS (
+         SELECT doc_id,
+           regexp_replace(text, '\. ', '.' || chr(10), 'g') || chr(10) || chr(10) ||
+             regexp_replace(text, '\. ', '.' || chr(10), 'g') AS mt
+         FROM documents),
+       parts AS (
+         SELECT doc_id, mt,
+           list_filter(list_transform(string_split_regex(mt, '\r?\n'), x -> trim(x)), x -> x <> '') AS lines,
+           list_filter(list_transform(string_split_regex(mt, '\n\s*\n'), x -> trim(x)), x -> x <> '') AS paras,
+           list_filter(string_split_regex(lower(mt), '[^a-z0-9]+'), t -> t <> '') AS tk
+         FROM m),
+       bg AS (
+         SELECT doc_id, lines, paras,
+           CASE WHEN len(tk) >= 2
+                THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+                ELSE [] END AS bigrams
+         FROM parts),
+       fr AS (
+         SELECT doc_id,
+           CASE WHEN len(lines) > 0 THEN 1.0 - len(list_distinct(lines)) * 1.0 / len(lines) ELSE 0.0 END AS dup_line_frac,
+           CASE WHEN len(paras) > 0 THEN 1.0 - len(list_distinct(paras)) * 1.0 / len(paras) ELSE 0.0 END AS dup_para_frac,
+           CASE WHEN len(bigrams) > 0
+                THEN list_max(list_transform(list_distinct(bigrams),
+                       b -> len(list_filter(bigrams, x -> x = b)))) * 1.0 / len(bigrams)
+                ELSE 0.0 END AS top_bigram_frac
+         FROM bg)
+       SELECT doc_id, dup_line_frac, dup_para_frac, top_bigram_frac,
+              dup_line_frac <= 0.30 AND dup_para_frac <= 0.30 AND top_bigram_frac <= 0.20 AS passes
+       FROM fr"""
+
   // escape → build PDF → parse → unescape must round-trip exactly, so
   // the oracle is the identity reconstruction (Td breaks lines, pages
   // join with a newline)
@@ -195,5 +246,6 @@ object TextQueries {
     "q100_multimodal" -> q100Sql,
     "q101_doc_extract" -> q101Sql,
     "q102_md_extract" -> q102Sql,
-    "q103_pdf_extract" -> q103Sql)
+    "q103_pdf_extract" -> q103Sql,
+    "q117_repetition" -> q117Sql)
 }

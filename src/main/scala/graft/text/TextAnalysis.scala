@@ -116,6 +116,63 @@ object TextAnalysis {
     * md5 of the space-joined token sequence. */
   def normalizedFingerprint(text: Column): Column = md5(concat_ws(" ", tokens(text)))
 
+  /** Repetition metrics — the published pretraining repetition filters
+    * (Gopher/MassiveText rules, Rae et al. 2021 §A1.1): documents
+    * dominated by repeated lines/paragraphs or by one n-gram are
+    * boilerplate/spam and poison language-model training. All pure
+    * column expressions over per-row arrays (no shuffle, no UDF):
+    *   - dup_line_frac / dup_para_frac: 1 − distinct/total over
+    *     trimmed non-empty lines (paragraphs = blank-line splits);
+    *   - top_bigram_frac: occurrences of the most frequent word bigram
+    *     over total bigrams — computed as the longest equal run of the
+    *     SORTED bigram array (one array_sort + one linear fold per row,
+    *     O(n log n); the naive distinct×total membership scan measured
+    *     ~100x slower on real documents).
+    * → struct(dup_line_frac, dup_para_frac, top_bigram_frac) */
+  def repetitionMetrics(text: Column): Column = {
+    def dupFrac(parts: Column): Column =
+      when(size(parts) > 0,
+        lit(1.0) - size(array_distinct(parts)) * 1.0 / size(parts)).otherwise(lit(0.0))
+    val lines = filter(transform(split(text, "\r?\n"), l => trim(l)), l => l =!= "")
+    val paras = filter(transform(split(text, "\n\\s*\n"), p => trim(p)), p => p =!= "")
+    val toks = tokens(text)
+    // guard: sequence(1, 0) counts DOWN in Spark — short docs need an
+    // explicit empty array, not a degenerate range
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    // max multiplicity = longest run of equals after sorting
+    val maxRun = aggregate(
+      array_sort(bigrams),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val topBigram = when(size(bigrams) > 0, maxRun * 1.0 / size(bigrams)).otherwise(lit(0.0))
+    struct(
+      dupFrac(lines).as("dup_line_frac"),
+      dupFrac(paras).as("dup_para_frac"),
+      topBigram.as("top_bigram_frac"))
+  }
+
+  /** The Gopher repetition REJECTION rule with its published thresholds
+    * (dup lines > 0.30, dup paragraphs > 0.30, top 2-gram > 0.20):
+    * true = document survives the filter. */
+  def passesRepetitionFilter(
+      text: Column,
+      maxDupLineFrac: Double = 0.30,
+      maxDupParaFrac: Double = 0.30,
+      maxTopBigramFrac: Double = 0.20): Column = {
+    val m = repetitionMetrics(text)
+    m.getField("dup_line_frac") <= maxDupLineFrac &&
+      m.getField("dup_para_frac") <= maxDupParaFrac &&
+      m.getField("top_bigram_frac") <= maxTopBigramFrac
+  }
+
   /** Key-value extraction from structured-ish text (ref
     * llm/entity_extractor.py:189 `extract_key_values` — there an LLM
     * prompt; here the deterministic core it falls back to in spirit:

@@ -44,6 +44,27 @@ class TextSpec extends SparkSpec {
     assert(expected(0) == 3L)
   }
 
+  test("repetitionMetrics: constructed spam is flagged, clean prose passes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.text.TextAnalysis
+    val spamLines = (Seq.fill(8)("buy cheap stuff now") :+ "one unique line").mkString("\n")
+    val spamBigram = Seq.fill(30)("win big").mkString(" ") + " other words entirely"
+    val clean = "The quick brown fox jumps over a lazy dog.\nA second, different sentence.\n\nNew paragraph with fresh words."
+    val rows = Seq(spamLines, spamBigram, clean, "", "single").toDF("t")
+      .select(TextAnalysis.repetitionMetrics(col("t")).as("m"),
+        TextAnalysis.passesRepetitionFilter(col("t")).as("p"))
+      .select("m.*", "p").collect()
+    // 9 lines, 2 distinct → dup_line_frac = 7/9
+    assert(math.abs(rows(0).getAs[Double]("dup_line_frac") - 7.0 / 9) < 1e-9)
+    assert(!rows(0).getAs[Boolean]("p"))
+    // "win big"/"big win" dominate the bigram stream
+    assert(rows(1).getAs[Double]("top_bigram_frac") > 0.4 && !rows(1).getAs[Boolean]("p"))
+    assert(rows(2).getAs[Double]("dup_line_frac") == 0.0 && rows(2).getAs[Boolean]("p"))
+    assert(rows(3).getAs[Double]("top_bigram_frac") == 0.0 && rows(3).getAs[Boolean]("p")) // empty
+    assert(rows(4).getAs[Double]("top_bigram_frac") == 0.0) // single token: no bigrams
+  }
+
   test("keyValues parses colon/equals lines, snake_cases keys, first duplicate wins") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
