@@ -1,4 +1,6 @@
 package graft
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -21,6 +23,27 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // BASELINE hygiene gate: every benched query must carry a row in
+    // BASELINE.md (the 2x perf gate has no teeth for a query it has no
+    // number for — q117 ran unbaselined for two rounds at 212 s). Fail
+    // LOUD, before any timing, so a new query cannot land without its
+    // baseline row in the same commit.
+    val baselinePath = java.nio.file.Paths.get("BASELINE.md")
+    if (java.nio.file.Files.exists(baselinePath)) {
+      // explicit UTF-8: the doc has non-ASCII prose and a bare `java`
+      // launch may default to a POSIX-locale ASCII charset
+      val baselined = java.nio.file.Files
+        .readAllLines(baselinePath, java.nio.charset.StandardCharsets.UTF_8)
+        .asScala
+        .collect { case l if l.startsWith("| q") => l.split("\\|")(1).trim }.toSet
+      val missing = queries.map(_._1).filterNot(baselined)
+      if (missing.nonEmpty) {
+        System.err.println(
+          s"[bench] FATAL: queries with no BASELINE.md row: ${missing.mkString(", ")} — " +
+            "add a baseline row in the same commit as the query.")
+        sys.exit(1)
+      }
+    }
     // Trial scheme (round 5 — the q21/q31 cross-run mystery): a long
     // shared-JVM run develops PHASE states — JIT compile backlog, code
     // cache churn, GC geometry — that make some sub-second query

@@ -8,11 +8,15 @@ import javax.imageio.ImageIO
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Image decode / feature-extract / resize over opaque binary columns
-  * (ref connectors/media/images.py — Pillow-based decode, thumbnail,
-  * stats).
+/** Image decode / feature-extract / resize over opaque binary columns.
+  * The reference has no dedicated image connector — its media package
+  * holds only audio (ref connectors/media/audio.py) and its document
+  * extractors expose an `extract_images` flag (ref
+  * connectors/unstructured/documents.py:25,298); this fills that gap
+  * with the decode/thumbnail/stats surface a Pillow-based connector
+  * would offer, in the audio connector's binary-payload shape.
   *
-  * The reference needs Pillow; here the decoder is `javax.imageio` —
+  * A Pillow equivalent is not needed; here the decoder is `javax.imageio` —
   * part of the JDK itself (PNG, JPEG, BMP, GIF, WBMP readers ship in
   * every JVM), so image decode is a REAL parser on this classpath,
   * not a stub. Codecs outside the JDK set (webp, tiff, heic) surface

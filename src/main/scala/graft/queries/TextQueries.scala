@@ -68,10 +68,21 @@ object TextQueries {
       val multi = concat(
         regexp_replace(col("text"), "\\. ", ".\n"), lit("\n\n"),
         regexp_replace(col("text"), "\\. ", ".\n"))
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        TextAnalysis.repetitionMetrics(multi).as("_m"),
-        TextAnalysis.passesRepetitionFilter(multi).as("passes"))
+      // Two deliberate projection boundaries: the doubled text is
+      // materialized once (the metrics tree references its input ~10
+      // times — lines/paras/token splits), then the metrics struct is
+      // projected ONCE and `passes` + the flattened fields derive from
+      // the projected attribute. Both aliases are expensive and
+      // multiply-referenced, so CollapseProject keeps the boundaries
+      // and each tree evaluates once per row (previously
+      // passesRepetitionFilter on the raw text + _m.* expansion
+      // inlined ~6 copies of an O(n²) bigram build → 212 s).
+      Tables.documents(s, d)
+        .select(col("doc_id"), multi.as("_mt"))
+        .select(col("doc_id"), col("_mt"), TextAnalysis.tokens(col("_mt")).as("_tk"))
+        .select(col("doc_id"),
+          TextAnalysis.repetitionMetrics(col("_mt"), col("_tk")).as("_m"))
+        .select(col("doc_id"), col("_m"), TextAnalysis.repetitionPasses(col("_m")).as("passes"))
         .select(col("doc_id"), col("_m.*"), col("passes"))
     }),
 

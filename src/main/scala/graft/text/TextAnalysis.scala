@@ -128,50 +128,92 @@ object TextAnalysis {
     *     SORTED bigram array (one array_sort + one linear fold per row,
     *     O(n log n); the naive distinct×total membership scan measured
     *     ~100x slower on real documents).
+    *
+    * Bigrams come from `zip_with` over two `slice`s of the token array
+    * (the dedup family's shingle pattern, TextDedup.shingleSets): each
+    * slice evaluates the tokenize pipeline ONCE. The previous
+    * `transform(sequence(1, n-1), i => element_at(toks, i)…)` shape
+    * re-ran the whole regex tokenize per element — O(n) splits per
+    * element, O(n²) per row, ~300 s/MB; this shape is O(n log n) like
+    * q98's metrics. The bigram count folds into the same `aggregate`
+    * as the max-run scan so the bigram array is built once per row.
     * → struct(dup_line_frac, dup_para_frac, top_bigram_frac) */
-  def repetitionMetrics(text: Column): Column = {
-    def dupFrac(parts: Column): Column =
-      when(size(parts) > 0,
-        lit(1.0) - size(array_distinct(parts)) * 1.0 / size(parts)).otherwise(lit(0.0))
+  def repetitionMetrics(text: Column): Column = repetitionMetrics(text, tokens(text))
+
+  /** [[repetitionMetrics]] with a caller-supplied token array — project
+    * `tokens(text)` behind its own boundary first and the bigram build
+    * reads an attribute instead of re-splitting the text four times
+    * (the q117 pattern, TextQueries). */
+  def repetitionMetrics(text: Column, toks: Column): Column = {
+    // distinct/total in ONE fold over the sorted array (distinct count
+    // = boundary count between equal runs) — the parts tree evaluates
+    // once, vs three times for size/array_distinct/size. Parts are
+    // trimmed non-empty, so the "" seed never matches a real element.
+    def dupFrac(parts: Column): Column = aggregate(
+      array_sort(parts),
+      struct(lit("").as("prev"), lit(0).as("dist"), lit(0).as("cnt")),
+      (acc, x) => struct(
+        x.as("prev"),
+        (acc.getField("dist") +
+          when(x === acc.getField("prev"), 0).otherwise(1)).as("dist"),
+        (acc.getField("cnt") + 1).as("cnt")),
+      acc => when(acc.getField("cnt") > 0,
+        lit(1.0) - acc.getField("dist") * 1.0 / acc.getField("cnt")).otherwise(lit(0.0)))
     val lines = filter(transform(split(text, "\r?\n"), l => trim(l)), l => l =!= "")
     val paras = filter(transform(split(text, "\n\\s*\n"), p => trim(p)), p => p =!= "")
-    val toks = tokens(text)
-    // guard: sequence(1, 0) counts DOWN in Spark — short docs need an
-    // explicit empty array, not a degenerate range
-    val bigrams = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    // max multiplicity = longest run of equals after sorting
-    val maxRun = aggregate(
+    // slice length clamps to 0 for 0/1-token docs → empty bigram array
+    // (slice rejects negative lengths; greatest avoids the degenerate
+    // range the old sequence(1, 0) guard worked around)
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val bigrams = zip_with(
+      slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+      (a, b) => concat_ws(" ", a, b))
+    // one pass over the sorted array: longest equal run (= max bigram
+    // multiplicity) and total count in the same fold
+    val topBigram = aggregate(
       array_sort(bigrams),
-      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best"), lit(0).as("cnt")),
       (acc, x) => {
         val run = when(x === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1))
         struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
+          greatest(acc.getField("best"), run).as("best"),
+          (acc.getField("cnt") + 1).as("cnt"))
       },
-      acc => acc.getField("best"))
-    val topBigram = when(size(bigrams) > 0, maxRun * 1.0 / size(bigrams)).otherwise(lit(0.0))
+      acc => when(acc.getField("cnt") > 0,
+        acc.getField("best") * 1.0 / acc.getField("cnt")).otherwise(lit(0.0)))
     struct(
       dupFrac(lines).as("dup_line_frac"),
       dupFrac(paras).as("dup_para_frac"),
       topBigram.as("top_bigram_frac"))
   }
 
-  /** The Gopher repetition REJECTION rule with its published thresholds
-    * (dup lines > 0.30, dup paragraphs > 0.30, top 2-gram > 0.20):
-    * true = document survives the filter. */
+  /** The Gopher repetition REJECTION rule applied to an ALREADY
+    * COMPUTED [[repetitionMetrics]] struct column (published thresholds:
+    * dup lines > 0.30, dup paragraphs > 0.30, top 2-gram > 0.20);
+    * true = document survives. Take the struct from a prior projection
+    * boundary so the metrics tree is evaluated once per row — Catalyst's
+    * SimplifyExtractValueOps inlines a full copy of the tree per
+    * `getField` when the struct literal sits in the same Project. */
+  def repetitionPasses(
+      metrics: Column,
+      maxDupLineFrac: Double = 0.30,
+      maxDupParaFrac: Double = 0.30,
+      maxTopBigramFrac: Double = 0.20): Column =
+    metrics.getField("dup_line_frac") <= maxDupLineFrac &&
+      metrics.getField("dup_para_frac") <= maxDupParaFrac &&
+      metrics.getField("top_bigram_frac") <= maxTopBigramFrac
+
+  /** Convenience single-expression form of the Gopher filter. PERF:
+    * this inlines three copies of the metrics tree (see
+    * [[repetitionPasses]]) — in a query that also projects the metrics,
+    * project the struct first and derive `passes` with
+    * [[repetitionPasses]] instead (the q117 pattern, TextQueries). */
   def passesRepetitionFilter(
       text: Column,
       maxDupLineFrac: Double = 0.30,
       maxDupParaFrac: Double = 0.30,
-      maxTopBigramFrac: Double = 0.20): Column = {
-    val m = repetitionMetrics(text)
-    m.getField("dup_line_frac") <= maxDupLineFrac &&
-      m.getField("dup_para_frac") <= maxDupParaFrac &&
-      m.getField("top_bigram_frac") <= maxTopBigramFrac
-  }
+      maxTopBigramFrac: Double = 0.20): Column =
+    repetitionPasses(repetitionMetrics(text), maxDupLineFrac, maxDupParaFrac, maxTopBigramFrac)
 
   /** Key-value extraction from structured-ish text (ref
     * llm/entity_extractor.py:189 `extract_key_values` — there an LLM
