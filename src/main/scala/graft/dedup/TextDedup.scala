@@ -430,15 +430,26 @@ object TextDedup {
     }
   }
 
-  // ---- SimHash (Spark-native: engine hash is fine, not cross-checked) ----
+  // ---- SimHash ----
 
   /** 64-bit SimHash over a document's distinct tokens: bit i of the
-    * fingerprint is the sign of Σ_tokens (bitᵢ(xxhash64(token)) ? +1 : −1).
-    * One groupBy(id) with 64 small sum-aggregates. → (id, simhash) */
+    * fingerprint is the sign of Σ_tokens (bitᵢ(h(token)) ? +1 : −1).
+    * One groupBy(id) with 64 small sum-aggregates. → (id, simhash)
+    *
+    * The per-token hash is PORTABLE by construction — the first two
+    * 32-bit words of md5(token), the same scheme the MinHash shingle
+    * ids use — so an external engine (the DuckDB oracle, q93) can
+    * replay the fingerprint bit-for-bit: bits 0..31 come from word 1,
+    * bits 32..63 from word 2. Two 32-bit words, not one 64-bit value,
+    * because a 16-hex-digit md5 prefix ≥ 2^63 has no lossless path
+    * through `conv`/CAST in either engine. */
   def simhash64(sets: DataFrame): DataFrame = {
-    val h = xxhash64(col("item"))
+    val hex = md5(col("item"))
+    val hLo = conv(substring(hex, 1, 8), 16, 10).cast("long")
+    val hHi = conv(substring(hex, 9, 8), 16, 10).cast("long")
     val bitAggs = (0 until 64).map { i =>
-      sum(when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"_b_$i")
+      val h = if (i < 32) hLo else hHi
+      sum(when(shiftright(h, i % 32).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"_b_$i")
     }
     val agg = sets.groupBy("id").agg(bitAggs.head, bitAggs.tail: _*)
     val fp = (0 until 64)

@@ -6,14 +6,16 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.TextDedup
 
-/** Dedup-family queries (q90–q92, q94) + DuckDB oracles. q93 (SimHash)
-  * uses engine-native hashing and is ScalaTest-verified instead
-  * (DedupSpec).
+/** Dedup-family queries (q90–q94, q114) + DuckDB oracles.
   *
   * The synthetic `documents` table plants ~25 true near-dup pairs
   * (3-gram-shingle Jaccard ≥ 0.8); q92's MinHash+LSH pipeline and
   * q94's exact-shingle baseline both recover them, and the DuckDB
   * oracles replay the identical integer-hash arithmetic end-to-end.
+  * q93 (SimHash) is oracle-gated too since the fingerprint hash is
+  * md5-derived (portable): the oracle rebuilds all 64 sign-sums and
+  * verifies the banded near-pair search against all-pairs Hamming
+  * distance — exact for maxDist ≤ 3 by the pigeonhole argument.
   */
 object DedupQueries {
 
@@ -38,6 +40,13 @@ object DedupQueries {
     "q92_dedup_minhash" -> ((s, d) =>
       TextDedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
         n = N, k = K, bands = Bands, threshold = 0.5)),
+
+    "q93_dedup_simhash" -> ((s, d) => {
+      val sigs = TextDedup.simhash64(
+        TextDedup.tokenSets(Tables.documents(s, d), "doc_id", "text"))
+      TextDedup.simhashNearPairs(sigs, maxDist = 3)
+        .select(col("id_1"), col("id_2"), col("distance").cast("long").as("distance"))
+    }),
 
     "q94_dedup_ngram" -> ((s, d) =>
       TextDedup.jaccardPairs(
@@ -124,6 +133,33 @@ object DedupQueries {
           SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.id)
         SELECT id AS doc_id, min(root) AS cluster_id FROM reach GROUP BY id"""
 
+  /** q93 oracle: rebuild the md5-derived SimHash (two 32-bit words, 64
+    * sign-sum bit aggregates) and compare ALL pairs on Hamming distance
+    * — equal to the Spark side's banded search because 4×16-bit
+    * pigeonhole banding is exact for distance ≤ 3. Distance decomposes
+    * as bit_count(xor(lo)) + bit_count(xor(hi)) since the two words
+    * occupy disjoint bit ranges of the 64-bit fingerprint. */
+  private val q93Sql = {
+    val bitSums = (0 until 64).map { i =>
+      val h = if (i < 32) "hlo" else "hhi"
+      s"sum(CASE WHEN ($h >> ${i % 32}) & 1 = 1 THEN 1 ELSE -1 END) AS b_$i"
+    }.mkString(", ")
+    def word(range: Range, base: Int) = range
+      .map(i => s"(CASE WHEN b_$i > 0 THEN (CAST(1 AS BIGINT) << ${i - base}) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" | ")
+    s"""WITH $tokSql,
+        h AS (SELECT id,
+                CAST(concat('0x', substr(md5(item), 1, 8)) AS BIGINT) AS hlo,
+                CAST(concat('0x', substr(md5(item), 9, 8)) AS BIGINT) AS hhi
+              FROM tok),
+        bits AS (SELECT id, $bitSums FROM h GROUP BY id),
+        fp AS (SELECT id, ${word(0 until 32, 0)} AS lo, ${word(32 until 64, 32)} AS hi FROM bits)
+        SELECT a.id AS id_1, b.id AS id_2,
+               CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS distance
+        FROM fp a JOIN fp b ON a.id < b.id
+        WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3"""
+  }
+
   val oracles: Map[String, String] = Map(
     "q90_dedup_exact" ->
       """WITH all_docs AS (
@@ -134,6 +170,7 @@ object DedupQueries {
          FROM all_docs GROUP BY md5(text)""",
     "q91_dedup_jaccard" -> jaccardSql(tokSql, "tok", 0.95),
     "q92_dedup_minhash" -> q92Sql,
+    "q93_dedup_simhash" -> q93Sql,
     "q94_dedup_ngram" -> jaccardSql(shSql, "sh", 0.5),
     "q114_dedup_clusters" -> q114Sql)
 }
