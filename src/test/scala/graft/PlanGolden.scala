@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Golden-plan measurement shared by PlanShapeSpec (the assertions)
+  * and the regeneration main (run after an INTENTIONAL plan change):
+  *
+  *   sbt "Test/runMain graft.PlanGolden"
+  *
+  * Two facets per query, both from the OPTIMIZED LOGICAL plan (stable
+  * run-to-run, unlike the AQE physical plan):
+  *   - skeleton: operator nodeNames in tree order — catches an
+  *     operator-level regression (a lost pushdown collapsing into a
+  *     different join/aggregate arrangement, a new Expand);
+  *   - exprNodes: total expression-tree node count — catches the
+  *     q117 CLASS of defect, where operators stay identical but an
+  *     unmaterialized subtree is inlined N times and the expression
+  *     forest silently explodes (q117's was ~6x).
+  */
+object PlanGolden {
+
+  final case class Shape(skeleton: String, exprNodes: Int)
+
+  def shape(df: DataFrame): Shape = {
+    val plan = df.queryExecution.optimizedPlan
+    val skeleton = plan.collect { case n => n.nodeName }.mkString(">")
+    val exprNodes = plan.collect { case n =>
+      n.expressions.map(e => e.collect { case _ => 1 }.sum).sum
+    }.sum
+    Shape(skeleton, exprNodes)
+  }
+
+  /** The queries worth pinning: the 10 most expensive by BASELINE.md
+    * min + q93 (same family). */
+  val Pinned: Seq[String] = Seq(
+    "q40_profile", "q40a_profile_approx", "q41_outliers", "q42a_dataset_quality_approx",
+    "q43_profile_drift", "q43a_profile_drift_approx", "q92_dedup_minhash",
+    "q93_dedup_simhash", "q94_dedup_ngram", "q114_dedup_clusters", "q116_embed_neardup")
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSpec.session
+    val sfDir = "/root/testdata/sf0.001"
+    Pinned.foreach { name =>
+      val s = shape(SparkEntry.queries(name)(spark, sfDir))
+      println(s"""    "$name" -> Shape(""")
+      println(s"""      "${s.skeleton}",""")
+      println(s"""      ${s.exprNodes}),""")
+    }
+    spark.stop()
+  }
+}

@@ -63,4 +63,73 @@ class PlanShapeSpec extends SparkSpec {
   // pre-execution plan string hides codegen stage markers. The hot-path
   // codegen guarantee that matters (CosineSimilarity) is asserted
   // directly in SimilaritySpec against a materialized plan.
+
+  // ---- golden plan snapshots (the 10 most expensive queries + q93) ----
+  //
+  // Two facets of the optimized logical plan are pinned (see
+  // PlanGolden): the operator skeleton exactly, and the expression-
+  // forest size against a 1.5x ceiling — the q117 defect class kept
+  // the skeleton IDENTICAL while inlining an unmaterialized subtree
+  // ~6x, so only the expression count sees it. After an INTENTIONAL
+  // plan change, regenerate with: sbt "Test/runMain graft.PlanGolden"
+  private val golden = Map(
+    "q40_profile" -> PlanGolden.Shape(
+      "Project>Generate>Aggregate>Aggregate>Expand>Union>Project>LogicalRelation>Project>Filter>LogicalRelation",
+      1238),
+    "q40a_profile_approx" -> PlanGolden.Shape(
+      "Project>Generate>Aggregate>Union>Project>LogicalRelation>Project>Filter>LogicalRelation",
+      814),
+    "q41_outliers" -> PlanGolden.Shape(
+      "Project>Generate>Aggregate>Join>Project>LogicalRelation>Project>Aggregate>Project>LogicalRelation",
+      351),
+    "q42a_dataset_quality_approx" -> PlanGolden.Shape(
+      "Project>Aggregate>Union>Project>LogicalRelation>Project>Filter>LogicalRelation",
+      365),
+    "q43_profile_drift" -> PlanGolden.Shape(
+      "Project>Join>Project>Generate>Aggregate>Aggregate>Expand>Project>LogicalRelation>Project>Generate>Aggregate>Aggregate>Expand>Union>Project>LogicalRelation>Project>Filter>LogicalRelation",
+      2253),
+    "q43a_profile_drift_approx" -> PlanGolden.Shape(
+      "Project>Join>Project>Generate>Aggregate>Project>LogicalRelation>Project>Generate>Aggregate>Union>Project>LogicalRelation>Project>Filter>LogicalRelation",
+      1456),
+    "q92_dedup_minhash" -> PlanGolden.Shape(
+      "Project>Filter>Aggregate>Aggregate>Project>Join>Filter>Generate>Aggregate>Project>Join>Project>Generate>Aggregate>Generate>Project>Filter>LogicalRelation>Project>Generate>Aggregate>Generate>Project>Filter>LogicalRelation>Aggregate>Generate>Project>Filter>LogicalRelation",
+      1059),
+    // the sets subtree appears on BOTH sides of the band self-join:
+    // canonically identical shuffles, collapsed by ReusedExchange at
+    // execution — the skeleton records the logical duplication on
+    // purpose (if it ever becomes three copies, something regressed)
+    "q93_dedup_simhash" -> PlanGolden.Shape(
+      "Aggregate>Project>Join>Project>Generate>Aggregate>Aggregate>Project>Generate>Project>Filter>LogicalRelation>Project>Generate>Aggregate>Aggregate>Project>Generate>Project>Filter>LogicalRelation",
+      3652),
+    // LogicalRDD nodes = the deliberate localCheckpoint lineage cuts
+    "q94_dedup_ngram" -> PlanGolden.Shape(
+      "Project>Filter>Aggregate>Project>Join>Project>Filter>Generate>Project>Join>Filter>LogicalRDD>Aggregate>Project>Filter>LogicalRDD>Project>Join>Filter>LogicalRDD>Filter>Aggregate>Project>Filter>LogicalRDD",
+      157),
+    // sf0.001 takes the ≤4M-edge driver union-find branch:
+    // LocalRelation is the broadcast label rejoin
+    "q114_dedup_clusters" -> PlanGolden.Shape(
+      "Project>Join>Project>LogicalRelation>LocalRelation",
+      18),
+    "q116_embed_neardup" -> PlanGolden.Shape(
+      "Project>Join>Project>Filter>LogicalRelation>Project>Filter>LogicalRelation",
+      37))
+
+  test("golden snapshots: operator skeleton exact, expression forest within 1.5x") {
+    val failures = golden.toSeq.sortBy(_._1).flatMap { case (name, expected) =>
+      val actual = PlanGolden.shape(SparkEntry.queries(name)(spark, sfDir))
+      val skeletonBad =
+        if (actual.skeleton != expected.skeleton)
+          Some(s"$name operator skeleton changed:\n  expected ${expected.skeleton}\n  actual   ${actual.skeleton}")
+        else None
+      val exprBad =
+        if (actual.exprNodes > expected.exprNodes * 3 / 2)
+          Some(s"$name expression forest exploded: ${expected.exprNodes} -> ${actual.exprNodes} " +
+            "(q117-class inlining? materialize the shared subtree in a projection)")
+        else None
+      skeletonBad.toSeq ++ exprBad.toSeq
+    }
+    assert(failures.isEmpty,
+      failures.mkString("\n") +
+        "\nIf the change is intentional, regenerate: sbt \"Test/runMain graft.PlanGolden\"")
+  }
 }
