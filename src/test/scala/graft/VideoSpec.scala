@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Video
+
+/** ISO-BMFF container parsing + frame-sample plan. The fixture MP4 is
+  * built in-test from the box grammar (ISO 14496-12), the same
+  * byte-level fixture discipline as the WAV/OOXML/PDF specs. */
+class VideoSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ---- fixture: a minimal but structurally-correct MP4 ----
+
+  private def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + payload.length)
+    bb.putInt(8 + payload.length).put(tpe.getBytes("US-ASCII")).put(payload)
+    bb.array()
+  }
+
+  private def fullBox(tpe: String, version: Int, payload: Array[Byte]): Array[Byte] =
+    box(tpe, Array[Byte](version.toByte, 0, 0, 0) ++ payload)
+
+  private def u32(v: Long): Array[Byte] =
+    ByteBuffer.allocate(4).putInt(v.toInt).array()
+
+  /** mvhd v0: creation, modification, timescale, duration (+ the rate/
+    * volume/matrix tail the parser skips). */
+  private def mvhd(timescale: Long, duration: Long): Array[Byte] =
+    fullBox("mvhd", 0,
+      u32(0) ++ u32(0) ++ u32(timescale) ++ u32(duration) ++ Array.fill[Byte](80)(0))
+
+  /** tkhd v0: track id at +12, width/height 16.16 at +76/+80. */
+  private def tkhd(trackId: Long, w: Int, h: Int): Array[Byte] =
+    fullBox("tkhd", 0,
+      u32(0) ++ u32(0) ++ u32(trackId) ++ u32(0) ++ u32(0) ++
+        Array.fill[Byte](52)(0) ++ u32(w.toLong << 16) ++ u32(h.toLong << 16))
+
+  private def hdlr(handler: String): Array[Byte] =
+    fullBox("hdlr", 0, u32(0) ++ handler.getBytes("US-ASCII") ++ Array.fill[Byte](12)(0))
+
+  private def trak(trackId: Long, handler: String, w: Int, h: Int): Array[Byte] =
+    box("trak", tkhd(trackId, w, h) ++ box("mdia", hdlr(handler)))
+
+  /** 10 s @ timescale 600, one 640x360 video track + one audio track. */
+  private def sampleMp4: Array[Byte] =
+    box("ftyp", "isom".getBytes("US-ASCII") ++ u32(512) ++ "isomiso2".getBytes("US-ASCII")) ++
+      box("moov", mvhd(600, 6000) ++ trak(1, "vide", 640, 360) ++ trak(2, "soun", 0, 0)) ++
+      box("mdat", Array.fill[Byte](32)(7))
+
+  test("parseMp4 reads brand, duration, and per-track handler/geometry from the box grammar") {
+    val m = Video.parseMp4(sampleMp4).toOption.get
+    assert(m.majorBrand == "isom")
+    assert(m.timescale == 600 && m.duration == 6000)
+    assert(m.durationSec == 10.0)
+    assert(m.tracks == Seq(
+      Video.TrackInfo(1, "vide", 640.0, 360.0),
+      Video.TrackInfo(2, "soun", 0.0, 0.0)))
+    assert(m.videoTracks.map(_.trackId) == Seq(1L))
+  }
+
+  test("non-MP4 payloads error-tag instead of crashing or disappearing") {
+    assert(Video.parseMp4("definitely not a video file".getBytes).swap.toOption.get.contains("ftyp"))
+    assert(Video.parseMp4(Array[Byte](1, 2)).isLeft)
+    // a truncated moov (size past EOF) parses no moov rather than throwing
+    val truncated = sampleMp4.take(sampleMp4.length - 60)
+    assert(Video.parseMp4(truncated).isLeft)
+
+    val df = Seq(
+      ("a.mp4", sampleMp4),
+      ("b.bin", "garbage".getBytes)).toDF("path", "content")
+    val rows = Video.extractMetadata(df).orderBy("path").collect()
+    assert(rows(0).getAs[String]("error") == null)
+    assert(rows(0).getAs[Double]("duration_sec") == 10.0)
+    assert(rows(0).getAs[Double]("width") == 640.0)
+    assert(rows(1).getAs[String]("error") != null)
+    assert(rows(1).getAs[Any]("duration_sec") == null)
+  }
+
+  test("frameSamplePlan generates mid-interval timestamps as a narrow explode, skipping error rows") {
+    val meta = Video.extractMetadata(Seq(
+      ("a.mp4", sampleMp4), ("bad.bin", "x".getBytes)).toDF("path", "content"))
+    val plan = Video.frameSamplePlan(meta, n = 4)
+    val rows = plan.select("path", "sample_idx", "ts_ms").orderBy("sample_idx").collect()
+    // 10 s, 4 samples → mid-interval at 1.25/3.75/6.25/8.75 s
+    assert(rows.map(_.getLong(2)).toSeq == Seq(1250L, 3750L, 6250L, 8750L))
+    assert(rows.forall(_.getString(0) == "a.mp4")) // error row yields no samples
+    // narrow plan: no shuffle anywhere in the sampling fan-out
+    assert(!plan.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("decodeFrameStub is deterministic per (payload, ts) and schema-stable") {
+    val df = Seq(("a", Array[Byte](1, 2, 3)), ("b", Array[Byte](1, 2, 3)))
+      .toDF("id", "payload")
+      .withColumn("ts_ms", lit(1250L))
+      .withColumn("frame", Video.decodeFrameStub(col("payload"), col("ts_ms")))
+    val frames = df.select("frame.frame_hash", "frame.format").collect()
+    assert(frames(0).getString(0) == frames(1).getString(0)) // same bytes+ts → same hash
+    assert(frames(0).getString(1) == "stub")
+    val other = df.withColumn("frame2",
+      Video.decodeFrameStub(col("payload"), lit(3750L)))
+      .select(col("frame.frame_hash") === col("frame2.frame_hash")).head.getBoolean(0)
+    assert(!other) // different ts → different frame
+  }
+}
