@@ -466,7 +466,17 @@ object TextDedup {
     * byte-bands, so candidates come from shuffling on 16-bit band
     * values (4 bands ⇒ exact for d ≤ 3), then verifying bit_count —
     * never an all-pairs comparison. */
-  def simhashNearPairs(sigs: DataFrame, maxDist: Int = 3): DataFrame = {
+  def simhashNearPairs(sigs0: DataFrame, maxDist: Int = 3): DataFrame = {
+    // The fingerprint lineage (tokenize Generate + DISTINCT shuffle +
+    // 64-sum aggregate) feeds BOTH sides of the band self-join, and the
+    // planner broadcasts one side — a BroadcastExchange and a shuffle
+    // Exchange never canonicalize equal, so ReusedExchange CANNOT
+    // collapse the duplication (unlike minhashLshPairs, where both
+    // sides shuffle identically and checkpointing measurably hurt).
+    // Materialize once into executor-local blocks; measured q93 bench
+    // min 1.60 → 1.27 s at sf0.1 (checkpoint cost included), warm
+    // re-execution 1.70 → 0.57 s.
+    val sigs = sigs0.localCheckpoint(true)
     val banded = sigs.select(col("id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

@@ -94,13 +94,14 @@ class PlanShapeSpec extends SparkSpec {
     "q92_dedup_minhash" -> PlanGolden.Shape(
       "Project>Filter>Aggregate>Aggregate>Project>Join>Filter>Generate>Aggregate>Project>Join>Project>Generate>Aggregate>Generate>Project>Filter>LogicalRelation>Project>Generate>Aggregate>Generate>Project>Filter>LogicalRelation>Aggregate>Generate>Project>Filter>LogicalRelation",
       1059),
-    // the sets subtree appears on BOTH sides of the band self-join:
-    // canonically identical shuffles, collapsed by ReusedExchange at
-    // execution — the skeleton records the logical duplication on
-    // purpose (if it ever becomes three copies, something regressed)
+    // LogicalRDD = the sigs localCheckpoint: the fingerprint lineage
+    // would otherwise plan on BOTH sides of the band self-join, and
+    // the broadcast side's exchange can never ReusedExchange-collapse
+    // against the shuffle side (it did before the checkpoint: 3652
+    // expression nodes, the whole 64-agg pipeline twice)
     "q93_dedup_simhash" -> PlanGolden.Shape(
-      "Aggregate>Project>Join>Project>Generate>Aggregate>Aggregate>Project>Generate>Project>Filter>LogicalRelation>Project>Generate>Aggregate>Aggregate>Project>Generate>Project>Filter>LogicalRelation",
-      3652),
+      "Aggregate>Project>Join>Project>Generate>Filter>LogicalRDD>Project>Generate>Filter>LogicalRDD",
+      140),
     // LogicalRDD nodes = the deliberate localCheckpoint lineage cuts
     "q94_dedup_ngram" -> PlanGolden.Shape(
       "Project>Filter>Aggregate>Project>Join>Project>Filter>Generate>Project>Join>Filter>LogicalRDD>Aggregate>Project>Filter>LogicalRDD>Project>Join>Filter>LogicalRDD>Filter>Aggregate>Project>Filter>LogicalRDD",
