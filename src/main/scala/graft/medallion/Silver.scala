@@ -172,4 +172,80 @@ object Silver {
       .filter(col("_rn") === 1)
       .drop("_rn")
   }
+
+  final case class AutoCleanResult(data: DataFrame, actions: Seq[String], qualityScore: Double)
+
+  /** Automatic stats-driven cleaning (ref llm/augmented_etl.py:419
+    * `auto_clean` + :574 `_calculate_quality_score`): detect issues
+    * from the data, then apply the fix policy — high-null column drop
+    * (`aggressive`), median fill for numeric nulls, whitespace trim,
+    * null-string standardization, full-row dedup — and report every
+    * action taken plus the resulting quality score (mean of
+    * completeness and row-uniqueness, both 0..1).
+    *
+    * Spark-shaped: the reference interleaves per-column scans and
+    * rewrites; here ONE aggregation pass computes every decision input
+    * (per-column null counts + approx medians — approx_percentile,
+    * not an exact sort, is the 100 TB call), the fix policy composes
+    * as a single declarative plan (only the dedup shuffles), and one
+    * report pass scores the result. Two jobs + the caller's action,
+    * independent of column count.
+    *
+    * Ordering deviation, deliberate: the reference fills string nulls
+    * with "" and LATER standardizes ""→null, undoing its own fill —
+    * net effect, string nulls stay null. Cleaning here runs FIRST
+    * (trim + null-string standardization), so numeric medians compute
+    * over standardized data and the net string behavior matches the
+    * reference's end state without the self-cancelling fill. */
+  def autoClean(
+      df: DataFrame,
+      aggressive: Boolean = false,
+      nullValues: Seq[String] = DefaultNullStrings): AutoCleanResult = {
+    import org.apache.spark.sql.types.NumericType
+    val pre = clean(df, nullValues)
+    val numericCols = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[NumericType] => f.name }.toSeq
+
+    // one pass: total rows, per-column non-null counts, numeric medians
+    val aggs = count(lit(1)).as("_n") +:
+      (df.columns.toSeq.map(c => count(col(c)).as(s"_nn_$c")) ++
+        numericCols.map(c => percentile_approx(col(c), lit(0.5), lit(10000)).as(s"_med_$c")))
+    val stats = pre.agg(aggs.head, aggs.tail: _*).head()
+    val n = stats.getAs[Long]("_n")
+    if (n == 0) return AutoCleanResult(pre, Seq.empty, 0.5)
+
+    val nullPct = df.columns.toSeq.map(c => c -> (1.0 - stats.getAs[Long](s"_nn_$c").toDouble / n)).toMap
+    val actions = Seq.newBuilder[String]
+
+    val dropped =
+      if (aggressive) df.columns.toSeq.filter(nullPct(_) > 0.5)
+      else Seq.empty
+    dropped.foreach(c => actions += s"Dropped column '$c' (>50% nulls)")
+
+    val kept = pre.drop(dropped: _*)
+    val fills = numericCols.filterNot(dropped.contains)
+      .filter(nullPct(_) > 0)
+      .flatMap(c => Option(stats.getAs[Any](s"_med_$c")).map(c -> _)).toMap
+    fills.keys.toSeq.sorted.foreach(c => actions += s"Filled nulls in '$c' with median")
+
+    val filled = if (fills.isEmpty) kept else kept.na.fill(fills)
+    val result = filled.distinct()
+    actions += "Trimmed whitespace from string columns"
+    actions += "Standardized null string values"
+
+    // report pass over the result: row count + residual nulls
+    val rAggs = count(lit(1)).as("_m") +:
+      result.columns.toSeq.map(c => count(col(c)).as(s"_nn_$c"))
+    val r = result.agg(rAggs.head, rAggs.tail: _*).head()
+    val m = r.getAs[Long]("_m")
+    val removed = n - m
+    if (removed > 0) actions += s"Removed $removed duplicate rows"
+    val completeness =
+      if (m == 0 || result.columns.isEmpty) 1.0
+      else result.columns.toSeq.map(c => r.getAs[Long](s"_nn_$c").toDouble).sum /
+        (m.toDouble * result.columns.length)
+    // result is distinct() → uniqueness is 1 by construction, as in the
+    // reference (it scores its own already-deduped output)
+    AutoCleanResult(result, actions.result(), (completeness + 1.0) / 2.0)
+  }
 }

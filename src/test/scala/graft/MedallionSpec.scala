@@ -61,6 +61,41 @@ class MedallionSpec extends SparkSpec {
     assert(out.columns.contains("_silver_processed_time"))
   }
 
+  test("Silver.autoClean: stats-driven drops, median fills, dedup, actions, score") {
+    import spark.implicits._
+    val messy = Seq(
+      (Some(10), "  a  ", "N/A"),
+      (Some(20), "b", null),
+      (None, "b", null), // numeric null → median fill
+      (Some(20), "b", null), // dup of row 2 after trim/fill
+      (Some(30), "c", "x"))
+      .toDF("v", "name", "mostly_null")
+
+    val r = graft.medallion.Silver.autoClean(messy, aggressive = true)
+    // mostly_null is 80% null after N/A standardization → dropped
+    assert(!r.data.columns.contains("mostly_null"))
+    assert(r.actions.exists(_.contains("Dropped column 'mostly_null'")))
+    // v's null filled with the (approx=exact here) median 20
+    val vRows = r.data.select("v").collect()
+    assert(vRows.forall(!_.isNullAt(0)))
+    assert(vRows.map(_.getInt(0)).contains(20))
+    assert(r.actions.exists(_.contains("Filled nulls in 'v' with median")))
+    // trim made row 1 "a"; fill+dedup collapsed the duplicate
+    assert(r.actions.exists(_.startsWith("Removed ")))
+    assert(r.data.count() == 3) // (10,a) (20,b) (30,c)
+    // fully complete and unique after cleaning → score 1.0
+    assert(r.qualityScore == 1.0)
+
+    // non-aggressive: column kept, remaining nulls lower completeness
+    val gentle = graft.medallion.Silver.autoClean(messy)
+    assert(gentle.data.columns.contains("mostly_null"))
+    assert(gentle.qualityScore < 1.0 && gentle.qualityScore > 0.5)
+
+    // empty input: no actions, neutral score, no crash
+    val empty = graft.medallion.Silver.autoClean(messy.limit(0))
+    assert(empty.actions.isEmpty && empty.qualityScore == 0.5)
+  }
+
   test("Silver.fillNulls and filterInvalid") {
     import spark.implicits._
     val df = Seq((Some(1), Some("x")), (None, Some("y")), (Some(3), None)).toDF("a", "b")
