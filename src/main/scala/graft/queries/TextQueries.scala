@@ -86,6 +86,29 @@ object TextQueries {
         .select(col("doc_id"), col("_m.*"), col("passes"))
     }),
 
+    // C4 line-level filter family (Raffel et al. 2020): the corpus is
+    // punctuation-free word soup, so sentence/line structure is
+    // manufactured deterministically — a period+newline after every 8
+    // words (the remainder words form a terminal-punctuation-less last
+    // line that rule 1 drops), plus planted trigger lines per doc-id
+    // residue exercising the javascript, brace, and lorem-ipsum rules.
+    // Oracle replays the identical construction. Same struct-projection
+    // discipline as q117: _c is its own boundary, fields read the
+    // attribute.
+    "q118_c4_filter" -> ((s, d) => {
+      val sent = regexp_replace(col("text"), "((\\S+\\s+){7}\\S+)\\s+", "$1.\n")
+      val withJs = when(col("doc_id") % 7 === 0,
+        concat(sent, lit("\njavascript is required to view this page."))).otherwise(sent)
+      val withBrace = when(col("doc_id") % 11 === 0,
+        concat(withJs, lit("\nsee the { config } block for details."))).otherwise(withJs)
+      val mt = when(col("doc_id") % 13 === 0,
+        concat(withBrace, lit("\nlorem ipsum dolor sit amet filler text."))).otherwise(withBrace)
+      Tables.documents(s, d)
+        .select(col("doc_id"), mt.as("_mt"))
+        .select(col("doc_id"), TextAnalysis.c4Metrics(col("_mt")).as("_c"))
+        .select(col("doc_id"), col("_c.*"))
+    }),
+
     // End-to-end PDF extraction gate: build a real two-page PDF per
     // document (catalog → page tree → per-page content streams, parens/
     // backslashes escaped per the literal-string grammar), run the full
@@ -242,6 +265,51 @@ object TextQueries {
               dup_line_frac <= 0.30 AND dup_para_frac <= 0.30 AND top_bigram_frac <= 0.20 AS passes
        FROM fr"""
 
+  // q118: identical line manufacture, line retention, and page gates —
+  // every count is integer arithmetic on identical operands, and the
+  // cleaned text itself hash-compares
+  private val q118Sql =
+    """WITH s0 AS (
+         SELECT doc_id,
+           regexp_replace(text, '((\S+\s+){7}\S+)\s+', '\1.' || chr(10), 'g') AS sent
+         FROM documents),
+       m AS (
+         SELECT doc_id,
+           CASE WHEN doc_id % 13 = 0 THEN m2 || chr(10) || 'lorem ipsum dolor sit amet filler text.' ELSE m2 END AS mt
+         FROM (
+           SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN m1 || chr(10) || 'see the { config } block for details.' ELSE m1 END AS m2
+           FROM (
+             SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN sent || chr(10) || 'javascript is required to view this page.' ELSE sent END AS m1
+             FROM s0))),
+       l AS (
+         SELECT doc_id, mt,
+           list_filter(list_transform(string_split_regex(mt, '\r?\n'), x -> trim(x)), x -> x <> '') AS lines
+         FROM m),
+       k AS (
+         SELECT doc_id, mt, lines,
+           list_filter(lines, x -> regexp_matches(x, '[.!?"]$')
+             AND len(string_split_regex(x, ' +')) >= 5
+             AND NOT contains(lower(x), 'javascript')) AS kept
+         FROM l),
+       c AS (
+         SELECT doc_id, mt, lines, kept,
+           coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+         FROM k),
+       f AS (
+         SELECT doc_id, mt, lines, kept, clean_text,
+           len(regexp_extract_all(clean_text, '[.!?]')) AS n_sentences
+         FROM c)
+       SELECT doc_id, clean_text,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(kept) AS BIGINT) AS n_kept_lines,
+         CAST(n_sentences AS BIGINT) AS n_sentences,
+         CAST(length(clean_text) AS BIGINT) AS clean_chars,
+         n_sentences >= 3 AND NOT contains(lower(mt), 'lorem ipsum')
+           AND NOT contains(mt, '{') AS passes
+       FROM f"""
+
   // escape → build PDF → parse → unescape must round-trip exactly, so
   // the oracle is the identity reconstruction (Td breaks lines, pages
   // join with a newline)
@@ -258,5 +326,6 @@ object TextQueries {
     "q101_doc_extract" -> q101Sql,
     "q102_md_extract" -> q102Sql,
     "q103_pdf_extract" -> q103Sql,
-    "q117_repetition" -> q117Sql)
+    "q117_repetition" -> q117Sql,
+    "q118_c4_filter" -> q118Sql)
 }

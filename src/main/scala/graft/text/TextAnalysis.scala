@@ -215,6 +215,40 @@ object TextAnalysis {
       maxTopBigramFrac: Double = 0.20): Column =
     repetitionPasses(repetitionMetrics(text), maxDupLineFrac, maxDupParaFrac, maxTopBigramFrac)
 
+  /** C4-style line-level cleaning (Raffel et al. 2020 §2.2, the
+    * published heuristics behind the C4 corpus) — the OTHER half of
+    * the pretraining filter family next to the Gopher repetition
+    * rules: line retention (ends in terminal punctuation, ≥ `minWords`
+    * words, no "javascript" mention) plus the page-level gates (≥ 3
+    * sentences after cleaning, no "lorem ipsum", no '{'). All pure
+    * per-row column expressions — narrow, shuffle-free, and
+    * oracle-replayable; the bad-words page gate stays a caller-supplied
+    * predicate (wordlists are policy, not engine).
+    *
+    * Returns struct(clean_text, n_lines, n_kept_lines, n_sentences,
+    * clean_chars, passes). Project the struct ONCE and read fields
+    * from the projected attribute (the q117/[[repetitionPasses]]
+    * lesson — SimplifyExtractValueOps inlines a tree copy per field
+    * otherwise). */
+  def c4Metrics(text: Column, minWords: Int = 5): Column = {
+    val lines = filter(transform(split(text, "\r?\n"), l => trim(l)), l => l =!= "")
+    val kept = filter(lines, l =>
+      regexp_like(l, lit("[.!?\"]$")) &&
+        size(split(l, " +")) >= minWords &&
+        !lower(l).contains("javascript"))
+    val clean = array_join(kept, "\n")
+    val nSent = size(regexp_extract_all(clean, lit("[.!?]"), lit(0)))
+    struct(
+      clean.as("clean_text"),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept_lines"),
+      nSent.cast("long").as("n_sentences"),
+      length(clean).cast("long").as("clean_chars"),
+      (nSent >= 3 &&
+        !lower(text).contains("lorem ipsum") &&
+        !text.contains("{")).as("passes"))
+  }
+
   /** Key-value extraction from structured-ish text (ref
     * llm/entity_extractor.py:189 `extract_key_values` — there an LLM
     * prompt; here the deterministic core it falls back to in spirit:
