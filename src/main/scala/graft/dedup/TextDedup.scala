@@ -39,6 +39,42 @@ object TextDedup {
       .distinct()
   }
 
+  /** Corpus-level boilerplate-line analysis (the RefinedWeb/CCNet
+    * line-dedup family: a line recurring across many documents —
+    * navigation, footers, cookie banners — is boilerplate, and a
+    * document dominated by such lines is template spam). Per document:
+    * total lines, lines appearing in ≥ `minDocs` DISTINCT documents,
+    * the boilerplate fraction, and the `passes` verdict
+    * (fraction ≤ `maxBoilerplateFrac`).
+    *
+    * Genuinely distributed, unlike the per-row q97/q98/q117/q118
+    * filters: docs explode to DISTINCT (id, line) pairs, line
+    * df-counts come from ONE hash groupBy on the line (map-side
+    * partial count — duplicate lines collapse before the shuffle,
+    * which is exactly what makes this survive a 100 TB corpus where
+    * the hot boilerplate lines appear in billions of documents), and
+    * the per-doc rollup is a second groupBy on id. No broadcast: the
+    * line-frequency table scales with the corpus. */
+  def boilerplateLines(
+      df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 2, maxBoilerplateFrac: Double = 0.3): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val docLines = df.select(col(idCol).as("id"),
+        explode(filter(transform(split(col(textCol), "\r?\n"), l => trim(l)), l => l =!= ""))
+          .as("line"))
+      .distinct() // a line repeated WITHIN a doc counts one doc
+    val lineDocs = docLines.groupBy("line")
+      .agg(count(lit(1)).as("_n_docs")) // distinct by construction
+    docLines.join(lineDocs, "line")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(when(col("_n_docs") >= minDocs, 1)).as("n_boilerplate_lines"))
+      .select(col("id"), col("n_lines"), col("n_boilerplate_lines"),
+        (col("n_boilerplate_lines") * 1.0 / col("n_lines")).as("boilerplate_frac"),
+        (col("n_boilerplate_lines") * 1.0 / col("n_lines") <= maxBoilerplateFrac).as("passes"))
+  }
+
   /** Exact dedup by content hash (hash group-by; one shuffle on the
     * md5, partial agg collapses copies map-side): keeps the min-id row
     * per distinct content → (id, n_copies). */

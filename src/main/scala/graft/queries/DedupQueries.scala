@@ -52,6 +52,20 @@ object DedupQueries {
       TextDedup.jaccardPairs(
         TextDedup.shingleSets(Tables.documents(s, d), "doc_id", "text", N), 0.5)),
 
+    // Corpus-level line-dedup (RefinedWeb/CCNet boilerplate family):
+    // the word-soup corpus gets deterministic line structure (8-word
+    // sentences, the q118 construction) plus a universal footer line —
+    // real boilerplate present in every document — and the 25 planted
+    // near-dup pairs share their content lines naturally.
+    "q119_line_boilerplate" -> ((s, d) => {
+      val sent = regexp_replace(col("text"), "((\\S+\\s+){7}\\S+)\\s+", "$1.\n")
+      val mt = concat(sent, lit("\nall rights reserved contact us at example dot com."))
+      val docs = Tables.documents(s, d).select(col("doc_id"), mt.as("mtext"))
+      TextDedup.boilerplateLines(docs, "doc_id", "mtext", minDocs = 2)
+        .select(col("id").as("doc_id"), col("n_lines"), col("n_boilerplate_lines"),
+          col("boilerplate_frac"), col("passes"))
+    }),
+
     "q114_dedup_clusters" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val pairs = TextDedup.minhashLshPairs(docs, "doc_id", "text",
@@ -172,5 +186,23 @@ object DedupQueries {
     "q92_dedup_minhash" -> q92Sql,
     "q93_dedup_simhash" -> q93Sql,
     "q94_dedup_ngram" -> jaccardSql(shSql, "sh", 0.5),
-    "q114_dedup_clusters" -> q114Sql)
+    "q114_dedup_clusters" -> q114Sql,
+    "q119_line_boilerplate" ->
+      """WITH m AS (
+           SELECT doc_id,
+             regexp_replace(text, '((\S+\s+){7}\S+)\s+', '\1.' || chr(10), 'g') ||
+               chr(10) || 'all rights reserved contact us at example dot com.' AS mt
+           FROM documents),
+         dl AS (
+           SELECT DISTINCT doc_id, line FROM (
+             SELECT doc_id, trim(l) AS line
+             FROM m, unnest(string_split_regex(mt, '\r?\n')) AS t(l))
+           WHERE line <> ''),
+         lc AS (SELECT line, count(*) AS n_docs FROM dl GROUP BY line)
+         SELECT doc_id, count(*) AS n_lines,
+           count(CASE WHEN n_docs >= 2 THEN 1 END) AS n_boilerplate_lines,
+           count(CASE WHEN n_docs >= 2 THEN 1 END) * 1.0 / count(*) AS boilerplate_frac,
+           count(CASE WHEN n_docs >= 2 THEN 1 END) * 1.0 / count(*) <= 0.3 AS passes
+         FROM dl JOIN lc USING (line)
+         GROUP BY doc_id""")
 }
