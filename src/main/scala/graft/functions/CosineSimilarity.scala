@@ -30,19 +30,27 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
     e.dataType.asInstanceOf[ArrayType].elementType
 
   override def checkInputDataTypes(): TypeCheckResult = {
+    // integral element types serve the int8-quantized path
+    // (graft.similarity.Quantize): the int8 dot product runs in the
+    // same fused kernel, accumulation stays double
     def ok(e: Expression): Boolean = e.dataType match {
-      case ArrayType(FloatType | DoubleType, _) => true
-      case _                                    => false
+      case ArrayType(FloatType | DoubleType | ByteType | ShortType |
+                     IntegerType | LongType, _) => true
+      case _ => false
     }
     if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName needs array<float> or array<double> inputs, " +
+      s"$prettyName needs numeric array inputs, " +
         s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
   @inline private def get(a: ArrayData, i: Int, t: DataType): Double = t match {
-    case FloatType => a.getFloat(i).toDouble
-    case _         => a.getDouble(i)
+    case FloatType   => a.getFloat(i).toDouble
+    case ByteType    => a.getByte(i).toDouble
+    case ShortType   => a.getShort(i).toDouble
+    case IntegerType => a.getInt(i).toDouble
+    case LongType    => a.getLong(i).toDouble
+    case _           => a.getDouble(i)
   }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
@@ -63,8 +71,12 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     def getter(t: DataType, arr: String, i: String): String = t match {
-      case FloatType => s"(double) $arr.getFloat($i)"
-      case _         => s"$arr.getDouble($i)"
+      case FloatType   => s"(double) $arr.getFloat($i)"
+      case ByteType    => s"(double) $arr.getByte($i)"
+      case ShortType   => s"(double) $arr.getShort($i)"
+      case IntegerType => s"(double) $arr.getInt($i)"
+      case LongType    => s"(double) $arr.getLong($i)"
+      case _           => s"$arr.getDouble($i)"
     }
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
