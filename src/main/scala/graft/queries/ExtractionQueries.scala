@@ -45,7 +45,21 @@ object ExtractionQueries {
         Tables.documents(s, d), col("doc_id"),
         Seq("train" -> 0.8, "test" -> 0.1, "val" -> 0.1),
         seed = 42L, portable = true)
-        .select(col("doc_id"), col("split"))))
+        .select(col("doc_id"), col("split"))),
+
+    // Mixture rebalance: orders by o_orderstatus to equal thirds. The
+    // synthetic status mix is mildly uneven, so the feasible scale
+    // pins to the scarcest stratum (kept whole) and the others
+    // downsample to match — the exact mechanics of a per-language
+    // pretraining rebalance (where the skew is brutal instead of
+    // mild). The oracle replays the identical Knuth-hash membership
+    // and the identically-ordered K·t/n threshold arithmetic.
+    "q120_rebalance" -> ((s, d) =>
+      Curator.rebalance(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus")),
+        col("o_orderkey"), "o_orderstatus",
+        Map("F" -> 1.0, "O" -> 1.0, "P" -> 1.0),
+        seed = 42L, portable = true)))
 
   val oracles: Map[String, String] = Map(
     "q70_incremental" ->
@@ -71,5 +85,16 @@ object ExtractionQueries {
                      ELSE 'val' END AS split
          FROM (SELECT doc_id,
                       ((doc_id + 42) * 2654435761 % 4294967296) / 4294967296.0 AS frac
-               FROM documents)""")
+               FROM documents)""",
+
+    // identical Knuth-hash membership; threshold arithmetic ordered
+    // exactly as Curator.rebalance computes it (K·t, then /n) so the
+    // doubles are bit-identical
+    "q120_rebalance" ->
+      """WITH n AS (SELECT o_orderstatus AS s, count(*) AS cnt FROM orders GROUP BY 1),
+            k AS (SELECT min(cnt / (1.0/3)) AS kk FROM n),
+            keep AS (SELECT s, least(1.0, (SELECT kk FROM k) * (1.0/3) / cnt) AS f FROM n)
+         SELECT o_orderkey, o_orderstatus
+         FROM orders JOIN keep ON o_orderstatus = keep.s
+         WHERE ((o_orderkey + 42) * 2654435761 % 4294967296) / 4294967296.0 < f""")
 }

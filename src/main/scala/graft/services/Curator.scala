@@ -42,6 +42,45 @@ object Curator {
         lit(split.schema.fields.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")))
   }
 
+  /** Class-balance downsampling to target proportions — the mixture
+    * rebalance a pretraining pipeline applies per language/domain/
+    * source before training (dataset_curator.py stops at split
+    * ratios; this is the curation step its users script around it).
+    *
+    * Downsample-only: the feasible scale is K = min_i(n_i / t_i), so
+    * the scarcest stratum is kept whole and every other stratum keeps
+    * K·t_i rows — the largest dataset with EXACTLY the target mix
+    * that needs no upsampling. ONE count pass computes the per-stratum
+    * keep fractions; membership is the deterministic hash fraction
+    * (`frac(key) < keep_i`), so the sample is stable under
+    * reordering/repartitioning and — with `portable = true` — bit
+    * -replayable in any engine (threshold arithmetic is ordered
+    * identically to the SQL oracle's: K · t / n). Strata absent from
+    * `targets` are dropped (target 0). */
+  def rebalance(
+      df: DataFrame,
+      key: Column,
+      stratumCol: String,
+      targets: Map[String, Double],
+      seed: Long = 42L,
+      portable: Boolean = false): DataFrame = {
+    require(targets.nonEmpty, "rebalance needs at least one target stratum")
+    require(targets.values.forall(_ > 0), "target proportions must be positive")
+    val total = targets.values.sum
+    val norm = targets.view.mapValues(_ / total).toMap
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    val present = norm.filter { case (s, _) => counts.getOrElse(s, 0L) > 0 }
+    if (present.isEmpty) return df.filter(lit(false))
+    val k = present.map { case (s, t) => counts(s) / t }.min
+    val frac = if (portable) portableFraction(key, seed) else hashFraction(key, seed)
+    val keepExpr = present.toSeq.sortBy(_._1).foldLeft(when(lit(false), 0.0)) {
+      case (acc, (s, t)) =>
+        acc.when(col(stratumCol) === s, lit(math.min(1.0, k * t / counts(s))))
+    }.otherwise(lit(0.0))
+    df.filter(frac < keepExpr)
+  }
+
   /** Assign a split label per row. `ratios` are normalized; assignment
     * walks the cumulative distribution. */
   def assignSplits(

@@ -132,4 +132,30 @@ class ExtractionSpec extends SparkSpec {
     val b = Curator.assignSplits(df, col("id"), ratios).collect().toSet
     assert(a == b)
   }
+
+  test("rebalance keeps the scarcest stratum whole, hits the target mix, drops untargeted strata") {
+    import spark.implicits._
+    // brutal skew: 8000 en, 1900 de, 100 fr (+ 50 junk not in targets)
+    val df = ((1 to 8000).map(i => (i, "en")) ++ (1 to 1900).map(i => (10000 + i, "de")) ++
+      (1 to 100).map(i => (20000 + i, "fr")) ++ (1 to 50).map(i => (30000 + i, "junk")))
+      .toDF("id", "lang")
+    val r = Curator.rebalance(df, col("id"), "lang",
+      Map("en" -> 1.0, "de" -> 1.0, "fr" -> 1.0)).cache()
+    val counts = r.groupBy("lang").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(!counts.contains("junk")) // untargeted → dropped
+    assert(counts("fr") == 100L) // scarcest kept WHOLE (keep fraction 1.0)
+    // en and de downsample to ~100 each (hash sampling is in-expectation)
+    assert(math.abs(counts("en") - 100L) < 40, s"en=${counts("en")}")
+    assert(math.abs(counts("de") - 100L) < 40, s"de=${counts("de")}")
+    // deterministic under reordering
+    val again = Curator.rebalance(df.orderBy(col("id").desc), col("id"), "lang",
+      Map("en" -> 1.0, "de" -> 1.0, "fr" -> 1.0)).collect().map(_.getInt(0)).toSet
+    assert(again == r.collect().map(_.getInt(0)).toSet)
+    r.unpersist()
+    // no targeted stratum present → empty, not a crash
+    assert(Curator.rebalance(df, col("id"), "lang", Map("zz" -> 1.0)).count() == 0)
+    intercept[IllegalArgumentException](
+      Curator.rebalance(df, col("id"), "lang", Map.empty))
+  }
 }
