@@ -68,7 +68,11 @@ object Curator {
     require(targets.values.forall(_ > 0), "target proportions must be positive")
     val total = targets.values.sum
     val norm = targets.view.mapValues(_ / total).toMap
-    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+    // count ONLY the targeted strata: the driver read is bounded by
+    // |targets|, not by the stratum column's cardinality (an id-like
+    // column passed by mistake would otherwise collect the table)
+    val counts = df.filter(col(stratumCol).isin(targets.keys.toSeq: _*))
+      .groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.get(0) -> r.getLong(1)).toMap
     val present = norm.filter { case (s, _) => counts.getOrElse(s, 0L) > 0 }
     if (present.isEmpty) return df.filter(lit(false))
