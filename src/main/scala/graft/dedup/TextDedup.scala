@@ -75,6 +75,36 @@ object TextDedup {
         (col("n_boilerplate_lines") * 1.0 / col("n_lines") <= maxBoilerplateFrac).as("passes"))
   }
 
+  /** Benchmark decontamination (the published pretraining hygiene
+    * check: a training document sharing any long word n-gram with an
+    * evaluation benchmark is contaminated — GPT-3 App. C / PaLM use
+    * 13-gram collision). Per training document: shared-n-gram count
+    * and the contaminated verdict (`n_shared ≥ minCollisions`); clean
+    * documents appear with 0, never silently dropped.
+    *
+    * Scale shape: the benchmark side is SMALL by nature (eval suites
+    * are thousands of documents, not billions), so its distinct
+    * n-gram set BROADCASTS and the whole check is one broadcast
+    * semi-join + one groupBy on the training side — no shuffle of the
+    * corpus's n-grams, no join skew (hot n-grams hit a hash map, not
+    * a reducer). */
+  def contamination(
+      docs: DataFrame, evalDocs: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 13, minCollisions: Int = 1): DataFrame = {
+    require(minCollisions >= 1, s"minCollisions must be >= 1, got $minCollisions")
+    val train = shingleSets(docs, idCol, textCol, n)
+    val evalGrams = shingleSets(evalDocs, idCol, textCol, n)
+      .select("item").distinct()
+    val overlaps = train.join(broadcast(evalGrams), "item")
+      .groupBy("id").agg(count(lit(1)).as("_n"))
+    docs.select(col(idCol).as("id"))
+      .join(overlaps, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("_n"), lit(0L)).as("n_shared_ngrams"),
+        (coalesce(col("_n"), lit(0L)) >= minCollisions).as("contaminated"))
+  }
+
   /** Exact dedup by content hash (hash group-by; one shuffle on the
     * md5, partial agg collapses copies map-side): keeps the min-id row
     * per distinct content → (id, n_copies). */

@@ -66,6 +66,19 @@ object DedupQueries {
           col("boilerplate_frac"), col("passes"))
     }),
 
+    // Benchmark decontamination: every 50th document plays the eval
+    // benchmark; the rest is the training corpus. 13-gram collision
+    // (the GPT-3/PaLM standard) — the planted near-dup pairs that
+    // straddle the eval/train boundary surface as contaminated.
+    "q121_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextDedup.contamination(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 13)
+        .select(col("id").as("doc_id"), col("n_shared_ngrams"), col("contaminated"))
+    }),
+
     "q114_dedup_clusters" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val pairs = TextDedup.minhashLshPairs(docs, "doc_id", "text",
@@ -174,6 +187,25 @@ object DedupQueries {
         WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3"""
   }
 
+  /** q121 oracle: identical 13-gram construction, eval-side distinct,
+    * overlap counts left-joined so clean documents keep their 0. */
+  private val q121Sql = {
+    val terms = (0 until 13).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+    s"""WITH w AS (SELECT doc_id,
+              list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws
+            FROM documents),
+        sh AS (SELECT DISTINCT doc_id, $terms AS item
+               FROM w, unnest(range(1, len(ws) - 11)) AS t(i)
+               WHERE len(ws) >= 13),
+        ev AS (SELECT DISTINCT item FROM sh WHERE doc_id % 50 = 0),
+        ov AS (SELECT doc_id, count(*) AS n FROM sh JOIN ev USING (item)
+               WHERE doc_id % 50 <> 0 GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(n, 0) AS n_shared_ngrams,
+               coalesce(n, 0) >= 1 AS contaminated
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+        LEFT JOIN ov USING (doc_id)"""
+  }
+
   val oracles: Map[String, String] = Map(
     "q90_dedup_exact" ->
       """WITH all_docs AS (
@@ -187,6 +219,7 @@ object DedupQueries {
     "q93_dedup_simhash" -> q93Sql,
     "q94_dedup_ngram" -> jaccardSql(shSql, "sh", 0.5),
     "q114_dedup_clusters" -> q114Sql,
+    "q121_decontaminate" -> q121Sql,
     "q119_line_boilerplate" ->
       """WITH m AS (
            SELECT doc_id,
