@@ -138,6 +138,28 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("null item"))
   }
 
+  test("contamination: per-doc collision counts, clean docs keep 0, threshold gates") {
+    import spark.implicits._
+    val evalDocs = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu"))
+      .toDF("doc_id", "text") // exactly one 13-gram
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu padding words appended"),
+      (2L, "completely different vocabulary sharing nothing with the benchmark suite at any position whatsoever"))
+      .toDF("doc_id", "text")
+    val r = TextDedup.contamination(train, evalDocs, "doc_id", "text", n = 13)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getBoolean(2))).toMap
+    assert(r(1L) == (1L, true)) // the eval 13-gram occurs once
+    assert(r(2L) == (0L, false)) // clean doc present with 0, not dropped
+    // a higher collision threshold un-flags the single-collision doc
+    val strict = TextDedup.contamination(train, evalDocs, "doc_id", "text",
+      n = 13, minCollisions = 2).collect()
+      .map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    assert(!strict(1L) && !strict(2L))
+    intercept[IllegalArgumentException](
+      TextDedup.contamination(train, evalDocs, "doc_id", "text", minCollisions = 0))
+  }
+
   test("exactDedup keeps min id and counts copies") {
     val out = TextDedup.exactDedup(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
