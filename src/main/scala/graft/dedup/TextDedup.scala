@@ -259,25 +259,71 @@ object TextDedup {
     sets.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH banding: split the k signature values into `bands` bands of
-    * k/bands rows; docs sharing any band signature become candidates.
-    * Shuffles (id, band, sig) tuples — signature-sized, not
-    * document-sized. → distinct (id_1, id_2). */
-  def lshCandidates(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+  /** (id, band, sig) rows from a signature frame — the LSH banding
+    * shared by the batch and incremental paths. */
+  def bandSigs(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val r = k / bands
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws("_", (0 until r).map(j => col(s"mh_${b * r + j}")): _*).as("sig"))
     }
-    val banded = sigs
+    sigs
       .select(col("id"), explode(array(bandStructs: _*)).as("_b"))
       .select(col("id"), col("_b.band").as("band"), col("_b.sig").as("sig"))
+  }
+
+  /** LSH banding self-join: docs sharing any band signature become
+    * candidates. Shuffles (id, band, sig) tuples — signature-sized,
+    * not document-sized. → distinct (id_1, id_2). */
+  def lshCandidates(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    val banded = bandSigs(sigs, k, bands)
     banded.toDF("id_1", "band", "sig")
       .join(banded.toDF("id_2", "band", "sig"), Seq("band", "sig"))
       .filter(col("id_1") < col("id_2"))
       .select("id_1", "id_2")
       .distinct()
+  }
+
+  /** Incremental near-dup detection: dedup a NEW batch against an
+    * EXISTING signed corpus — the daily-crawl shape, where re-signing
+    * 100 TB of history per batch is the thing to avoid. `oldSigs` is a
+    * prior [[minhashSignatures]] output (persist it — a
+    * [[graft.sources.VersionedTable]] with one appended version per
+    * batch is the natural store); only the new batch's text is
+    * touched.
+    *
+    * The band join is ASYMMETRIC: the new batch's band rows probe the
+    * full corpus's, so old×old pairs are never even generated — work
+    * scales with |new| · collision rate, not |corpus|². Jaccard is
+    * the SIGNATURE ESTIMATE (matching-component fraction, the
+    * standard MinHash property E[match] = J): the old documents'
+    * shingle sets need not exist anymore, which is precisely the
+    * incremental trade. → (id_1, id_2, est_jaccard), every pair
+    * involving ≥ 1 new document. */
+  def incrementalNearDups(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      oldSigs: DataFrame,
+      n: Int = 3, k: Int = 16, bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+    val mhCols = (0 until k).map(i => s"mh_$i")
+    require(mhCols.forall(oldSigs.columns.contains),
+      s"oldSigs must carry id, ${mhCols.mkString(", ")} — a minhashSignatures(k=$k) output")
+    val newSigs = minhashSignatures(shingleSets(newDocs, idCol, textCol, n), k)
+    val all = oldSigs.select(col("id") +: mhCols.map(col): _*).unionByName(newSigs)
+    val cand = bandSigs(newSigs, k, bands).toDF("_ida", "band", "sig")
+      .join(bandSigs(all, k, bands).toDF("_idb", "band", "sig"), Seq("band", "sig"))
+      .filter(col("_ida") =!= col("_idb"))
+      .select(least(col("_ida"), col("_idb")).as("id_1"),
+        greatest(col("_ida"), col("_idb")).as("id_2"))
+      .distinct()
+    val left = all.select(col("id").as("id_1") +: (0 until k).map(i => col(s"mh_$i").as(s"_l_$i")): _*)
+    val right = all.select(col("id").as("id_2") +: (0 until k).map(i => col(s"mh_$i").as(s"_r_$i")): _*)
+    val matching = (0 until k)
+      .map(i => when(col(s"_l_$i") === col(s"_r_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(left, "id_1").join(right, "id_2")
+      .select(col("id_1"), col("id_2"), (matching / k.toDouble).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
   }
 
   /** Candidate-bounded exact-Jaccard verification: each pair explodes

@@ -138,6 +138,34 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("null item"))
   }
 
+  test("incrementalNearDups: new batch vs signed corpus — no old×old pairs, estimates track Jaccard") {
+    import spark.implicits._
+    // "yesterday's corpus": docs 1-4 signed once; only signatures kept
+    val oldSigs = TextDedup.minhashSignatures(
+      TextDedup.shingleSets(docs, "doc_id", "text", 3), k = 16)
+      .localCheckpoint(true)
+    // today's batch: 10 near-dups doc 1 (one word differs), 11 is novel,
+    // 12/13 are exact dups of each other (new×new pair)
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"),
+      (11L, "entirely novel content with no relation to anything previously ingested here"),
+      (12L, "twin payload replicated inside the same incremental batch for pairing checks"),
+      (13L, "twin payload replicated inside the same incremental batch for pairing checks"))
+      .toDF("doc_id", "text")
+    val pairs = TextDedup.incrementalNearDups(batch, "doc_id", "text", oldSigs,
+      n = 3, k = 16, bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every pair involves >= 1 new id (old×old 1~2~4 near-dups are NOT re-reported)
+    assert(pairs.keys.forall { case (a, b) => a >= 10 || b >= 10 })
+    // new-vs-old: 10 pairs with 1 and its exact dup 4 (near-dup estimate high)
+    assert(pairs.contains((1L, 10L)) && pairs.contains((4L, 10L)))
+    assert(pairs((1L, 10L)) >= 0.5)
+    // new-vs-new: the in-batch twins estimate 1.0
+    assert(pairs((12L, 13L)) == 1.0)
+    // the novel doc pairs with nothing
+    assert(!pairs.keys.exists { case (a, b) => a == 11L || b == 11L })
+  }
+
   test("contamination: per-doc collision counts, clean docs keep 0, threshold gates") {
     import spark.implicits._
     val evalDocs = Seq(
