@@ -138,6 +138,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup: each micro-batch probes the accumulated signature store") {
+    import spark.implicits._
+    import graft.dedup.TextDedup
+    import graft.sources.VersionedTable
+    implicit val sqlCtx = spark.sqlContext
+    val sigTable = java.nio.file.Files.createTempDirectory("graft_stream_dedup").toString + "/sigs"
+    val found = scala.collection.mutable.Set.empty[(Long, Long)]
+    val in = MemoryStream[(Long, String)]
+    // the crawl loop: detect near-dups against everything signed so
+    // far, then append THIS batch's signatures exactly-once — only
+    // composition, no new machinery
+    val q = in.toDF().toDF("doc_id", "text").writeStream.queryName("crawl")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val docs = batch.toDF()
+        val newSigs = TextDedup.minhashSignatures(
+          TextDedup.shingleSets(docs, "doc_id", "text", 3), 16)
+        val oldSigs =
+          if (VersionedTable.currentVersion(s, sigTable).isDefined)
+            VersionedTable.read(s, sigTable)
+          else newSigs.limit(0)
+        found ++= TextDedup.incrementalNearDups(docs, "doc_id", "text", oldSigs)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        VersionedTable.appendIdempotent(s, sigTable, newSigs, s"crawl-$batchId")
+        ()
+      }.start()
+    try {
+      in.addData(
+        (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (2L, "totally unrelated payload about catalyst plans and shuffle partitioning"))
+      drain(q)
+      assert(found.isEmpty, s"first batch has nothing to collide with: $found")
+      in.addData(
+        (10L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // ~doc 1
+        (11L, "in batch twin content repeated verbatim for the pairing assertion"),
+        (12L, "in batch twin content repeated verbatim for the pairing assertion"))
+      drain(q)
+      assert(found.contains((1L, 10L)), s"cross-batch near-dup missed: $found")
+      assert(found.contains((11L, 12L)), s"in-batch twins missed: $found")
+      assert(!found.exists { case (a, b) => a <= 2 && b <= 2 },
+        s"old×old pair must never re-report: $found")
+      // one signature version per micro-batch, all docs signed
+      assert(VersionedTable.versions(spark, sigTable).size == 2)
+      assert(VersionedTable.read(spark, sigTable).count() == 5)
+    } finally q.stop()
+  }
+
   test("foreachBatchVersioned: one committed version per micro-batch, replay is a no-op") {
     import spark.implicits._
     import graft.sources.VersionedTable
