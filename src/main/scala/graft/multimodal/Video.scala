@@ -111,7 +111,7 @@ object Video {
         .map { case (ms, me) => boxes(bytes, ms, me) }
         .flatMap(find(_, "hdlr"))
         .map { case (hs, _) => ascii(bytes, hs + 8, 4) }
-        .getOrElse("????")
+        .getOrElse("unkn") // no hdlr box: unknown handler type
       geom.map { case (id, w, h) => TrackInfo(id, handler, w, h) }
     }.flatten
 
