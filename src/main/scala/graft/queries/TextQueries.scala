@@ -109,6 +109,24 @@ object TextQueries {
         .select(col("doc_id"), col("_c.*"))
     }),
 
+    // Reference-corpus coverage scoring: even doc_ids train the char
+    // 3-gram model, odd doc_ids are scored against it. minCount = 64
+    // (the model's median count) keeps only well-attested trigrams,
+    // so coverage genuinely varies per doc (~0.87-0.96 at sf0.01)
+    // instead of saturating on the shared vocabulary — and both
+    // ratios are single exact-integer IEEE divisions, replayed
+    // bit-identically by the oracle.
+    "q122_coverage" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = TextAnalysis.charNgramModel(
+        docs.filter(col("doc_id") % 2 === 0), "text", n = 3)
+      TextAnalysis.coverageScore(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", model,
+        n = 3, minCount = 64L)
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_known"),
+          col("coverage"), col("avg_ref_cnt"))
+    }),
+
     // End-to-end PDF extraction gate: build a real two-page PDF per
     // document (catalog → page tree → per-page content streams, parens/
     // backslashes escaped per the literal-string grammar), run the full
@@ -310,6 +328,29 @@ object TextQueries {
            AND NOT contains(mt, '{') AS passes
        FROM f"""
 
+  // q122: identical 3-gram extraction on both sides; counts are
+  // integers, the ratios single IEEE divisions of exact integers
+  private val q122Sql =
+    """WITH g AS (
+         SELECT doc_id,
+           list_transform(range(1, greatest(length(lower(text)) - 2, 0) + 1),
+             i -> substr(lower(text), i, 3)) AS gs
+         FROM documents),
+       model AS (
+         SELECT gram, count(*) AS cnt FROM (
+           SELECT unnest(gs) AS gram FROM g WHERE doc_id % 2 = 0)
+         GROUP BY gram HAVING count(*) >= 64),
+       scored AS (
+         SELECT doc_id, gram FROM (
+           SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id % 2 = 1))
+       SELECT doc_id,
+         count(*) AS n_grams,
+         count(cnt) AS n_known,
+         count(cnt) * 1.0 / count(*) AS coverage,
+         coalesce(sum(cnt), 0) * 1.0 / count(*) AS avg_ref_cnt
+       FROM scored LEFT JOIN model USING (gram)
+       GROUP BY doc_id"""
+
   // escape → build PDF → parse → unescape must round-trip exactly, so
   // the oracle is the identity reconstruction (Td breaks lines, pages
   // join with a newline)
@@ -327,5 +368,6 @@ object TextQueries {
     "q102_md_extract" -> q102Sql,
     "q103_pdf_extract" -> q103Sql,
     "q117_repetition" -> q117Sql,
-    "q118_c4_filter" -> q118Sql)
+    "q118_c4_filter" -> q118Sql,
+    "q122_coverage" -> q122Sql)
 }

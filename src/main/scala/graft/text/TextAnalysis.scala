@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data pipelines: language ID, quality
@@ -247,6 +247,58 @@ object TextAnalysis {
       (nSent >= 3 &&
         !lower(text).contains("lorem ipsum") &&
         !text.contains("{")).as("passes"))
+  }
+
+  /** Character n-gram counts over a REFERENCE corpus — the model half
+    * of count-based quality scoring (the CCNet idea: score documents
+    * by how familiar their character statistics are to a trusted
+    * corpus; here the count table itself IS the model, so scoring
+    * stays integer-exact and oracle-checkable instead of riding
+    * engine-specific log/float behavior). One explode + one hash
+    * groupBy with map-side partials. → (gram, cnt) */
+  def charNgramModel(refDocs: DataFrame, textCol: String, n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val t = lower(col(textCol))
+    // guard: sequence(1, 0) steps DOWNWARD in Spark, so a sub-n-length
+    // text must yield null (explode drops it), not phantom positions
+    refDocs
+      .select(explode(when(length(t) >= n, transform(
+        sequence(lit(1), length(t) - (n - 1)),
+        i => t.substr(i, lit(n))))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Score documents against a [[charNgramModel]]: per document, total
+    * n-grams, how many are KNOWN to the reference (model count ≥
+    * `minCount`), the coverage fraction, and the mean reference count
+    * — high coverage + high mean = text that looks like the trusted
+    * corpus; gibberish and alien scripts score near zero. The model
+    * BROADCASTS (a char-trigram table is bounded by |alphabet|³, tiny
+    * next to any corpus), so scoring is one broadcast join + one
+    * groupBy on the document id. All-integer aggregates; the two
+    * ratios are single IEEE divisions of exact integers — identical
+    * in any engine, no float-accumulation drift.
+    * → (id, n_grams, n_known, coverage, avg_ref_cnt) */
+  def coverageScore(
+      docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, n: Int = 3, minCount: Long = 1L): DataFrame = {
+    val t = lower(col(textCol))
+    // documents shorter than n have no grams to score and drop out
+    // (same guard as charNgramModel — no phantom descending sequence)
+    val grams = docs.select(col(idCol).as("id"),
+      explode(when(length(t) >= n, transform(
+        sequence(lit(1), length(t) - (n - 1)),
+        i => t.substr(i, lit(n))))).as("gram"))
+    grams
+      .join(broadcast(model.filter(col("cnt") >= minCount)), Seq("gram"), "left")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        count(col("cnt")).as("n_known"),
+        coalesce(sum(col("cnt")), lit(0L)).as("_sum_cnt"))
+      .select(col("id"), col("n_grams"), col("n_known"),
+        (col("n_known") * 1.0 / col("n_grams")).as("coverage"),
+        (col("_sum_cnt") * 1.0 / col("n_grams")).as("avg_ref_cnt"))
   }
 
   /** Key-value extraction from structured-ish text (ref
