@@ -113,7 +113,21 @@ class PlanShapeSpec extends SparkSpec {
       18),
     "q116_embed_neardup" -> PlanGolden.Shape(
       "Project>Join>Project>Filter>LogicalRelation>Project>Filter>LogicalRelation",
-      37))
+      37),
+    // the three projection boundaries are the q117 discipline: text →
+    // struct → fields, each alias multiply-referenced
+    "q118_c4_filter" -> PlanGolden.Shape(
+      "Project>Project>Project>LogicalRelation",
+      363),
+    "q119_line_boilerplate" -> PlanGolden.Shape(
+      "Project>Aggregate>Project>Join>Aggregate>Project>Generate>Project>LogicalRelation>Aggregate>Aggregate>Project>Generate>Project>LogicalRelation",
+      124),
+    "q121_decontaminate" -> PlanGolden.Shape(
+      "Project>Join>Project>Filter>LogicalRelation>Aggregate>Project>Join>Aggregate>Generate>Project>Filter>LogicalRelation>Aggregate>Generate>Project>Filter>LogicalRelation",
+      286),
+    "q122_coverage" -> PlanGolden.Shape(
+      "Project>Aggregate>Project>Join>Project>Generate>Project>Filter>LogicalRelation>Filter>Aggregate>Filter>Generate>Project>Filter>LogicalRelation",
+      130))
 
   test("golden snapshots: operator skeleton exact, expression forest within 1.5x") {
     val failures = golden.toSeq.sortBy(_._1).flatMap { case (name, expected) =>
