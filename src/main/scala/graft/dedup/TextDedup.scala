@@ -65,14 +65,23 @@ object TextDedup {
       .distinct() // a line repeated WITHIN a doc counts one doc
     val lineDocs = docLines.groupBy("line")
       .agg(count(lit(1)).as("_n_docs")) // distinct by construction
-    docLines.join(lineDocs, "line")
+    val rollup = docLines.join(lineDocs, "line")
       .groupBy("id")
       .agg(
         count(lit(1)).as("n_lines"),
         count(when(col("_n_docs") >= minDocs, 1)).as("n_boilerplate_lines"))
-      .select(col("id"), col("n_lines"), col("n_boilerplate_lines"),
-        (col("n_boilerplate_lines") * 1.0 / col("n_lines")).as("boilerplate_frac"),
-        (col("n_boilerplate_lines") * 1.0 / col("n_lines") <= maxBoilerplateFrac).as("passes"))
+    // A document whose text has no non-empty lines vanishes at the
+    // explode; rejoin the universe so it appears with 0 lines and
+    // passes=true — the same never-silently-dropped discipline as
+    // [[contamination]].
+    df.select(col(idCol).as("id"))
+      .join(rollup, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_boilerplate_lines"), lit(0L)).as("n_boilerplate_lines"),
+        coalesce(col("n_boilerplate_lines") * 1.0 / col("n_lines"), lit(0.0)).as("boilerplate_frac"),
+        coalesce(col("n_boilerplate_lines") * 1.0 / col("n_lines") <= maxBoilerplateFrac,
+          lit(true)).as("passes"))
   }
 
   /** Benchmark decontamination (the published pretraining hygiene
@@ -309,7 +318,15 @@ object TextDedup {
     require(mhCols.forall(oldSigs.columns.contains),
       s"oldSigs must carry id, ${mhCols.mkString(", ")} — a minhashSignatures(k=$k) output")
     val newSigs = minhashSignatures(shingleSets(newDocs, idCol, textCol, n), k)
-    val all = oldSigs.select(col("id") +: mhCols.map(col): _*).unionByName(newSigs)
+    // A re-crawled id (present in BOTH oldSigs and the new batch) must
+    // contribute exactly one signature row — the NEW one — or the band
+    // joins emit duplicate candidates estimated against the stale
+    // signature. The anti-join's build side is the new batch's ids
+    // (small by the incremental contract) → broadcast hash anti-join,
+    // no corpus shuffle.
+    val oldOnly = oldSigs.select(col("id") +: mhCols.map(col): _*)
+      .join(broadcast(newSigs.select("id")), Seq("id"), "left_anti")
+    val all = oldOnly.unionByName(newSigs)
     val cand = bandSigs(newSigs, k, bands).toDF("_ida", "band", "sig")
       .join(bandSigs(all, k, bands).toDF("_idb", "band", "sig"), Seq("band", "sig"))
       .filter(col("_ida") =!= col("_idb"))

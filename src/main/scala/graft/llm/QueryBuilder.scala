@@ -129,7 +129,10 @@ final class QueryBuilder(
     val candidates =
       if (tables.nonEmpty) tables.map(_.toLowerCase) else schemas.keys.toSeq
     require(candidates.nonEmpty, "No tables registered. Use registerTable() first.")
-    val primary = schemas(candidates.head)
+    val primary = schemas.getOrElse(candidates.head,
+      throw new IllegalArgumentException(
+        s"Unknown table '${candidates.head}'. Registered tables: " +
+          (if (schemas.isEmpty) "(none)" else schemas.values.map(_.name).mkString(", "))))
     val sql = generator.toSql(naturalQuery, primary.name, primary.columns.map(_._1))
     val v = validateQuery(sql)
     QueryResult(

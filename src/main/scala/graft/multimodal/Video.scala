@@ -77,8 +77,21 @@ object Video {
 
   /** Container metadata without any codec: ftyp brand, mvhd
     * timescale/duration, per-trak tkhd geometry + hdlr handler type.
-    * Left(reason) for anything that is not ISO-BMFF. */
-  private[graft] def parseMp4(bytes: Array[Byte]): Either[String, Mp4Info] = {
+    * Left(reason) for anything that is not ISO-BMFF — including files
+    * whose box headers are valid but whose mvhd/tkhd/hdlr payloads are
+    * truncated (the payload reads below would otherwise throw out of
+    * the executor map and fail the job, violating the error-tagged-
+    * rows-never-dropped contract). */
+  private[graft] def parseMp4(bytes: Array[Byte]): Either[String, Mp4Info] =
+    try parseMp4Unsafe(bytes)
+    catch {
+      case e: IndexOutOfBoundsException =>
+        Left(s"truncated box payload: ${e.getMessage}")
+      case scala.util.control.NonFatal(e) =>
+        Left(s"malformed ISO-BMFF: ${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+
+  private def parseMp4Unsafe(bytes: Array[Byte]): Either[String, Mp4Info] = {
     if (bytes.length < 16) return Left("too short for an ISO-BMFF file")
     val top = boxes(bytes, 0, bytes.length)
     val brand = find(top, "ftyp") match {

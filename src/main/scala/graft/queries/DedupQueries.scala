@@ -231,11 +231,15 @@ object DedupQueries {
              SELECT doc_id, trim(l) AS line
              FROM m, unnest(string_split_regex(mt, '\r?\n')) AS t(l))
            WHERE line <> ''),
-         lc AS (SELECT line, count(*) AS n_docs FROM dl GROUP BY line)
-         SELECT doc_id, count(*) AS n_lines,
-           count(CASE WHEN n_docs >= 2 THEN 1 END) AS n_boilerplate_lines,
-           count(CASE WHEN n_docs >= 2 THEN 1 END) * 1.0 / count(*) AS boilerplate_frac,
-           count(CASE WHEN n_docs >= 2 THEN 1 END) * 1.0 / count(*) <= 0.3 AS passes
-         FROM dl JOIN lc USING (line)
-         GROUP BY doc_id""")
+         lc AS (SELECT line, count(*) AS n_docs FROM dl GROUP BY line),
+         ru AS (
+           SELECT doc_id, count(*) AS nl,
+             count(CASE WHEN n_docs >= 2 THEN 1 END) AS nb
+           FROM dl JOIN lc USING (line)
+           GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(nl, 0) AS n_lines,
+           coalesce(nb, 0) AS n_boilerplate_lines,
+           coalesce(nb * 1.0 / nl, 0.0) AS boilerplate_frac,
+           coalesce(nb * 1.0 / nl <= 0.3, true) AS passes
+         FROM documents d LEFT JOIN ru USING (doc_id)""")
 }

@@ -118,8 +118,12 @@ object Events {
       val dedupeKey = (event.eventType, event.source, event.title)
       val dup = lastSeen.get(dedupeKey).exists(last =>
         Duration.between(last, now).toMinutes < dedupeWindowMinutes)
-      lastSeen(dedupeKey) = now
+      // Fixed-window dedupe: a suppressed event must NOT refresh the
+      // window, or a failure recurring faster than the window is
+      // silenced forever after its first page — the per-rule cooldown
+      // is the intended re-arm, and it only sees events that pass here.
       if (dup) return EmitResult(sent = false, Seq.empty, Seq.empty, suppressedAsDuplicate = true)
+      lastSeen(dedupeKey) = now
 
       val matching = rules.filter(_.matches(event))
       val (ready, cooling) = matching.partition { r =>

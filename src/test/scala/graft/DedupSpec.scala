@@ -166,6 +166,45 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (a, b) => a == 11L || b == 11L })
   }
 
+  test("incrementalNearDups: a re-crawled id uses its NEW signature only") {
+    import spark.implicits._
+    val oldSigs = TextDedup.minhashSignatures(
+      TextDedup.shingleSets(docs, "doc_id", "text", 3), k = 16)
+      .localCheckpoint(true)
+    // doc 1 is re-crawled with entirely new content; 10 is a near-dup of
+    // the (unchanged) old doc 2. The stale signature of 1 — a near-dup of
+    // 2 and 4 — must not resurface: no pair may involve 1, and no
+    // (id_1, id_2) key may appear twice (the stale+new double-row bug).
+    val batch = Seq(
+      (1L, "entirely replaced content with no relation to anything previously ingested here"),
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank tonight"))
+      .toDF("doc_id", "text")
+    val rows = TextDedup.incrementalNearDups(batch, "doc_id", "text", oldSigs,
+      n = 3, k = 16, bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.distinct.length == rows.length, s"duplicate pair rows: ${rows.mkString(", ")}")
+    assert(!rows.exists { case (a, b) => a == 1L || b == 1L },
+      s"stale signature of the re-crawled id leaked: ${rows.mkString(", ")}")
+    assert(rows.contains((2L, 10L)))
+  }
+
+  test("boilerplateLines: a doc with no non-empty lines appears with 0 lines, passes") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "shared footer line\nunique alpha content"),
+      (2L, "shared footer line\nunique beta content"),
+      (3L, ""),
+      (4L, "\n  \n")) // whitespace-only lines trim to empty
+      .toDF("doc_id", "text")
+    val r = TextDedup.boilerplateLines(corpus, "doc_id", "text", minDocs = 2)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3), x.getBoolean(4)))).toMap
+    assert(r.keySet == Set(1L, 2L, 3L, 4L), "empty docs must not vanish")
+    assert(r(1L) == ((2L, 1L, 0.5, false)))
+    assert(r(3L) == ((0L, 0L, 0.0, true)))
+    assert(r(4L) == ((0L, 0L, 0.0, true)))
+  }
+
   test("contamination: per-doc collision counts, clean docs keep 0, threshold gates") {
     import spark.implicits._
     val evalDocs = Seq(

@@ -91,6 +91,21 @@ class EventsSpec extends AnyFunSuite {
     assert(sent.size == 3)
   }
 
+  test("fixed-window dedupe: a suppressed recurrence does not refresh the window") {
+    val (sent, ch) = recordingTransport()
+    val svc = new Service(
+      Seq(EventRule("r", Set("pipeline_failed"), cooldownMinutes = 0, channels = Seq("c"))),
+      Map("c" -> ch), dedupeWindowMinutes = 5)
+    // a persistent failure retrying every 4 min: sliding-window dedupe
+    // would page once and then silence it FOREVER; the fixed window
+    // re-pages once per window
+    assert(svc.pipelineFailed("nightly", "p1", "boom", None, t0).sent)
+    assert(!svc.pipelineFailed("nightly", "p2", "boom", None, t0.plusMinutes(4)).sent)
+    assert(svc.pipelineFailed("nightly", "p3", "boom", None, t0.plusMinutes(8)).sent)
+    assert(!svc.pipelineFailed("nightly", "p4", "boom", None, t0.plusMinutes(12)).sent)
+    assert(sent.size == 2)
+  }
+
   test("convenience emitters render the reference's message shapes") {
     val (sent, ch) = recordingTransport()
     val svc = new Service(

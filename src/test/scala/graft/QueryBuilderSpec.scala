@@ -95,6 +95,16 @@ class QueryBuilderSpec extends SparkSpec {
     assert(r.explanation.contains("Groups rows by"))
   }
 
+  test("buildQuery on an unregistered table fails with the registry error shape") {
+    val qb = builder
+    val e = intercept[IllegalArgumentException](qb.buildQuery("count rows", Seq("nope")))
+    assert(e.getMessage.contains("Unknown table 'nope'"))
+    assert(e.getMessage.contains("orders") && e.getMessage.contains("customer"))
+    val empty = new QueryBuilder()
+    assert(intercept[IllegalArgumentException](
+      empty.buildQuery("count rows", Seq("nope"))).getMessage.contains("(none)"))
+  }
+
   test("explainQuery renders the clause structure step by step") {
     val qb = builder
     val e = qb.explainQuery(

@@ -51,6 +51,22 @@ class VideoSpec extends SparkSpec {
       box("moov", mvhd(600, 6000) ++ trak(1, "vide", 640, 360) ++ trak(2, "soun", 0, 0)) ++
       box("mdat", Array.fill[Byte](32)(7))
 
+  test("valid box headers with a truncated mvhd payload error-tag, not throw") {
+    // the mvhd box claims only its 4 version/flags payload bytes, so the
+    // timescale read at payload+12 dereferences past EOF — the contract
+    // is Left(reason), never an exception out of the executor map
+    val shortMvhd = box("mvhd", Array[Byte](0, 0, 0, 0))
+    val bytes = box("ftyp", "isom".getBytes("US-ASCII") ++ u32(512)) ++ box("moov", shortMvhd)
+    assert(Video.parseMp4(bytes).isLeft)
+    val rows = Video.extractMetadata(Seq(("t.mp4", bytes)).toDF("path", "content")).collect()
+    assert(rows(0).getAs[String]("error") != null)
+    // a trak whose tkhd payload stops short of the 16.16 geometry tail
+    val shortTrak = box("trak", fullBox("tkhd", 0, u32(0) ++ u32(0) ++ u32(1)))
+    val bytes2 = box("ftyp", "isom".getBytes("US-ASCII") ++ u32(512)) ++
+      box("moov", mvhd(600, 6000) ++ shortTrak)
+    assert(Video.parseMp4(bytes2).isLeft)
+  }
+
   test("parseMp4 reads brand, duration, and per-track handler/geometry from the box grammar") {
     val m = Video.parseMp4(sampleMp4).toOption.get
     assert(m.majorBrand == "isom")
