@@ -53,19 +53,39 @@ object TextDedup {
     * partial count — duplicate lines collapse before the shuffle,
     * which is exactly what makes this survive a 100 TB corpus where
     * the hot boilerplate lines appear in billions of documents), and
-    * the per-doc rollup is a second groupBy on id. No broadcast: the
-    * line-frequency table scales with the corpus. */
+    * the per-doc rollup is a second groupBy on id. The line-frequency
+    * table scales with the corpus, so it is never broadcast wholesale.
+    *
+    * The count REJOIN on `line` is the one skewed-key join in the
+    * pipeline: a universal footer lands its entire (id, line) group on
+    * one reducer. AQE's skew split CANNOT save this join — the
+    * aggregated side reuses its groupBy exchange, so the merge join's
+    * right child is agg-over-stage, not a bare shuffle stage, and
+    * `OptimizeSkewedJoin`'s pattern never matches (verified: the same
+    * data splits a plain join but never this shape). The fix is
+    * structural hot/cold routing: lines in ≥ `hotLineMinDocs` docs are
+    * a BOUNDED set (≤ |corpus lines| / hotLineMinDocs, by counting) —
+    * broadcast them, route their rows through a narrow broadcast join,
+    * anti-join them off the sort-merge path. The residual join's
+    * groups are < hotLineMinDocs rows each: skew-free by construction. */
   def boilerplateLines(
       df: DataFrame, idCol: String, textCol: String,
-      minDocs: Int = 2, maxBoilerplateFrac: Double = 0.3): DataFrame = {
+      minDocs: Int = 2, maxBoilerplateFrac: Double = 0.3,
+      hotLineMinDocs: Int = 100000): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    require(hotLineMinDocs >= 2, s"hotLineMinDocs must be >= 2, got $hotLineMinDocs")
     val docLines = df.select(col(idCol).as("id"),
         explode(filter(transform(split(col(textCol), "\r?\n"), l => trim(l)), l => l =!= ""))
           .as("line"))
       .distinct() // a line repeated WITHIN a doc counts one doc
     val lineDocs = docLines.groupBy("line")
       .agg(count(lit(1)).as("_n_docs")) // distinct by construction
-    val rollup = docLines.join(lineDocs, "line")
+    val hot = broadcast(lineDocs.filter(col("_n_docs") >= hotLineMinDocs))
+    val hotJoined = docLines.join(hot, "line") // narrow: hot keys never shuffle
+    val coldJoined = docLines
+      .join(hot.select("line"), Seq("line"), "left_anti") // broadcast anti: narrow
+      .join(lineDocs.filter(col("_n_docs") < hotLineMinDocs), "line")
+    val rollup = hotJoined.unionByName(coldJoined)
       .groupBy("id")
       .agg(
         count(lit(1)).as("n_lines"),

@@ -61,7 +61,11 @@ object DedupQueries {
       val sent = regexp_replace(col("text"), "((\\S+\\s+){7}\\S+)\\s+", "$1.\n")
       val mt = concat(sent, lit("\nall rights reserved contact us at example dot com."))
       val docs = Tables.documents(s, d).select(col("doc_id"), mt.as("mtext"))
-      TextDedup.boilerplateLines(docs, "doc_id", "mtext", minDocs = 2)
+      // hotLineMinDocs = 400: the universal footer (one line per doc,
+      // 500 docs at sf0.01 / 5000 at sf0.1) exercises the hot-broadcast
+      // path in the gated query, so the production plan shape is what
+      // the oracle and the bench both see
+      TextDedup.boilerplateLines(docs, "doc_id", "mtext", minDocs = 2, hotLineMinDocs = 400)
         .select(col("id").as("doc_id"), col("n_lines"), col("n_boilerplate_lines"),
           col("boilerplate_frac"), col("passes"))
     }),

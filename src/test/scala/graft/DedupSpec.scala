@@ -205,6 +205,46 @@ class DedupSpec extends SparkSpec {
     assert(r(4L) == ((0L, 0L, 0.0, true)))
   }
 
+  test("boilerplateLines: hot/cold routing keeps the planted hot line off the merge join") {
+    import spark.implicits._
+    // The 100 TB risk in boilerplateLines is its count rejoin on the
+    // line itself: a universal footer in half the corpus lands its
+    // whole (id, line) group on one reducer. AQE's skew split is
+    // structurally unavailable here — the aggregated side reuses its
+    // groupBy exchange, so OptimizeSkewedJoin's both-children-are-
+    // bare-shuffle-stages pattern never matches (the same data DOES
+    // split a plain join). This plants the hot shape under cluster
+    // conditions (auto-broadcast off: the line-frequency table scales
+    // with the corpus) and asserts the structural fix: the hot slice
+    // rides a forced broadcast join and is anti-joined off the
+    // sort-merge path, whose groups are then < hotLineMinDocs each.
+    val footer = ("all rights reserved " * 10).trim
+    val corpus = (1 to 20000).map { i =>
+      val hot = if (i % 2 == 0) footer + "\n" else ""
+      (i.toLong, hot + s"u $i")
+    }.toDF("doc_id", "text")
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = TextDedup.boilerplateLines(corpus, "doc_id", "text",
+        minDocs = 2, hotLineMinDocs = 1000)
+      val r = df.collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+      // correctness under the skewed shape: footer docs see 1 of 2 lines
+      // as boilerplate, odd docs 0 of 1
+      assert(r.size == 20000)
+      assert(r(2L) == ((2L, 1L)) && r(1L) == ((1L, 0L)))
+      val plan = df.queryExecution.executedPlan.toString
+      // the hot join and the hot anti-join are broadcasts even with
+      // auto-broadcast disabled (the hint is load-bearing), and the
+      // residual equi-join on line stays a shuffle join
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+        s"hot slice must ride a broadcast join + anti-join:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"cold path must remain a shuffle join:\n$plan")
+    } finally saved.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+  }
+
   test("contamination: per-doc collision counts, clean docs keep 0, threshold gates") {
     import spark.implicits._
     val evalDocs = Seq(

@@ -119,9 +119,12 @@ class PlanShapeSpec extends SparkSpec {
     "q118_c4_filter" -> PlanGolden.Shape(
       "Project>Project>Project>LogicalRelation",
       363),
+    // r8: hot/cold skew routing (hot broadcast join + anti-join + cold
+    // shuffle join, unioned) + the empty-doc left rejoin — the skeleton
+    // carries the whole differentiated-join shape
     "q119_line_boilerplate" -> PlanGolden.Shape(
-      "Project>Aggregate>Project>Join>Aggregate>Project>Generate>Project>LogicalRelation>Aggregate>Aggregate>Project>Generate>Project>LogicalRelation",
-      124),
+      "Project>Join>Project>LogicalRelation>Aggregate>Union>Project>Join>Aggregate>Project>Generate>Project>Filter>LogicalRelation>Filter>Aggregate>Aggregate>Project>Generate>Project>LogicalRelation>Project>Join>Aggregate>Project>Join>Generate>Project>Filter>LogicalRelation>Project>Filter>Aggregate>Aggregate>Project>Generate>Project>LogicalRelation>Filter>Aggregate>Aggregate>Project>Generate>Project>LogicalRelation",
+      293),
     "q121_decontaminate" -> PlanGolden.Shape(
       "Project>Join>Project>Filter>LogicalRelation>Aggregate>Project>Join>Aggregate>Generate>Project>Filter>LogicalRelation>Aggregate>Generate>Project>Filter>LogicalRelation",
       286),
