@@ -147,13 +147,25 @@ object TextDedup {
     * in 64 bits every set collapses to ONE long bitmask
     * ([[jaccardPairsBitmask]]: popcount arithmetic over distinct masks —
     * no item join at all). Larger vocabularies — or tiny vocabularies
-    * whose distinct-mask count exceeds `maxMasks` — take the item-join
-    * path ([[jaccardPairsItemJoin]]). Both are exact over the supported
-    * threshold domain; the choice is a physical-strategy decision, like
-    * AQE picking a join algorithm. (threshold ≤ 0 is rejected: the
-    * bitmask path would emit fully-disjoint pairs the item join cannot
-    * see, so the two strategies would stop being row-identical.) */
-  def jaccardPairs(sets: DataFrame, threshold: Double, maxMasks: Int = 50000): DataFrame = {
+    * whose distinct-mask count exceeds `maxMasks` — pick between the
+    * PPJoin-style prefix filter ([[jaccardPairsPrefix]]) at high
+    * thresholds and the banded item join ([[jaccardPairsItemJoin]]) at
+    * low ones. All paths are exact over the supported threshold domain;
+    * the choice is a physical-strategy decision, like AQE picking a
+    * join algorithm. (threshold ≤ 0 is rejected: the bitmask path would
+    * emit fully-disjoint pairs the item join cannot see, so the
+    * strategies would stop being row-identical.)
+    *
+    * `prefixMinThreshold` is measured, not guessed (BENCHMARKS.md
+    * "Zipfian corpus", 5000-doc/23k-type Zipf(1.07) corpus at sf0.1
+    * scale): prefix filtering wins 3.3–7.6× at t ≥ 0.7 on token sets
+    * (where the stopword head melts the item join) and is a wash on
+    * near-unique shingle sets, but LOSES 2.5× on token sets at t = 0.5,
+    * where half of every set — including the head — enters the prefix
+    * and the candidate join explodes. */
+  def jaccardPairs(
+      sets: DataFrame, threshold: Double, maxMasks: Int = 50000,
+      prefixMinThreshold: Double = 0.7): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"jaccardPairs threshold must be in (0, 1], got $threshold")
     // Bounded driver read: at most 65 rows decide the strategy.
@@ -163,6 +175,7 @@ object TextDedup {
       "jaccardPairs: sets contains a null item — tokenSets/shingleSets never emit " +
         "one; a hand-built sets input must filter nulls first")
     if (vocab.length <= 64) jaccardPairsBitmask(sets, threshold, vocab.sorted.toIndexedSeq, maxMasks)
+    else if (threshold >= prefixMinThreshold) jaccardPairsPrefix(sets, threshold)
     else jaccardPairsItemJoin(sets, threshold)
   }
 
@@ -271,6 +284,54 @@ object TextDedup {
       .withColumn("jaccard", col("i") / (col("sz1") + col("sz2") - col("i")))
       .filter(col("jaccard") >= threshold)
       .select("id_1", "id_2", "jaccard")
+  }
+
+  /** PPJoin-style prefix-filtered exact-Jaccard pairs (Xiao et al.,
+    * "Efficient Similarity Joins for Near Duplicate Detection", WWW'08
+    * — the prefix-filter principle, not the code). EXACT: emits the
+    * same rows as [[jaccardPairsItemJoin]].
+    *
+    * Principle: under any TOTAL order on items, two sets with
+    * J(A,B) ≥ t must share an item inside each other's first
+    * |s| − ⌈t·|s|⌉ + 1 items (else the overlap can't reach the required
+    * ⌈t/(1+t)·(|A|+|B|)⌉). Ordering by ASCENDING document frequency
+    * makes those prefixes the RAREST items, which is what makes this
+    * the Zipfian-corpus weapon: the stopword head — whose quadratic
+    * fan-out is exactly what melts the plain item join on real text —
+    * never enters a prefix unless the threshold is so low the join is
+    * quadratic by nature. At t = 0.95 a 64-token document contributes
+    * a 4-item prefix of its rarest tokens.
+    *
+    * Shuffle shape: one groupBy(item) for the frequency table, one
+    * item-keyed 1:1 attach join (linear in the corpus — hot items fan
+    * out to their own row count, never quadratically), one groupBy(id)
+    * with a bounded per-set sort, a prefix-item self-join (rare keys →
+    * tiny groups), and the candidate-bounded [[verifyJaccard]]. The
+    * exact size-ratio prune (|A|·t ≤ |B| ≤ |A|/t) rides the candidate
+    * join. */
+  def jaccardPairsPrefix(sets0: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"jaccardPairsPrefix threshold must be in (0, 1], got $threshold")
+    // The sets lineage feeds three consumers (freq, attach, verify) with
+    // non-identical subtrees — same eager-checkpoint discipline as
+    // jaccardPairsItemJoin.
+    val sets = sets0.localCheckpoint(true)
+    val freq = sets.groupBy("item").agg(count(lit(1)).as("_df"))
+    // (df, item) is the total order; the struct sorts lexicographically
+    val prefixes = sets.join(freq, "item")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("_df"), col("item")))).as("_sorted"))
+      .select(col("id"), size(col("_sorted")).as("sz"), col("_sorted"))
+      .select(col("id"), col("sz"),
+        explode(slice(col("_sorted"), lit(1),
+          (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int"))("item")).as("item"))
+    val cand = prefixes.toDF("id_1", "sz1", "item")
+      .join(prefixes.toDF("id_2", "sz2", "item"), "item")
+      .filter(col("id_1") < col("id_2") &&
+        col("sz1") >= lit(threshold) * col("sz2") && col("sz2") >= lit(threshold) * col("sz1"))
+      .select("id_1", "id_2")
+      .distinct()
+    verifyJaccard(cand, sets, threshold)
   }
 
   /** Portable 32-bit item id: first 8 hex chars of md5. */

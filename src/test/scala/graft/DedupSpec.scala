@@ -128,6 +128,25 @@ class DedupSpec extends SparkSpec {
     assert(got == ref)
   }
 
+  test("jaccardPairsPrefix: exact — identical rows to the item join on a Zipfian corpus") {
+    // 300 docs over a realistic heavy-tailed vocabulary (the ZipfCorpus
+    // generator), where the >64-type vocab forces the general paths
+    val docs = graft.ZipfCorpus.generate(spark, 300)
+    val toks = TextDedup.tokenSets(docs, "doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSet
+    for (t <- Seq(0.95, 0.7)) {
+      val ref = rows(TextDedup.jaccardPairsItemJoin(toks, t))
+      assert(rows(TextDedup.jaccardPairsPrefix(toks, t)) == ref, s"t=$t")
+      // and the adaptive chooser takes the prefix path at high t — same rows
+      assert(rows(TextDedup.jaccardPairs(toks, t)) == ref, s"t=$t adaptive")
+      assert(ref.nonEmpty, s"t=$t should find the planted dups")
+    }
+    // t = 1 edge: prefix collapses to the single rarest item per set
+    assert(rows(TextDedup.jaccardPairsPrefix(toks, 1.0)) ==
+      rows(TextDedup.jaccardPairsItemJoin(toks, 1.0)))
+  }
+
   test("jaccardPairs rejects thresholds outside (0, 1] and null items") {
     import spark.implicits._
     val sets = TextDedup.tokenSets(docs, "doc_id", "text")
