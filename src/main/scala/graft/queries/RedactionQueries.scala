@@ -71,6 +71,18 @@ object RedactionQueries {
     "q51_entity_counts" -> ((s, d) =>
       Redaction.entityCounts(piiText(s, d), "text", patterns)),
 
+    // qa.py:293 verify_entity_counts: per-entity before/after count
+    // reconciliation across the redaction — counts from two aggregate
+    // scans, reconciliation arithmetic over a pattern-sized frame
+    "q61_entity_verify" -> ((s, d) => {
+      val before = piiText(s, d)
+      val after = before.select(col("c_custkey"),
+        Redaction.redactColumn(col("text"), patterns).as("text"))
+      Qa.verifyEntityCounts(
+        Redaction.entityCounts(before, "text", patterns),
+        Redaction.entityCounts(after, "text", patterns))
+    }),
+
     "q60_qa_compare" -> ((s, d) => {
       val before = Tables.events(s, d).select(
         col("event_id"), col("ts"), col("user_id"), col("event_type"),
@@ -100,6 +112,31 @@ object RedactionQueries {
     s"WITH $piiTextSql\n$sels"
   }
 
+  private val q61Sql = {
+    val chain = patterns.foldLeft("text") { (acc, p) =>
+      s"regexp_replace($acc, '${p.patterns.head}', '${p.tagText}', 'g')"
+    }
+    def counts(src: String) = patterns.map { p =>
+      s"""SELECT '${p.name}' AS entity,
+          CAST(sum(len(regexp_extract_all(text, '${p.patterns.head}'))) AS BIGINT) AS n
+          FROM $src"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $piiTextSql,
+        red AS (SELECT $chain AS text FROM pii),
+        b AS (${counts("pii")}),
+        a AS (${counts("red")}),
+        j AS (SELECT b.entity, b.n AS n_before, a.n AS n_after
+              FROM b JOIN a USING (entity))
+        SELECT entity, n_before, n_after,
+          CASE WHEN n_before > 0
+               THEN (n_before - n_after) * 100.0 / n_before END AS reduction_pct,
+          n_after = 0 AS passed
+        FROM (
+          SELECT entity, n_before, n_after FROM j
+          UNION ALL
+          SELECT '_total', CAST(sum(n_before) AS BIGINT), CAST(sum(n_after) AS BIGINT) FROM j)"""
+  }
+
   private val q60Sql = {
     val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
     def side(t: String) =
@@ -123,5 +160,6 @@ object RedactionQueries {
   val oracles: Map[String, String] = Map(
     "q50_redact" -> q50Sql,
     "q51_entity_counts" -> q51Sql,
+    "q61_entity_verify" -> q61Sql,
     "q60_qa_compare" -> q60Sql)
 }

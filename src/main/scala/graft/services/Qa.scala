@@ -48,6 +48,84 @@ object Qa {
     one.select(explode(array(checks: _*)).as("_r")).select(col("_r.*"))
   }
 
+  /** qa.py:293 `verify_entity_counts`: reconcile per-entity match
+    * counts before and after redaction. Inputs are
+    * [[Redaction.entityCounts]]-shaped frames (entity, n_matches) —
+    * already one aggregate row per pattern, so everything here is
+    * arithmetic over a pattern-count-sized frame, no data scan. A
+    * `_total` row carries the reference's overall verdict. With
+    * `expectZeroAfter` each entity passes iff nothing survived
+    * redaction; otherwise rows are informational (the reference's
+    * reduction report) and always pass.
+    * → (entity, n_before, n_after, reduction_pct, passed) */
+  def verifyEntityCounts(
+      beforeCounts: DataFrame,
+      afterCounts: DataFrame,
+      expectZeroAfter: Boolean = true): DataFrame = {
+    val b = beforeCounts.select(col("entity"), col("n_matches").cast("long").as("_nb"))
+    val a = afterCounts.select(col("entity"), col("n_matches").cast("long").as("_na"))
+    val j = b.join(a, Seq("entity"), "full_outer")
+      .select(col("entity"),
+        coalesce(col("_nb"), lit(0L)).as("n_before"),
+        coalesce(col("_na"), lit(0L)).as("n_after"))
+    val total = j.agg(sum("n_before").as("nb"), sum("n_after").as("na"))
+      .select(lit("_total").as("entity"),
+        coalesce(col("nb"), lit(0L)).as("n_before"),
+        coalesce(col("na"), lit(0L)).as("n_after"))
+    val passed = if (expectZeroAfter) col("n_after") === 0 else lit(true)
+    j.unionByName(total).select(
+      col("entity"), col("n_before"), col("n_after"),
+      when(col("n_before") > 0,
+        (col("n_before") - col("n_after")) * 100.0 / col("n_before")).as("reduction_pct"),
+      passed.as("passed"))
+  }
+
+  /** qa.py:366 `generate_spot_check_samples`: a bounded set of
+    * before/after text pairs, evenly spread over the id domain, for
+    * HUMAN review of a transformation. The reference takes every
+    * (rows/n)-th row by position; a positional stride needs a global
+    * sort at scale, so this spreads by id QUANTILE instead — n bucket
+    * boundaries from a bounded-error quantile sketch (driver reads n
+    * doubles), then one min-by aggregate picks the first pair at or
+    * above each boundary. One scan, one n-group shuffle, no global
+    * sort; same evenly-spread intent. The after text resolves to
+    * `textCol` or the redaction convention `<textCol>_redacted`
+    * (absent → empty text, note=missing_after_column, mirroring the
+    * reference). Empty inputs yield an empty frame rather than the
+    * reference's sentinel row. → (id, before, after, changed, note),
+    * ≤ nSamples rows, ordered by id. */
+  def spotCheckSamples(
+      before: DataFrame,
+      after: DataFrame,
+      idCol: String,
+      textCol: String,
+      nSamples: Int = 10): DataFrame = {
+    require(nSamples > 0, s"nSamples must be positive, got $nSamples")
+    require(before.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"spotCheckSamples spreads samples over a numeric id domain; '$idCol' is " +
+        before.schema(idCol).dataType.simpleString)
+    val (afterText, note) =
+      if (after.columns.contains(textCol)) (col(textCol), "")
+      else if (after.columns.contains(s"${textCol}_redacted"))
+        (col(s"${textCol}_redacted"), "")
+      else (lit(""), "missing_after_column")
+    val joined = before.select(col(idCol).cast("double").as("_id"), col(textCol).as("before"))
+      .join(after.select(col(idCol).cast("double").as("_id"), afterText.as("after")), "_id")
+    // bounded driver read: nSamples quantile boundaries of the id domain
+    val bounds = joined.stat.approxQuantile(
+      "_id", (0 until nSamples).map(_.toDouble / nSamples).toArray, 0.001)
+    if (bounds.isEmpty) return joined.select(
+      col("_id").as("id"), col("before"), col("after"),
+      lit(false).as("changed"), lit(note).as("note")) // empty input
+    val bucket = size(filter(array(bounds.map(lit).toIndexedSeq: _*), b => b <= col("_id"))) - 1
+    joined
+      .groupBy(bucket.as("_bucket"))
+      .agg(min_by(struct(col("_id"), col("before"), col("after")), col("_id")).as("_s"))
+      .select(col("_s._id").as("id"), col("_s.before").as("before"), col("_s.after").as("after"),
+        (col("_s.before") =!= col("_s.after")).as("changed"), lit(note).as("note"))
+      .orderBy("id")
+  }
+
   /** qa.py:215 `verify_redaction`, column form: TRUE when the redacted
     * text contains no residual pattern matches and (if given) at least
     * one expected tag. Composable into a validation CustomExpr rule. */
