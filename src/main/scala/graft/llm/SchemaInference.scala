@@ -48,6 +48,131 @@ object SchemaInference {
     one.select(explode(array(rows: _*)).as("_r")).select(col("_r.*"))
   }
 
+  /** schema_generator.py:114 `suggest_partition_strategy`, result shape
+    * mirroring the reference's JSON contract (partition_columns,
+    * partition_transforms, sort_columns, estimated_partition_count,
+    * reasoning) plus the Z-order recommendation that composes with
+    * [[graft.ops.ZOrder]]. */
+  final case class PartitionStrategy(
+      partitionColumns: Seq[String],
+      partitionTransforms: Map[String, String],
+      sortColumns: Seq[String],
+      zOrderColumns: Seq[String],
+      estimatedPartitionCount: Long,
+      reasoning: String)
+
+  /** schema_generator.py:114 `suggest_partition_strategy`: the
+    * reference profiles column characteristics and asks an LLM to pick
+    * Iceberg partition columns; the decision criteria its prompt spells
+    * out (time-based query patterns, cardinality vs partition-count
+    * explosion, 128–512 MB target files) are deterministic, so they are
+    * implemented here as code over ONE Expand-free aggregate pass
+    * (approx_count_distinct per column + per time-granularity — the
+    * q40a discipline; one bounded driver read of a single row).
+    *
+    * Heuristic, in the prompt's own priority order:
+    *  1. a time column (date/timestamp, < 10% null) partitions first —
+    *     at the granularity of year/month/day/hour whose bucket count
+    *     is log-closest to `targetPartitions(rows)`, so files stay in
+    *     the 128–512 MB band instead of exploding into small files or
+    *     collapsing into one;
+    *  2. one low-cardinality categorical (2 ≤ distinct ≤
+    *     `maxCategoricalValues`, < 10% null, < 50% of rows) may join it
+    *     while the combined count stays under `maxPartitions`;
+    *  3. high-cardinality columns never partition: the top
+    *     predicate-derived (pass `QueryBuilder.suggestIndexes(...)
+    *     .sortColumns` through `predicateColumns`) then
+    *     highest-distinct columns become sort columns, and 2+ of them
+    *     an [[graft.ops.ZOrder]] recommendation.
+    *
+    * `useCase` (reference arg): "time_series" requires a time column
+    * (fails soft to general otherwise); "lookup" skips time-first and
+    * sorts/Z-orders on the high-cardinality keys. */
+  def suggestPartitionStrategy(
+      df: DataFrame,
+      useCase: String = "general",
+      predicateColumns: Seq[String] = Nil,
+      targetRowsPerPartition: Long = 4000000L,
+      maxPartitions: Long = 10000L,
+      maxCategoricalValues: Long = 1000L): PartitionStrategy = {
+    import org.apache.spark.sql.types.{DateType, TimestampType}
+    val timeCols = df.schema.fields.collect {
+      case f if f.dataType == DateType || f.dataType == TimestampType => f.name
+    }.toSeq
+    val grans = Seq("year", "month", "day", "hour")
+    val aggs: Seq[Column] =
+      count(lit(1)).as("_n") +:
+        (df.columns.toSeq.flatMap(c => Seq(
+          approx_count_distinct(col(c)).as(s"_d_$c"),
+          count(col(c)).as(s"_nn_$c"))) ++
+          timeCols.flatMap(c => grans.map(g =>
+            approx_count_distinct(date_trunc(g, col(c))).as(s"_t_${g}_$c"))))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0) // bounded: one row
+    def l(name: String): Long = row.getLong(row.fieldIndex(name))
+    val n = l("_n")
+    def distinct(c: String) = l(s"_d_$c")
+    def nullPct(c: String) = if (n == 0) 0.0 else (n - l(s"_nn_$c")) * 100.0 / n
+
+    val targetPartitions = math.min(maxPartitions, math.max(1L, n / targetRowsPerPartition))
+    val why = Seq.newBuilder[String]
+
+    // 1. time partition at the coarsest granularity that reaches target
+    val timePick: Option[(String, String, Long)] =
+      if (useCase == "lookup") None
+      else timeCols.filter(nullPct(_) < 10.0)
+        .sortBy(c => (if (predicateColumns.contains(c)) 0 else 1, -distinct(c)))
+        .headOption.map { c =>
+          val byGran = grans.map(g => (g, l(s"_t_${g}_$c")))
+          // closest to target in log space (ties → coarser): overshooting
+          // 20x means 20x-too-small files, as bad as undershooting
+          val (g, cnt) = byGran.minBy { case (_, k) =>
+            math.abs(math.log((k.toDouble + 1) / (targetPartitions.toDouble + 1)))
+          }
+          (c, g, cnt)
+        }
+    timePick.foreach { case (c, g, cnt) =>
+      why += s"$c is a time column: $g granularity yields $cnt partitions " +
+        s"(target $targetPartitions for ${n} rows at ~$targetRowsPerPartition rows/partition)"
+    }
+
+    // 2. one safe categorical, if the combined count stays sane
+    val timeCount = timePick.map(_._3).getOrElse(1L)
+    val catPick = df.columns.toSeq
+      .filterNot(c => timePick.exists(_._1 == c))
+      .filter(c => !timeCols.contains(c))
+      .filter(c => distinct(c) >= 2 && distinct(c) <= maxCategoricalValues &&
+        nullPct(c) < 10.0 && distinct(c) * 2 < math.max(n, 1L))
+      .sortBy(c => (if (predicateColumns.contains(c)) 0 else 1, distinct(c)))
+      .headOption
+      .filter(c => timeCount * distinct(c) <= maxPartitions &&
+        n / math.max(1L, timeCount * distinct(c)) >= targetRowsPerPartition / 8)
+    catPick.foreach(c => why += s"$c is a ${distinct(c)}-value categorical: combined " +
+      s"${timeCount * distinct(c)} partitions stay under $maxPartitions")
+
+    val partCols = timePick.map(_._1).toSeq ++ catPick.toSeq
+    if (partCols.isEmpty)
+      why += s"no column partitions safely (${n} rows; time columns: ${timeCols.size}, " +
+        "low-cardinality non-null categoricals: none eligible) — keep unpartitioned, sort instead"
+
+    // 3. high-cardinality sort / Z-order from predicates then cardinality
+    val sortCands = (predicateColumns.filterNot(partCols.contains) ++
+      df.columns.toSeq.filterNot(partCols.contains)
+        .sortBy(-distinct(_))).distinct.take(3)
+    val zOrder = sortCands.filter(c => distinct(c) > maxCategoricalValues).take(2)
+    if (zOrder.size >= 2)
+      why += s"${zOrder.mkString(", ")} are high-cardinality scan keys: Z-order them (ops.ZOrder)"
+
+    PartitionStrategy(
+      partitionColumns = partCols,
+      partitionTransforms = timePick.map(t => t._1 -> t._2).toMap ++
+        catPick.map(_ -> "identity").toMap,
+      sortColumns = sortCands,
+      zOrderColumns = if (zOrder.size >= 2) zOrder else Nil,
+      estimatedPartitionCount =
+        math.max(1L, timeCount * catPick.map(distinct).getOrElse(1L)),
+      reasoning = why.result().mkString("; "))
+  }
+
   /** schema_generator.py:174 `generate_table_ddl` (rendering only). */
   def renderDdl(table: String, columns: Seq[(String, String)], partitionBy: Seq[String] = Nil): String = {
     val cols = columns.map { case (n, t) => s"  $n $t" }.mkString(",\n")

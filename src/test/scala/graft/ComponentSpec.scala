@@ -84,6 +84,57 @@ class ComponentSpec extends SparkSpec {
       "dt" -> "DATE", "s" -> "STRING"))
   }
 
+  test("suggestPartitionStrategy: time + categorical partition, high-card keys sort/z-order") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // events-like: 20k rows over ~14 days, 4-value category, high-card ids
+    val df = (1 to 20000).map { i =>
+      (i.toLong, new Timestamp(1700000000000L + i.toLong * 60000), s"type${i % 4}",
+        (i * 37 % 9999).toLong, i * 1.5)
+    }.toDF("event_id", "ts", "event_type", "user_id", "value")
+    // low target so the 20k-row fixture behaves like a big table
+    val s = SchemaInference.suggestPartitionStrategy(df,
+      predicateColumns = Seq("ts", "user_id"),
+      targetRowsPerPartition = 2000, maxPartitions = 100)
+    assert(s.partitionColumns.head == "ts")
+    assert(s.partitionTransforms("ts") == "day") // 14 days ~ 10-partition target
+    assert(s.partitionColumns.contains("event_type"),
+      s"4-value categorical should co-partition: $s")
+    assert(s.partitionTransforms("event_type") == "identity")
+    assert(s.estimatedPartitionCount > 10 && s.estimatedPartitionCount <= 100)
+    // the predicate-derived high-card key leads the sort, z-order kicks in
+    assert(s.sortColumns.head == "user_id")
+    assert(s.zOrderColumns.size == 2 && s.zOrderColumns.contains("user_id"))
+    assert(s.reasoning.nonEmpty)
+
+    // lookup use case: no time partitioning, key-led sort
+    val lk = SchemaInference.suggestPartitionStrategy(df, useCase = "lookup",
+      targetRowsPerPartition = 2000, maxPartitions = 100)
+    assert(!lk.partitionColumns.contains("ts"))
+    assert(lk.sortColumns.nonEmpty)
+
+    // small dimension: nothing partitions safely
+    val dim = (1 to 50).map(i => (i.toLong, s"name$i")).toDF("id", "name")
+    val d = SchemaInference.suggestPartitionStrategy(dim)
+    assert(d.partitionColumns.isEmpty && d.estimatedPartitionCount == 1)
+    assert(d.reasoning.contains("unpartitioned"))
+  }
+
+  test("suggestPartitionStrategy composes with suggestIndexes predicates") {
+    val ev = Tables.events(spark, sfDir)
+    val qb = new graft.llm.QueryBuilder()
+    qb.registerDataFrame("events", ev)
+    val idx = qb.suggestIndexes(
+      "SELECT * FROM events WHERE ts > '2026-01-01' AND user_id = 7", "events")
+    val s = SchemaInference.suggestPartitionStrategy(ev,
+      predicateColumns = idx.sortColumns, targetRowsPerPartition = 500)
+    // the range-filtered time column partitions; the equality key is
+    // used — as the co-partition column at sf0.001's ~100-user
+    // cardinality, or as a sort key on a bigger id domain
+    assert(s.partitionColumns.contains("ts"))
+    assert(s.partitionColumns.contains("user_id") || s.sortColumns.contains("user_id"))
+  }
+
   test("ddl rendering and rename suggestions") {
     val ddl = SchemaInference.renderDdl("gold.kpis",
       Seq("day" -> "DATE", "n" -> "BIGINT"), partitionBy = Seq("day"))
