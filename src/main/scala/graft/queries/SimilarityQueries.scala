@@ -31,7 +31,28 @@ object SimilarityQueries {
     // chosen so the synthetic corpus yields a few hundred pairs); the
     // 100 TB path is cosineNearDupLsh — recall-tested in SimilaritySpec
     "q116_embed_neardup" -> ((s, d) =>
-      Ann.cosineNearDupBrute(Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.35)))
+      Ann.cosineNearDupBrute(Tables.embeddings(s, d), "vec_id", "embedding", threshold = 0.35)),
+
+    // the PRODUCTION ANN paths, benched per round as rows-only entries
+    // (the q40a pattern): hyperplane signatures / k-means cells are
+    // Spark-computed and not replayable in SQL, so correctness lives in
+    // SimilaritySpec's recall gates vs q95's exact baseline — these
+    // rows exist so the scale paths' plans and timings are ARTIFACT
+    // facts every round, not just test-suite facts
+    "q96_knn_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.knnLsh(emb, emb.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 5, dim = 64)
+    }),
+
+    "q96a_knn_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      // index build (k-means fit) is part of the measured operator:
+      // an IVF path that ignores build cost would bench as fiction
+      val (indexed, centers) = Ann.ivfIndex(emb, "vec_id", "embedding", k = 16)
+      Ann.knnIvf(indexed, centers, emb.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 5, nprobe = 4)
+    }))
 
   val oracles: Map[String, String] = Map(
     "q95_knn_brute" ->
