@@ -131,4 +131,44 @@ object Jdbc {
     src.extraOptions.foldLeft(withAuth) { case (r, (k, v)) => r.option(k, v) }
       .mode(mode).save()
   }
+
+  /** Distributed statement executor for rendered DML (the
+    * [[Dialects]] upsert path — Spark's own jdbc writer can only
+    * INSERT): each partition opens one connection and streams its rows
+    * through ONE PreparedStatement in `batchSize` chunks, binding
+    * `columns` positionally to the statement's placeholders. Work
+    * scales with partitions — no driver funnel, no per-row statement
+    * parse. Executors need the driver jar on their classpath (same
+    * contract as the built-in jdbc source). */
+  def executeBatch(
+      df: DataFrame, src: JdbcSource, sql: String,
+      columns: Seq[String], batchSize: Int = 10000): Unit = {
+    require(columns.nonEmpty, "executeBatch needs the bind-column list")
+    val idx = columns.map(c => df.columns.indexOf(c))
+    require(!idx.contains(-1),
+      s"bind columns missing from the frame: ${columns.zip(idx).collect { case (c, -1) => c }.mkString(", ")}")
+    val (url, user, pass, driver) = (src.url, src.user, src.password, src.driver)
+    df.select(columns.map(org.apache.spark.sql.functions.col): _*).foreachPartition {
+      (rows: Iterator[org.apache.spark.sql.Row]) =>
+        driver.foreach(Class.forName(_))
+        val props = new java.util.Properties()
+        user.foreach(props.setProperty("user", _))
+        pass.foreach(props.setProperty("password", _))
+        val conn = java.sql.DriverManager.getConnection(url, props)
+        try {
+          val st = conn.prepareStatement(sql)
+          var pending = 0
+          rows.foreach { r =>
+            (0 until columns.length).foreach { i =>
+              st.setObject(i + 1, r.get(i))
+            }
+            st.addBatch()
+            pending += 1
+            if (pending >= batchSize) { st.executeBatch(); pending = 0 }
+          }
+          if (pending > 0) st.executeBatch()
+          st.close()
+        } finally conn.close()
+    }
+  }
 }

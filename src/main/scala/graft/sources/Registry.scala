@@ -59,17 +59,41 @@ object Registry {
   register("binary", (s, o) =>
     Connectors.readBinaryFiles(s, opt(o, "path"), o.get("pattern")))
 
-  // plain-JDBC names share the generic surface; stride partitioning
-  // comes from the four partition* options when all are present
-  for (n <- Seq("postgresql", "postgres", "mysql", "jdbc"))
-    register(n, (s, o) => Jdbc.read(s,
-      Jdbc.JdbcSource(url = opt(o, "url"), driver = o.get("driver"),
-        user = o.get("user"), password = o.get("password")),
-      opt(o, "table"),
-      partitioning = for {
-        c <- o.get("partitionColumn"); lo <- o.get("lowerBound")
-        hi <- o.get("upperBound"); n <- o.get("numPartitions")
-      } yield Jdbc.JdbcPartitioning(c, lo.toLong, hi.toLong, n.toInt)))
+  // stride partitioning comes from the four partition* options when
+  // all are present
+  private def partitioningOf(o: Map[String, String]) = for {
+    c <- o.get("partitionColumn"); lo <- o.get("lowerBound")
+    hi <- o.get("upperBound"); n <- o.get("numPartitions")
+  } yield Jdbc.JdbcPartitioning(c, lo.toLong, hi.toLong, n.toInt)
+
+  register("jdbc", (s, o) => Jdbc.read(s,
+    Jdbc.JdbcSource(url = opt(o, "url"), driver = o.get("driver"),
+      user = o.get("user"), password = o.get("password")),
+    opt(o, "table"), partitioning = partitioningOf(o)))
+
+  // dialect names take the typed configs (host/database/...; SSL and
+  // charset surfaces — ref postgresql.py:23, mysql.py:23) and fall
+  // back to the generic surface when a raw url is given instead
+  for (n <- Seq("postgresql", "postgres"))
+    register(n, (s, o) =>
+      if (o.contains("url")) load("jdbc", s, o)
+      else Dialects.PostgreSql.read(s, Dialects.PostgreSql.Source(
+        host = opt(o, "host"), database = opt(o, "database"),
+        user = opt(o, "user"), password = opt(o, "password"),
+        port = o.getOrElse("port", "5432").toInt,
+        schema = o.getOrElse("schema", "public"),
+        sslMode = o.getOrElse("sslMode", "prefer")),
+        opt(o, "table"), partitioningOf(o)))
+
+  register("mysql", (s, o) =>
+    if (o.contains("url")) load("jdbc", s, o)
+    else Dialects.MySql.read(s, Dialects.MySql.Source(
+      host = opt(o, "host"), database = opt(o, "database"),
+      user = opt(o, "user"), password = opt(o, "password"),
+      port = o.getOrElse("port", "3306").toInt,
+      charset = o.getOrElse("charset", "utf8mb4"),
+      sslMode = o.getOrElse("sslMode", "PREFERRED")),
+      opt(o, "table"), partitioningOf(o)))
 
   register("snowflake", (s, o) => Snowflake.read(s,
     Snowflake.SnowflakeSource(
