@@ -45,6 +45,18 @@ object SimilarityQueries {
         "vec_id", "embedding", k = 5, dim = 64)
     }),
 
+    // the LSH near-dup production path and its int8-quantized twin
+    // (corpus rides the banding shuffle as tinyint codes): rows-only,
+    // recall-gated vs each other and the brute baseline in
+    // SimilaritySpec
+    "q116a_neardup_lsh" -> ((s, d) =>
+      Ann.cosineNearDupLsh(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.35, dim = 64)),
+
+    "q116b_neardup_lsh_quant" -> ((s, d) =>
+      Ann.cosineNearDupLshQuantized(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.35, dim = 64)),
+
     "q96a_knn_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       // index build (k-means fit) is part of the measured operator:

@@ -193,6 +193,44 @@ object Ann {
     df.join(clusters.filter(col("id") === col("cluster_id")).select(col("id").as(idCol)), Seq(idCol))
   }
 
+  /** Opt-in QUANTIZED near-dup pairs: the corpus rides the banding
+    * shuffle as int8 codes — 4× fewer bytes through the exchange, the
+    * whole point of [[Quantize]] at 100 TB. Correctness comes cheap
+    * because every stage is per-vector-scale-invariant: hyperplane
+    * signs are unchanged by a positive scale (sign(codes·h) =
+    * sign(v·h)), and cosine's normalization cancels the scales, so the
+    * verification runs the codegen'd int8 kernel directly. The only
+    * approximation is rounding to 127 levels — a near-zero hyperplane
+    * dot or a threshold-straddling cosine can flip, which is the
+    * ≤ 0.02-recall trade SimilaritySpec gates on the real embeddings
+    * table. */
+  def cosineNearDupLshQuantized(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int,
+      bands: Int = 4, bitsPerBand: Int = 4, seed: Long = 42L,
+      roundTo: Int = 4): DataFrame = {
+    // quantize BEFORE the banding pipeline: Catalyst keeps the code
+    // projection below the (band, sig) exchange, so the shuffle moves
+    // tinyint arrays
+    val codes = df.select(col(idCol),
+      Quantize.quantize(col(vecCol)).getField("codes").as(vecCol))
+    cosineNearDupLsh(codes, idCol, vecCol, threshold, dim, bands, bitsPerBand, seed, roundTo)
+  }
+
+  /** Opt-in quantized IVF probe: the CORPUS side of the candidates
+    * join ships int8 codes (the big side — queries stay float because
+    * centroid L2 distance is NOT scale-invariant, and the mixed
+    * float×int8 cosine is exact up to code rounding: the corpus scale
+    * cancels in its own norm). Index build ([[ivfIndex]]) stays on the
+    * original floats. */
+  def knnIvfQuantized(
+      indexedCorpus: DataFrame, centers: Array[Array[Double]],
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int, roundTo: Int = 4): DataFrame =
+    knnIvf(
+      indexedCorpus.withColumn(vecCol, Quantize.quantize(col(vecCol)).getField("codes")),
+      centers, queries, idCol, vecCol, k, nprobe, roundTo)
+
   /** Approximate top-k: score only corpus vectors sharing ≥1 band
     * signature with the query. One shuffle on (band, sig); candidate
     * count per query is bucket-bounded, not corpus-bounded. */

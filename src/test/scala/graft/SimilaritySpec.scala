@@ -117,6 +117,36 @@ class SimilaritySpec extends SparkSpec {
     assert(probedCells > 2, "quantizer must spread the corpus over cells")
   }
 
+  test("quantized ANN: the 4x-shuffle-saving paths cost <= 0.02 recall on real embeddings") {
+    val emb = Tables.embeddings(spark, sfDir)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_1", "id_2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Ann.cosineNearDupLsh(emb, "vec_id", "embedding", 0.35, dim = 64))
+    val quant = pairs(Ann.cosineNearDupLshQuantized(emb, "vec_id", "embedding", 0.35, dim = 64))
+    assert(exact.nonEmpty, "the synthetic embeddings should contain near-dup pairs")
+    val recall = quant.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.98, s"quantized LSH recall $recall over ${exact.size} pairs")
+    // scale cancellation keeps the scores themselves tight: every agreed
+    // pair's quantized cosine is within int8 rounding of the float one
+    val err = Ann.cosineNearDupLsh(emb, "vec_id", "embedding", 0.35, dim = 64)
+      .withColumnRenamed("cosine", "c_f")
+      .join(Ann.cosineNearDupLshQuantized(emb, "vec_id", "embedding", 0.35, dim = 64)
+        .withColumnRenamed("cosine", "c_q"), Seq("id_1", "id_2"))
+      .select(max(abs(col("c_f") - col("c_q")))).head().getDouble(0)
+    assert(err <= 0.02, s"max cosine drift $err")
+
+    // IVF: corpus side ships int8, queries stay float — rankings agree
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    val (indexed, centers) = Ann.ivfIndex(emb, "vec_id", "embedding", k = 8)
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val f = hits(Ann.knnIvf(indexed, centers, queries, "vec_id", "embedding", k = 5, nprobe = 2))
+    val q = hits(Ann.knnIvfQuantized(indexed, centers, queries, "vec_id", "embedding", k = 5, nprobe = 2))
+    val overlap = q.intersect(f).size.toDouble / f.size
+    assert(overlap >= 0.98, s"quantized IVF top-k overlap $overlap over ${f.size}")
+  }
+
   test("knnBrute matches a hand-computed top-k on a tiny corpus") {
     import spark.implicits._
     val corpus = Seq(
