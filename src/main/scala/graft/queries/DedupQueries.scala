@@ -83,6 +83,19 @@ object DedupQueries {
         .select(col("id").as("doc_id"), col("n_shared_ngrams"), col("contaminated"))
     }),
 
+    // the daily-crawl shape under the full hash gate: every 10th doc
+    // plays the incoming batch, the rest the signed corpus (only its
+    // SIGNATURES exist — the incremental trade); pairs are signature
+    // ESTIMATES, every one involving >= 1 new doc, old x old never
+    // generated
+    "q123_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val oldSigs = TextDedup.minhashSignatures(
+        TextDedup.shingleSets(docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", N), K)
+      TextDedup.incrementalNearDups(docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        oldSigs, n = N, k = K, bands = Bands, threshold = 0.5)
+    }),
+
     "q114_dedup_clusters" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val pairs = TextDedup.minhashLshPairs(docs, "doc_id", "text",
@@ -141,6 +154,35 @@ object DedupQueries {
                     UNION ALL
                     SELECT id_1, id_2, sh.item FROM cand JOIN sh ON sh.id = cand.id_2))
                 GROUP BY 1, 2)"""
+  }
+
+  /** q123 oracle: same signature replay as q92, then the ASYMMETRIC
+    * band probe (new batch's bands against the full corpus's) and the
+    * matching-component estimate — no shingle re-read for old docs,
+    * mirroring the incremental contract. */
+  private val q123Sql = {
+    val mhCols = (0 until K).map(i =>
+      s"min((sid * ${1 + 4 * i} + ${7 + 11 * i}) % $P) AS mh_$i").mkString(", ")
+    def bandSelects(src: String) = (0 until Bands).map { b =>
+      s"""SELECT id, $b AS band,
+          CAST(mh_${2 * b} AS VARCHAR) || '_' || CAST(mh_${2 * b + 1} AS VARCHAR) AS sig
+          FROM $src"""
+    }.mkString("\nUNION ALL\n")
+    val matching = (0 until K)
+      .map(i => s"CASE WHEN l.mh_$i = r.mh_$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $shSql,
+        sids AS (SELECT id, CAST(concat('0x', substr(md5(item), 1, 8)) AS BIGINT) AS sid FROM sh),
+        mh AS (SELECT id, $mhCols FROM sids GROUP BY id),
+        new_mh AS (SELECT * FROM mh WHERE id % 10 = 0),
+        all_mh AS (SELECT * FROM mh WHERE id % 10 <> 0 AND id NOT IN (SELECT id FROM new_mh)
+                   UNION ALL SELECT * FROM new_mh),
+        nb AS (${bandSelects("new_mh")}),
+        ab AS (${bandSelects("all_mh")}),
+        cand AS (SELECT DISTINCT least(nb.id, ab.id) AS id_1, greatest(nb.id, ab.id) AS id_2
+                 FROM nb JOIN ab ON nb.band = ab.band AND nb.sig = ab.sig AND nb.id <> ab.id)
+        SELECT id_1, id_2, ($matching) / ${K}.0 AS est_jaccard
+        FROM cand JOIN all_mh l ON l.id = id_1 JOIN all_mh r ON r.id = id_2
+        WHERE ($matching) / ${K}.0 >= 0.5"""
   }
 
   private val q92Select =
@@ -224,6 +266,7 @@ object DedupQueries {
     "q94_dedup_ngram" -> jaccardSql(shSql, "sh", 0.5),
     "q114_dedup_clusters" -> q114Sql,
     "q121_decontaminate" -> q121Sql,
+    "q123_incremental_dedup" -> q123Sql,
     "q119_line_boilerplate" ->
       """WITH m AS (
            SELECT doc_id,
