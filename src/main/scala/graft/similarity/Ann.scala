@@ -90,6 +90,10 @@ object Ann {
     import org.apache.spark.ml.functions.array_to_vector
     val feat = corpus.select(col(idCol), col(vecCol),
       array_to_vector(col(vecCol).cast("array<double>")).as("_features"))
+    // k-means cannot fit zero rows (bounded limit(1) probe): the empty
+    // index is one empty cell, so probes join nothing and yield nothing
+    if (feat.isEmpty)
+      return (corpus.withColumn("cluster", lit(0)), Array(Array(0.0)))
     val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("_features")
       .setPredictionCol("cluster").fit(feat)
     val indexed = model.transform(feat).drop("_features")
@@ -114,13 +118,16 @@ object Ann {
       indexedCorpus: DataFrame, centers: Array[Array[Double]],
       queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nprobe: Int, roundTo: Int = 4): DataFrame = {
-    require(nprobe >= 1 && nprobe <= centers.length, "1 <= nprobe <= #centroids")
+    require(nprobe >= 1, s"nprobe must be positive, got $nprobe")
+    // an index may carry fewer cells than requested probes (a tiny or
+    // empty corpus) — probing every cell is then the exact semantics
+    val np = math.min(nprobe, centers.length)
     val cellDists = array(centers.zipWithIndex.map { case (ctr, j) =>
       struct(distSq(col(vecCol), ctr).as("d"), lit(j).as("cell"))
     }: _*)
     val probes = queries.select(
       col(idCol).as("query_id"), col(vecCol).as("_qvec"),
-      explode(slice(array_sort(cellDists), 1, nprobe)).as("_p"))
+      explode(slice(array_sort(cellDists), 1, np)).as("_p"))
       .select(col("query_id"), col("_qvec"), col("_p.cell").as("cluster"))
     val candidates = indexedCorpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cvec"), col("cluster"))
