@@ -80,12 +80,7 @@ object TextDedup {
       .distinct() // a line repeated WITHIN a doc counts one doc
     val lineDocs = docLines.groupBy("line")
       .agg(count(lit(1)).as("_n_docs")) // distinct by construction
-    val hot = broadcast(lineDocs.filter(col("_n_docs") >= hotLineMinDocs))
-    val hotJoined = docLines.join(hot, "line") // narrow: hot keys never shuffle
-    val coldJoined = docLines
-      .join(hot.select("line"), Seq("line"), "left_anti") // broadcast anti: narrow
-      .join(lineDocs.filter(col("_n_docs") < hotLineMinDocs), "line")
-    val rollup = hotJoined.unionByName(coldJoined)
+    val rollup = graft.ops.Skew.hotColdJoin(docLines, lineDocs, "line", "_n_docs", hotLineMinDocs)
       .groupBy("id")
       .agg(
         count(lit(1)).as("n_lines"),
@@ -304,12 +299,16 @@ object TextDedup {
     *
     * Shuffle shape: one groupBy(item) for the frequency table, one
     * item-keyed 1:1 attach join (linear in the corpus — hot items fan
-    * out to their own row count, never quadratically), one groupBy(id)
-    * with a bounded per-set sort, a prefix-item self-join (rare keys →
-    * tiny groups), and the candidate-bounded [[verifyJaccard]]. The
-    * exact size-ratio prune (|A|·t ≤ |B| ≤ |A|/t) rides the candidate
+    * out to their own row count, never quadratically — and hot/cold
+    * routed through [[graft.ops.Skew.hotColdJoin]]: a stopword in 10%
+    * of a 100 TB corpus would otherwise land its whole group on one
+    * reducer of an AQE-unsplittable join), one groupBy(id) with a
+    * bounded per-set sort, a prefix-item self-join (rare keys → tiny
+    * groups), and the candidate-bounded [[verifyJaccard]]. The exact
+    * size-ratio prune (|A|·t ≤ |B| ≤ |A|/t) rides the candidate
     * join. */
-  def jaccardPairsPrefix(sets0: DataFrame, threshold: Double): DataFrame = {
+  def jaccardPairsPrefix(
+      sets0: DataFrame, threshold: Double, hotItemMinDf: Long = 100000L): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"jaccardPairsPrefix threshold must be in (0, 1], got $threshold")
     // The sets lineage feeds three consumers (freq, attach, verify) with
@@ -318,7 +317,7 @@ object TextDedup {
     val sets = sets0.localCheckpoint(true)
     val freq = sets.groupBy("item").agg(count(lit(1)).as("_df"))
     // (df, item) is the total order; the struct sorts lexicographically
-    val prefixes = sets.join(freq, "item")
+    val prefixes = graft.ops.Skew.hotColdJoin(sets, freq, "item", "_df", hotItemMinDf)
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("_df"), col("item")))).as("_sorted"))
       .select(col("id"), size(col("_sorted")).as("sz"), col("_sorted"))

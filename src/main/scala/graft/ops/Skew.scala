@@ -38,4 +38,30 @@ object Skew {
     val so = other.withColumn("_salt", explode(sequence(lit(0L), lit(salts.toLong - 1))))
     sl.join(so, keys :+ "_salt", how).drop("_salt")
   }
+
+  /** Differentiated hot/cold routing for the "attach a per-key
+    * aggregate back to the rows" join — the shape AQE's skew split can
+    * NEVER rescue, because the aggregate side reuses its groupBy
+    * exchange and OptimizeSkewedJoin requires both join children to be
+    * bare shuffle stages (proven by a planted-hot-key test, DedupSpec).
+    *
+    * `counts` carries one row per `key` with its row count in
+    * `countCol` — which means the hot slice (count ≥ hotMin) is a
+    * BOUNDED set, ≤ Σcount/hotMin rows, so it broadcasts by
+    * construction: hot rows ride a narrow broadcast join and are
+    * anti-joined off the shuffle path, whose residual groups are
+    * < hotMin rows each. Row-equivalent to `big.join(counts, key)`
+    * (inner; each big row matches exactly one of hot/cold). */
+  def hotColdJoin(
+      big: DataFrame,
+      counts: DataFrame,
+      key: String,
+      countCol: String,
+      hotMin: Long): DataFrame = {
+    require(hotMin >= 1, s"hotMin must be positive, got $hotMin")
+    val hot = broadcast(counts.filter(col(countCol) >= hotMin))
+    big.join(hot, Seq(key)).unionByName(
+      big.join(hot.select(key), Seq(key), "left_anti")
+        .join(counts.filter(col(countCol) < hotMin), Seq(key)))
+  }
 }
