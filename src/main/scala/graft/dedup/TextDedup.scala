@@ -397,7 +397,16 @@ object TextDedup {
     val mhCols = (0 until k).map(i => s"mh_$i")
     require(mhCols.forall(oldSigs.columns.contains),
       s"oldSigs must carry id, ${mhCols.mkString(", ")} — a minhashSignatures(k=$k) output")
+    // The new batch's signature pipeline (shingle Generate + DISTINCT +
+    // k-min aggregate) feeds FOUR consumers below (the anti-join probe,
+    // its own band rows, and the union that backs both sides of the
+    // estimate join) — without a cut it re-evaluates per consumer (the
+    // q123 plan showed 20 scans of the batch). The batch is SMALL by
+    // the incremental contract, so materialize it once; oldSigs stays
+    // lazy — by the same contract it is a persisted table whose
+    // re-scan is cheap and prunable.
     val newSigs = minhashSignatures(shingleSets(newDocs, idCol, textCol, n), k)
+      .localCheckpoint(true)
     // A re-crawled id (present in BOTH oldSigs and the new batch) must
     // contribute exactly one signature row — the NEW one — or the band
     // joins emit duplicate candidates estimated against the stale

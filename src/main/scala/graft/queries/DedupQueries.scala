@@ -90,8 +90,12 @@ object DedupQueries {
     // generated
     "q123_incremental_dedup" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // the contract says oldSigs IS a persisted store (VersionedTable
+      // append per batch); the fixture mirrors that by materializing
+      // its in-query stand-in once, as DedupSpec's fixture does
       val oldSigs = TextDedup.minhashSignatures(
         TextDedup.shingleSets(docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", N), K)
+        .localCheckpoint(true)
       TextDedup.incrementalNearDups(docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
         oldSigs, n = N, k = K, bands = Bands, threshold = 0.5)
     }),
