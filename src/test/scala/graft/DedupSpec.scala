@@ -145,6 +145,8 @@ class DedupSpec extends SparkSpec {
     // t = 1 edge: prefix collapses to the single rarest item per set
     assert(rows(TextDedup.jaccardPairsPrefix(toks, 1.0)) ==
       rows(TextDedup.jaccardPairsItemJoin(toks, 1.0)))
+    // zero-row sets: every stage degrades to empty, not an error
+    assert(TextDedup.jaccardPairsPrefix(toks.limit(0), 0.8).count() == 0)
   }
 
   test("jaccardPairs rejects thresholds outside (0, 1] and null items") {
