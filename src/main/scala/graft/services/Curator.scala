@@ -85,6 +85,59 @@ object Curator {
     df.filter(frac < keepExpr)
   }
 
+  /** Greedy sequence PACKING for training-batch assembly: assign each
+    * document to a pack whose token budget is `maxTokensPerPack`, so a
+    * trainer reads fixed-budget sequences with minimal padding — the
+    * step between curation and the dataloader that the rest of the
+    * pipeline (dedup → filter → split) feeds.
+    *
+    * Bin packing is inherently sequential, so the distributed shape is
+    * SALTED INDEPENDENCE: docs hash into `groups` deterministic groups
+    * (pure function of the id — stable under repartitioning), each
+    * group is packed INDEPENDENTLY with first-fit-decreasing (the
+    * classic ≤ 11/9·OPT + 1 guarantee per group), and pack ids are
+    * (group, bin) pairs — so the result is reproducible at any
+    * parallelism and the only movement is ONE shuffle on the group
+    * key. Per-group state is O(bins of one group); this is the
+    * sanctioned `mapPartitions` case (a running-capacity reset that
+    * window functions cannot express). A document longer than the
+    * budget gets a pack of its own (callers decide whether to chunk it
+    * first). Requires an integral id and a token-count column
+    * (see [[graft.text.TextAnalysis]] for counting).
+    * → (idCol, pack_id, nTokensCol) */
+  def packSequences(
+      df: DataFrame, idCol: String, nTokensCol: String,
+      maxTokensPerPack: Long, groups: Int = 4096): DataFrame = {
+    require(maxTokensPerPack > 0, s"maxTokensPerPack must be positive, got $maxTokensPerPack")
+    require(groups > 0 && groups <= (1 << 20), s"groups must be in [1, 2^20], got $groups")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(
+        pmod(xxhash64(col(idCol)), lit(groups.toLong)).as("_grp"),
+        col(idCol).cast("long").as("_id"),
+        col(nTokensCol).cast("long").as("_n"))
+      .repartition(col("_grp"))
+      .sortWithinPartitions(col("_grp"), col("_n").desc, col("_id"))
+      .as[(Long, Long, Long)]
+    rows.mapPartitions { it =>
+      // groups arrive contiguous (sorted by _grp) and length-descending
+      // within each: first-fit-decreasing with per-group bin state
+      var curGrp = -1L
+      var bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+      it.map { case (grp, id, n) =>
+        if (grp != curGrp) {
+          curGrp = grp
+          bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+        }
+        var b = 0
+        while (b < bins.length && bins(b) < n) b += 1
+        if (b == bins.length) bins += maxTokensPerPack
+        bins(b) -= n // an oversize doc drives its bin negative: closed
+        (id, grp * (1L << 32) + b, n)
+      }
+    }.toDF(idCol, "pack_id", nTokensCol)
+  }
+
   /** Assign a split label per row. `ratios` are normalized; assignment
     * walks the cumulative distribution. */
   def assignSplits(
