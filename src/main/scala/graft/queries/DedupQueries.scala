@@ -100,6 +100,28 @@ object DedupQueries {
         oldSigs, n = N, k = K, bands = Bands, threshold = 0.5)
     }),
 
+    // URL-level dedup (RefinedWeb/CCNet keep-one-per-canonical-URL):
+    // five crawl spellings of the same page — case-varied host, www,
+    // default port, tracking params, reordered query, fragment,
+    // trailing slash — collapse to one canonical URL per (site, item)
+    "q124_url_dedup" -> ((s, d) => {
+      val k = col("c_custkey")
+      val site = (k % 500).cast("string"); val item = (k % 100).cast("string")
+      val raw = when(k % 5 === 0,
+          concat(lit("https://www.EXAMPLE"), site, lit(".com/item/"), item, lit("?b=2&a=1#frag")))
+        .when(k % 5 === 1,
+          concat(lit("https://example"), site, lit(".com/item/"), item, lit("?a=1&b=2")))
+        .when(k % 5 === 2,
+          concat(lit("https://Example"), site, lit(".COM/item/"), item, lit("/?utm_source=x&a=1&b=2")))
+        .when(k % 5 === 3,
+          concat(lit("https://example"), site, lit(".com:443/item/"), item, lit("?a=1&b=2&gclid=zz")))
+        .otherwise(
+          concat(lit("https://example"), site, lit(".com/item/"), item, lit("?b=2&utm_medium=m&a=1")))
+      val urls = Tables.customer(s, d).select(k.as("doc_id"), raw.as("url"))
+      urls.groupBy(graft.text.TextAnalysis.normalizeUrl(col("url")).as("url"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_variants"))
+    }),
+
     "q114_dedup_clusters" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val pairs = TextDedup.minhashLshPairs(docs, "doc_id", "text",
@@ -159,6 +181,47 @@ object DedupQueries {
                     SELECT id_1, id_2, sh.item FROM cand JOIN sh ON sh.id = cand.id_2))
                 GROUP BY 1, 2)"""
   }
+
+  /** q124 oracle: the URL fixture and the whole canonicalization chain
+    * — fragment, scheme://host lowercasing, port/www strip, trailing
+    * slash, tracking-param filter, parameter sort — replayed step for
+    * step in DuckDB (split_part/substr stand in for substring_index;
+    * array_to_string on an empty list is NULL → coalesce). */
+  private val q124Sql =
+    """WITH urls AS (
+         SELECT c_custkey AS doc_id,
+           CASE
+             WHEN c_custkey % 5 = 0 THEN 'https://www.EXAMPLE' || CAST(c_custkey % 500 AS VARCHAR) || '.com/item/' || CAST(c_custkey % 100 AS VARCHAR) || '?b=2&a=1#frag'
+             WHEN c_custkey % 5 = 1 THEN 'https://example' || CAST(c_custkey % 500 AS VARCHAR) || '.com/item/' || CAST(c_custkey % 100 AS VARCHAR) || '?a=1&b=2'
+             WHEN c_custkey % 5 = 2 THEN 'https://Example' || CAST(c_custkey % 500 AS VARCHAR) || '.COM/item/' || CAST(c_custkey % 100 AS VARCHAR) || '/?utm_source=x&a=1&b=2'
+             WHEN c_custkey % 5 = 3 THEN 'https://example' || CAST(c_custkey % 500 AS VARCHAR) || '.com:443/item/' || CAST(c_custkey % 100 AS VARCHAR) || '?a=1&b=2&gclid=zz'
+             ELSE 'https://example' || CAST(c_custkey % 500 AS VARCHAR) || '.com/item/' || CAST(c_custkey % 100 AS VARCHAR) || '?b=2&utm_medium=m&a=1'
+           END AS url
+         FROM customer),
+       parts AS (
+         SELECT doc_id,
+           regexp_replace(url, '#.*$', '') AS nofrag
+         FROM urls),
+       pieces AS (
+         SELECT doc_id, nofrag,
+           regexp_extract(nofrag, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*') AS sh,
+           regexp_extract(nofrag, '\?([^#]*)$', 1) AS query
+         FROM parts),
+       norm AS (
+         SELECT doc_id,
+           regexp_replace(regexp_replace(lower(sh), ':(80|443)$', ''),
+                          '^(https?://)www\.', '\1')
+           || regexp_replace(substr(split_part(nofrag, '?', 1), length(sh) + 1), '/+$', '')
+           || CASE WHEN q <> '' THEN '?' || q ELSE '' END AS url
+         FROM (
+           SELECT doc_id, nofrag, sh,
+             coalesce(array_to_string(list_sort(
+               list_filter(string_split(query, '&'),
+                 p -> p <> '' AND NOT regexp_matches(p, '^(utm_[a-zA-Z0-9_]*|fbclid|gclid|msclkid)='))),
+               '&'), '') AS q
+           FROM pieces))
+       SELECT url, min(doc_id) AS doc_id, count(*) AS n_variants
+       FROM norm GROUP BY url"""
 
   /** q123 oracle: same signature replay as q92, then the ASYMMETRIC
     * band probe (new batch's bands against the full corpus's) and the
@@ -271,6 +334,7 @@ object DedupQueries {
     "q114_dedup_clusters" -> q114Sql,
     "q121_decontaminate" -> q121Sql,
     "q123_incremental_dedup" -> q123Sql,
+    "q124_url_dedup" -> q124Sql,
     "q119_line_boilerplate" ->
       """WITH m AS (
            SELECT doc_id,

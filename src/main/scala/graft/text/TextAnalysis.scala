@@ -301,6 +301,41 @@ object TextAnalysis {
         (col("_sum_cnt") * 1.0 / col("n_grams")).as("avg_ref_cnt"))
   }
 
+  /** URL canonicalization (the RefinedWeb/CCNet url-dedup
+    * normalization: crawls see the same page under case-varied hosts,
+    * www prefixes, default ports, tracking parameters, reordered query
+    * strings, fragments and trailing slashes — keep-one-per-URL only
+    * works after collapsing those). Deterministic column-expression
+    * chain, replayable in the DuckDB oracle (q124):
+    *
+    *   1. drop the fragment;
+    *   2. lowercase scheme://host (ONLY — path and query stay
+    *      case-sensitive), strip default :80/:443 ports and a leading
+    *      www.;
+    *   3. strip trailing slashes off the path;
+    *   4. drop tracking parameters (utm_*, fbclid, gclid, msclkid) and
+    *      SORT the surviving query parameters (ASCII lexicographic —
+    *      identical in both engines for the URL-safe charset).
+    *
+    * Canonicalization is deliberately conservative: scheme differences
+    * (http vs https) and percent-encoding are preserved — conflating
+    * those changes identity, not spelling. */
+  def normalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val schemeHost = regexp_extract(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*", 0)
+    val rest = substring_index(noFrag, "?", 1).substr(
+      length(schemeHost) + 1, length(noFrag)) // path only (pre-?)
+    val path = regexp_replace(rest, "/+$", "")
+    val query = regexp_extract(noFrag, "\\?([^#]*)$", 1)
+    val shNorm = regexp_replace(
+      regexp_replace(lower(schemeHost), ":(80|443)$", ""),
+      "^(https?://)www\\.", "$1")
+    val params = filter(split(query, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[a-zA-Z0-9_]*|fbclid|gclid|msclkid)="))
+    val sortedQ = array_join(array_sort(params), "&")
+    concat(shNorm, path, when(sortedQ =!= "", concat(lit("?"), sortedQ)).otherwise(lit("")))
+  }
+
   /** Key-value extraction from structured-ish text (ref
     * llm/entity_extractor.py:189 `extract_key_values` — there an LLM
     * prompt; here the deterministic core it falls back to in spirit:

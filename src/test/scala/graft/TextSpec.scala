@@ -114,6 +114,32 @@ class TextSpec extends SparkSpec {
         r.getLong(1) == p2).get.getString(2))
   }
 
+  test("normalizeUrl collapses crawl spellings; identity-changing parts survive") {
+    import spark.implicits._
+    import graft.text.TextAnalysis
+    val cases = Seq(
+      // the five q124 spellings → one canonical form
+      "https://www.EXAMPLE7.com/item/3?b=2&a=1#frag" -> "https://example7.com/item/3?a=1&b=2",
+      "https://example7.com/item/3?a=1&b=2" -> "https://example7.com/item/3?a=1&b=2",
+      "https://Example7.COM/item/3/?utm_source=x&a=1&b=2" -> "https://example7.com/item/3?a=1&b=2",
+      "https://example7.com:443/item/3?a=1&b=2&gclid=zz" -> "https://example7.com/item/3?a=1&b=2",
+      "https://example7.com/item/3?b=2&utm_medium=m&a=1" -> "https://example7.com/item/3?a=1&b=2",
+      // conservative: scheme and path case are identity, not spelling
+      "http://example.com/A/B" -> "http://example.com/A/B",
+      "https://example.com/A/B" -> "https://example.com/A/B",
+      // all params tracking → query drops entirely
+      "https://a.com/x?utm_source=s&utm_campaign=c" -> "https://a.com/x",
+      // bare host, no path/query
+      "https://WWW.A.COM:443#top" -> "https://a.com",
+      // non-default port survives
+      "https://a.com:8080/x" -> "https://a.com:8080/x")
+      .toDF("url", "expected")
+    val bad = cases
+      .select(TextAnalysis.normalizeUrl(col("url")).as("got"), col("expected"))
+      .filter(col("got") =!= col("expected")).collect()
+    assert(bad.isEmpty, bad.map(r => s"${r.getString(0)} != ${r.getString(1)}").mkString("; "))
+  }
+
   test("chunk reassembles to the original payload; sampling keeps every Nth") {
     import spark.implicits._
     val df = Seq((1L, "a" * 100 + "b" * 57)).toDF("doc_id", "text") // 157 bytes -> 3 chunks of 64
