@@ -85,6 +85,28 @@ object Curator {
     df.filter(frac < keepExpr)
   }
 
+  /** Temperature-scaled mixture targets — the published multilingual
+    * mixing rule (mC4/PaLM-style: sample stratum i with probability
+    * ∝ nᵢ^α): α = 1 reproduces the natural distribution, α = 0 is
+    * uniform, in between up-weights tail languages/domains without
+    * drowning the head. One count pass over the named strata (driver
+    * read bounded by |strata|, the [[rebalance]] guard), targets feed
+    * [[rebalance]] directly:
+    * {{{ rebalance(df, key, c, temperatureTargets(df, c, strata, 0.7)) }}} */
+  def temperatureTargets(
+      df: DataFrame, stratumCol: String,
+      strata: Seq[String], alpha: Double): Map[String, Double] = {
+    require(strata.nonEmpty, "temperatureTargets needs at least one stratum")
+    require(alpha >= 0 && alpha <= 1, s"alpha must be in [0, 1], got $alpha")
+    val counts = df.filter(col(stratumCol).isin(strata: _*))
+      .groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val powered = strata.map(s => s -> math.pow(counts.getOrElse(s, 0L).toDouble, alpha))
+      .filter(_._2 > 0)
+    val z = powered.map(_._2).sum
+    powered.map { case (s, w) => s -> w / z }.toMap
+  }
+
   /** Greedy sequence PACKING for training-batch assembly: assign each
     * document to a pack whose token budget is `maxTokensPerPack`, so a
     * trainer reads fixed-budget sequences with minimal padding — the

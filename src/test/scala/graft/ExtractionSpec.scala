@@ -158,4 +158,30 @@ class ExtractionSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Curator.rebalance(df, col("id"), "lang", Map.empty))
   }
+
+  test("temperatureTargets: alpha=1 natural, alpha=0 uniform, between up-weights the tail") {
+    import spark.implicits._
+    val df = ((1 to 8000).map(i => (i, "en")) ++ (1 to 1900).map(i => (10000 + i, "de")) ++
+      (1 to 100).map(i => (20000 + i, "fr"))).toDF("id", "lang")
+    val strata = Seq("en", "de", "fr")
+    val natural = Curator.temperatureTargets(df, "lang", strata, alpha = 1.0)
+    assert(math.abs(natural("en") - 0.8) < 1e-9 && math.abs(natural("fr") - 0.01) < 1e-9)
+    val uniform = Curator.temperatureTargets(df, "lang", strata, alpha = 0.0)
+    assert(strata.forall(s => math.abs(uniform(s) - 1.0 / 3) < 1e-9))
+    val temp = Curator.temperatureTargets(df, "lang", strata, alpha = 0.5)
+    assert(temp("fr") > natural("fr") && temp("fr") < uniform("fr"),
+      s"tail stratum must up-weight monotonically: $temp")
+    assert(temp("en") < natural("en") && temp("en") > uniform("en"))
+    assert(math.abs(temp.values.sum - 1.0) < 1e-9)
+    // absent stratum contributes nothing; composes with rebalance
+    val withGhost = Curator.temperatureTargets(df, "lang", strata :+ "zz", 0.5)
+    assert(!withGhost.contains("zz"))
+    val mixed = Curator.rebalance(df, col("id"), "lang",
+      Curator.temperatureTargets(df, "lang", strata, 0.5))
+    val c = mixed.groupBy("lang").count().collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    // fr (scarcest after temperature) stays whole; en shrinks toward the mix
+    assert(c("fr") == 100L && c("en") < 8000L && c("en") > c("fr"))
+    intercept[IllegalArgumentException](Curator.temperatureTargets(df, "lang", Seq(), 0.5))
+    intercept[IllegalArgumentException](Curator.temperatureTargets(df, "lang", strata, 1.5))
+  }
 }
