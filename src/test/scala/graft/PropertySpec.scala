@@ -70,6 +70,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("packSequences invariants over random corpora: total, budget, determinism") {
+    import spark.implicits._
+    for (seed <- 1 to 4) {
+      val rnd = new Random(300 + seed)
+      val max = 500L + rnd.nextInt(2000)
+      val n = 200 + rnd.nextInt(800)
+      // lengths spanning under- and over-size, including the max itself
+      val docs = (1 to n).map { i =>
+        val len = rnd.nextInt(3) match {
+          case 0 => 1L + rnd.nextInt(100)
+          case 1 => 1L + rnd.nextInt((max * 2).toInt) // may exceed budget
+          case _ => max
+        }
+        (i.toLong, len)
+      }.toDF("doc_id", "n_tokens")
+      val packed = Curator.packSequences(docs, "doc_id", "n_tokens", max,
+        groups = 1 + rnd.nextInt(64))
+      assert(packed.select("doc_id").distinct().count() == n, s"seed=$seed")
+      // a pack over budget must be a single oversize doc
+      val over = packed.groupBy("pack_id")
+        .agg(sum("n_tokens").as("tok"), count(lit(1)).as("k"), max_by(col("n_tokens"), col("n_tokens")).as("big"))
+        .filter(col("tok") > max)
+      assert(over.filter(col("k") =!= 1 || col("big") <= max).count() == 0,
+        s"seed=$seed: over-budget pack that is not a lone oversize doc")
+      // deterministic under adversarial partitioning
+      val again = Curator.packSequences(docs.repartition(1 + rnd.nextInt(16)),
+          "doc_id", "n_tokens", max, groups = 1)
+      val once = Curator.packSequences(docs, "doc_id", "n_tokens", max, groups = 1)
+      assert(again.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        once.collect().map(r => (r.getLong(0), r.getLong(1))).toSet, s"seed=$seed")
+    }
+  }
+
   test("CDC applyChanges: target keys = (old \\ deleted) union upserted") {
     import spark.implicits._
     import graft.extraction.Incremental
