@@ -31,12 +31,13 @@ object PlanGolden {
   }
 
   /** The queries worth pinning: the most expensive by BASELINE.md min
-    * (everything ≥ ~1.5 s) + the corpus-scale round-7 additions. */
+    * (everything ≥ ~1.5 s) + the corpus-scale round-7/8 additions. */
   val Pinned: Seq[String] = Seq(
     "q40_profile", "q40a_profile_approx", "q41_outliers", "q42a_dataset_quality_approx",
     "q43_profile_drift", "q43a_profile_drift_approx", "q92_dedup_minhash",
     "q93_dedup_simhash", "q94_dedup_ngram", "q114_dedup_clusters", "q116_embed_neardup",
-    "q118_c4_filter", "q119_line_boilerplate", "q121_decontaminate", "q122_coverage")
+    "q116a_neardup_lsh", "q118_c4_filter", "q119_line_boilerplate", "q121_decontaminate",
+    "q122_coverage", "q123_incremental_dedup", "q124_url_dedup")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSpec.session

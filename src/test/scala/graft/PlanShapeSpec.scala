@@ -125,6 +125,21 @@ class PlanShapeSpec extends SparkSpec {
     "q119_line_boilerplate" -> PlanGolden.Shape(
       "Project>Join>Project>LogicalRelation>Aggregate>Union>Project>Join>Aggregate>Project>Generate>Project>Filter>LogicalRelation>Filter>Aggregate>Aggregate>Project>Generate>Project>LogicalRelation>Project>Join>Aggregate>Project>Join>Generate>Project>Filter>LogicalRelation>Project>Filter>Aggregate>Aggregate>Project>Generate>Project>LogicalRelation>Filter>Aggregate>Aggregate>Project>Generate>Project>LogicalRelation",
       293),
+    // LogicalRDD nodes = the banded-signature checkpoint (r8)
+    "q116a_neardup_lsh" -> PlanGolden.Shape(
+      "Project>Filter>Aggregate>Project>Join>Project>Filter>LogicalRDD>Project>Filter>LogicalRDD",
+      66),
+    // LogicalRDDs = the batch-signature + fixture-store checkpoints;
+    // the three Unions are the (old-anti-new ∪ new) store appearing on
+    // the band probe and both estimate sides
+    "q123_incremental_dedup" -> PlanGolden.Shape(
+      "Project>Join>Project>Join>Aggregate>Project>Join>Project>Generate>LogicalRDD>Project>Generate>Union>Join>LogicalRDD>Project>Filter>LogicalRDD>LogicalRDD>Union>Project>Join>LogicalRDD>Project>Filter>LogicalRDD>Project>LogicalRDD>Union>Project>Join>LogicalRDD>Project>Filter>LogicalRDD>Project>LogicalRDD",
+      828),
+    // one narrow projection chain into one hash aggregate — URL
+    // canonicalization must never grow a join or a second scan
+    "q124_url_dedup" -> PlanGolden.Shape(
+      "Aggregate>Project>Project>LogicalRelation",
+      237),
     "q121_decontaminate" -> PlanGolden.Shape(
       "Project>Join>Project>Filter>LogicalRelation>Aggregate>Project>Join>Aggregate>Generate>Project>Filter>LogicalRelation>Aggregate>Generate>Project>Filter>LogicalRelation",
       286),
