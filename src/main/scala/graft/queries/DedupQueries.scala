@@ -52,6 +52,14 @@ object DedupQueries {
       TextDedup.jaccardPairs(
         TextDedup.shingleSets(Tables.documents(s, d), "doc_id", "text", N), 0.5)),
 
+    // the PPJoin prefix path under the full hash gate: shingle vocab
+    // is >64 and t = 0.8 ≥ the measured 0.7 crossover, so the adaptive
+    // chooser routes HERE through jaccardPairsPrefix — the oracle is
+    // the same exact-Jaccard replay as q94 at the higher threshold
+    "q125_dedup_prefix" -> ((s, d) =>
+      TextDedup.jaccardPairs(
+        TextDedup.shingleSets(Tables.documents(s, d), "doc_id", "text", N), 0.8)),
+
     // Corpus-level line-dedup (RefinedWeb/CCNet boilerplate family):
     // the word-soup corpus gets deterministic line structure (8-word
     // sentences, the q118 construction) plus a universal footer line —
@@ -331,6 +339,7 @@ object DedupQueries {
     "q92_dedup_minhash" -> q92Sql,
     "q93_dedup_simhash" -> q93Sql,
     "q94_dedup_ngram" -> jaccardSql(shSql, "sh", 0.5),
+    "q125_dedup_prefix" -> jaccardSql(shSql, "sh", 0.8),
     "q114_dedup_clusters" -> q114Sql,
     "q121_decontaminate" -> q121Sql,
     "q123_incremental_dedup" -> q123Sql,
