@@ -567,6 +567,29 @@ object TextDedup {
     df.join(clusters.filter(col("id") === col("cluster_id")).select(col("id").as(idCol)), Seq(idCol))
   }
 
+  /** Near-dup removal keeping the BEST document per cluster instead of
+    * the min-id one — the curation-aware policy (RefinedWeb-style: of
+    * a duplicate group, keep the copy the quality filters score
+    * highest; min-id is an accident of crawl order). `quality` is any
+    * column expression over `df`'s row (e.g.
+    * [[graft.text.TextAnalysis]] quality metrics); ties break to the
+    * smaller id, so selection is deterministic. One extra shuffle over
+    * [[removeNearDuplicates]]: the per-cluster max_by aggregate. */
+  def removeNearDuplicatesBy(
+      df: DataFrame, idCol: String, textCol: String, quality: Column,
+      n: Int = 3, k: Int = 16, bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, n, k, bands, threshold)
+    val clusters = dedupClusters(pairs, df.select(col(idCol).as("id")))
+    val keep = df.select(col(idCol).as("id"), quality.as("_q"))
+      .join(clusters, "id")
+      .groupBy("cluster_id")
+      // max_by on (quality asc, id desc) struct: highest quality wins,
+      // ties to the SMALLER id (negated id orders descending)
+      .agg(max_by(col("id"), struct(col("_q"), -col("id"))).as("id"))
+      .select(col("id").as(idCol))
+    df.join(keep, Seq(idCol))
+  }
+
   /** Primitive-long union-find over an open-addressing hash table
     * (linear probing, power-of-two capacity pre-sized to ≤50% load —
     * never grows, so every insert is O(probe chain) with no rehash).

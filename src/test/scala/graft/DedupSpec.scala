@@ -187,6 +187,23 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (a, b) => a == 11L || b == 11L })
   }
 
+  test("removeNearDuplicatesBy keeps the best-quality doc per cluster, ties to min id") {
+    import spark.implicits._
+    // docs 1/2/4 are one near-dup cluster, 3 a singleton
+    val withQ = docs.withColumn("score",
+      when(col("doc_id") === 2, 9.0).otherwise(1.0))
+    val best = TextDedup.removeNearDuplicatesBy(withQ, "doc_id", "text", col("score"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(best == Set(2L, 3L), s"highest-quality rep must win: $best")
+    // all-equal quality: deterministic tie-break to the smallest id —
+    // the same selection the min-id policy makes
+    val tied = TextDedup.removeNearDuplicatesBy(docs, "doc_id", "text", lit(1.0))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val minId = TextDedup.removeNearDuplicates(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tied == minId && tied == Set(1L, 3L))
+  }
+
   test("incrementalNearDups: a re-crawled id uses its NEW signature only") {
     import spark.implicits._
     val oldSigs = TextDedup.minhashSignatures(
