@@ -129,6 +129,138 @@ object TextDedup {
         (coalesce(col("_n"), lit(0L)) >= minCollisions).as("contaminated"))
   }
 
+  /** 60-bit md5-derived gram id: 15 hex chars < 2^63, portable to any
+    * engine. Collision odds stay negligible past billions of distinct
+    * grams (birthday bound √2^60 ≈ 10^9); a trillion-gram corpus
+    * should widen to two longs. */
+  def gramId(g: Column): Column =
+    conv(substring(md5(g), 1, 15), 16, 10).cast("long")
+
+  /** Cross-document repeated-substring span analysis — the
+    * substring-level dedup family (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better": any ≥k-token
+    * substring occurring more than once in the corpus is memorizable
+    * boilerplate). The suffix-array construction is a single-machine
+    * design; the shuffle-native equivalent is positional rolling
+    * k-grams: a token position is *duplicated* iff some k-gram
+    * covering it occurs ≥ `minCount` times corpus-wide — exactly the
+    * positions a suffix-array pass over ≥k-length repeats would mark.
+    * Per document: token count, duplicated-token count, number of
+    * maximal duplicated spans, duplicated fraction, and the `passes`
+    * verdict (fraction ≤ `maxDupFrac`). Docs with < k tokens (or no
+    * tokens) appear with 0 — never silently dropped.
+    *
+    * Scale shape: grams explode once (narrow), corpus-wide counts come
+    * from ONE hash groupBy on the 60-bit gram id (map-side partials
+    * collapse hot boilerplate pre-shuffle), and the count rejoin rides
+    * [[graft.ops.Skew.hotColdJoin]] — the same attach-aggregate shape
+    * as [[boilerplateLines]], where AQE's skew split provably never
+    * fires; grams in ≥ `hotGramMinCount` occurrences are a bounded,
+    * broadcastable set. The span merge is a per-doc sorted fold over
+    * duplicated starts (bounded by document length, like q117's
+    * repetition fold). Reference has no counterpart (training-pipeline
+    * extension). */
+  def repeatedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minCount: Long = 2, maxDupFrac: Double = 0.5,
+      hotGramMinCount: Long = 100000): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val ws = filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= "")
+    val docs = df.select(col(idCol).as("id"), ws.as("_ws"))
+      .select(col("id"), col("_ws"), size(col("_ws")).as("n_tokens"))
+    val grams = docs.filter(col("n_tokens") >= k)
+      .select(col("id"), explode(transform(
+        sequence(lit(1), col("n_tokens") - (k - 1)),
+        i => struct(i.as("s"), gramId(concat_ws(" ",
+          (0 until k).map(j => element_at(col("_ws"), i + j)): _*)).as("g")))).as("_sg"))
+      .select(col("id"), col("_sg.s").as("s"), col("_sg.g").as("g"))
+      // The gram lineage (tokenize + k-token concat + md5 per position)
+      // feeds five consumers — the counts aggregate and hotColdJoin's
+      // three probe legs — with non-identical subtrees ReusedExchange
+      // cannot collapse. Materialize ONCE into executor-local blocks:
+      // the jaccardPairsItemJoin/simhash checkpoint discipline.
+      .localCheckpoint(true)
+    val counts = grams.groupBy("g")
+      .agg(count(lit(1)).as("_gcnt"))
+      .filter(col("_gcnt") >= minCount)
+    val dupStarts =
+      graft.ops.Skew.hotColdJoin(grams, counts, "g", "_gcnt", hotGramMinCount)
+        .select("id", "s")
+    // Sorted starts are strictly increasing and every interval has
+    // length k, so each start either opens a new span (a coverage GAP:
+    // s > end + 1 — merely non-overlapping intervals that abut at
+    // s = end + 1 still produce contiguous covered tokens) or extends
+    // the current one by exactly s + k - 1 - end tokens.
+    val perDoc = dupStarts.groupBy("id")
+      .agg(array_sort(collect_list(col("s"))).as("_ss"))
+      .select(col("id"), aggregate(col("_ss"),
+        struct(lit(0L).as("cov"), lit(0L).as("spans"), lit(-2L).as("end")),
+        (acc, s0) => {
+          val s = s0.cast("long")
+          val isNew = s > acc.getField("end") + 1
+          struct(
+            (acc.getField("cov") +
+              when(isNew, lit(k.toLong)).otherwise(s + (k - 1) - acc.getField("end"))).as("cov"),
+            (acc.getField("spans") + when(isNew, lit(1L)).otherwise(lit(0L))).as("spans"),
+            (s + (k - 1)).as("end"))
+        }).as("_m"))
+      .select(col("id"), col("_m.cov").as("n_dup_tokens"), col("_m.spans").as("n_spans"))
+    val frac = coalesce(col("n_dup_tokens"), lit(0L)).cast("double") / col("n_tokens")
+    docs.select(col("id"), col("n_tokens").cast("long").as("n_tokens"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        when(col("n_tokens") === 0, lit(0.0)).otherwise(frac).as("dup_frac"),
+        (when(col("n_tokens") === 0, lit(0.0)).otherwise(frac) <= maxDupFrac).as("passes"))
+  }
+
+  /** Companion to [[repeatedSpans]]: rebuilds each document's text
+    * with every duplicated span removed (the Lee et al. remediation —
+    * cut the repeated substring, keep the document). A token survives
+    * iff no duplicated k-gram covers it; `(id, text, n_tokens,
+    * n_kept_tokens)`, text lowercased/token-joined like the analysis.
+    * The per-token membership test walks the doc's own duplicated
+    * starts (bounded by doc length — same per-row discipline as the
+    * span fold; `exists` over a sorted array the optimizer keeps
+    * inside codegen). */
+  def trimRepeatedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minCount: Long = 2,
+      hotGramMinCount: Long = 100000): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val ws = filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= "")
+    val docs = df.select(col(idCol).as("id"), ws.as("_ws"))
+      .select(col("id"), col("_ws"), size(col("_ws")).as("n_tokens"))
+    val grams = docs.filter(col("n_tokens") >= k)
+      .select(col("id"), explode(transform(
+        sequence(lit(1), col("n_tokens") - (k - 1)),
+        i => struct(i.as("s"), gramId(concat_ws(" ",
+          (0 until k).map(j => element_at(col("_ws"), i + j)): _*)).as("g")))).as("_sg"))
+      .select(col("id"), col("_sg.s").as("s"), col("_sg.g").as("g"))
+      .localCheckpoint(true) // same five-consumer lineage as repeatedSpans
+    val counts = grams.groupBy("g")
+      .agg(count(lit(1)).as("_gcnt"))
+      .filter(col("_gcnt") >= minCount)
+    val perDoc =
+      graft.ops.Skew.hotColdJoin(grams, counts, "g", "_gcnt", hotGramMinCount)
+        .groupBy("id").agg(array_sort(collect_list(col("s"))).as("_ss"))
+    docs.join(perDoc, Seq("id"), "left")
+      .select(col("id"), col("_ws"), col("n_tokens"),
+        coalesce(col("_ss"), array().cast("array<int>")).as("_ss"))
+      .select(col("id"), col("n_tokens"),
+        filter(transform(col("_ws"), (t, i) => struct((i + 1).as("p"), t.as("t"))),
+          pt => !exists(col("_ss"),
+            s => s <= pt.getField("p") && pt.getField("p") <= s + (k - 1)))
+          .as("_kept"))
+      .select(col("id"),
+        concat_ws(" ", transform(col("_kept"), pt => pt.getField("t"))).as("text"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        size(col("_kept")).cast("long").as("n_kept_tokens"))
+  }
+
   /** Exact dedup by content hash (hash group-by; one shuffle on the
     * md5, partial agg collapses copies map-side): keeps the min-id row
     * per distinct content → (id, n_copies). */

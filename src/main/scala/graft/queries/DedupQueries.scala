@@ -130,6 +130,23 @@ object DedupQueries {
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_variants"))
     }),
 
+    // Substring-level dedup (the suffix-array family, q126): duplicated
+    // 8-gram span coverage per document. A 10-token universal footer is
+    // planted on every doc — its 3 fully-interior grams occur in all
+    // 500 docs, exercising the hot-broadcast route of the count rejoin
+    // (hotGramMinDocs = 400) in the gated plan, exactly like q119's
+    // footer does for lines; the 25 planted near-dup pairs supply the
+    // long organic spans.
+    "q126_repeated_spans" -> ((s, d) => {
+      val mt = concat(col("text"),
+        lit(" all rights reserved contact the site operator for permission details"))
+      val docs = Tables.documents(s, d).select(col("doc_id"), mt.as("mtext"))
+      TextDedup.repeatedSpans(docs, "doc_id", "mtext",
+        k = 8, minCount = 2, maxDupFrac = 0.5, hotGramMinCount = 400)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_dup_tokens"),
+          col("n_spans"), col("dup_frac"), col("passes"))
+    }),
+
     "q114_dedup_clusters" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val pairs = TextDedup.minhashLshPairs(docs, "doc_id", "text",
@@ -327,7 +344,44 @@ object DedupQueries {
         LEFT JOIN ov USING (doc_id)"""
   }
 
+  /** q126 oracle: identical footer plant, identical 8-gram / 60-bit
+    * md5 id construction; duplicated-start coverage is re-derived by
+    * exploding each start to its k positions and counting islands with
+    * the pos − row_number() trick — a different but provably equal
+    * formulation of the Scala side's sorted interval-merge fold. */
+  private val q126Sql = {
+    val terms = (0 until 8).map(j => if (j == 0) "ws[i]" else s"ws[i+$j]")
+      .mkString(" || ' ' || ")
+    s"""WITH w AS (SELECT doc_id,
+              list_filter(string_split_regex(
+                lower(text || ' all rights reserved contact the site operator for permission details'),
+                '[^a-z0-9]+'), x -> x <> '') AS ws
+            FROM documents),
+        d AS (SELECT doc_id, ws, len(ws) AS n FROM w),
+        g AS (SELECT doc_id, i AS s,
+                CAST(concat('0x', substr(md5($terms), 1, 15)) AS BIGINT) AS gid
+              FROM d, unnest(range(1, n - 6)) AS t(i)
+              WHERE n >= 8),
+        dup AS (SELECT gid FROM g GROUP BY gid HAVING count(*) >= 2),
+        ds AS (SELECT g.doc_id, g.s FROM g JOIN dup USING (gid)),
+        cov AS (SELECT DISTINCT doc_id, s + j AS p
+                FROM ds, unnest(range(0, 8)) AS u(j)),
+        isl AS (SELECT doc_id, p,
+                  p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+                FROM cov),
+        agg AS (SELECT doc_id, count(*) AS n_dup_tokens,
+                  count(DISTINCT grp) AS n_spans
+                FROM isl GROUP BY doc_id)
+        SELECT d.doc_id, d.n AS n_tokens,
+               coalesce(a.n_dup_tokens, 0) AS n_dup_tokens,
+               coalesce(a.n_spans, 0) AS n_spans,
+               coalesce(a.n_dup_tokens, 0) / d.n AS dup_frac,
+               coalesce(a.n_dup_tokens, 0) / d.n <= 0.5 AS passes
+        FROM d LEFT JOIN agg a USING (doc_id)"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q126_repeated_spans" -> q126Sql,
     "q90_dedup_exact" ->
       """WITH all_docs AS (
            SELECT doc_id, text FROM documents

@@ -59,7 +59,17 @@ object ExtractionQueries {
         Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus")),
         col("o_orderkey"), "o_orderstatus",
         Map("F" -> 1.0, "O" -> 1.0, "P" -> 1.0),
-        seed = 42L, portable = true)))
+        seed = 42L, portable = true)),
+
+    // RAG/long-context chunking: 32-token windows with 8-token overlap
+    // (stride 24) over the ~54-token documents — most docs yield 2–3
+    // chunks, short docs exactly one, so every branch of the chunk
+    // -count arithmetic is exercised and hash-gated.
+    "q127_chunk" -> ((s, d) =>
+      Curator.chunkDocs(Tables.documents(s, d), "doc_id", "text",
+        maxTokens = 32, overlap = 8)
+        .select(col("id").as("doc_id"), col("chunk_idx"),
+          col("chunk_text"), col("n_chunk_tokens"))))
 
   val oracles: Map[String, String] = Map(
     "q70_incremental" ->
@@ -96,5 +106,20 @@ object ExtractionQueries {
             keep AS (SELECT s, least(1.0, (SELECT kk FROM k) * (1.0/3) / cnt) AS f FROM n)
          SELECT o_orderkey, o_orderstatus
          FROM orders JOIN keep ON o_orderstatus = keep.s
-         WHERE ((o_orderkey + 42) * 2654435761 % 4294967296) / 4294967296.0 < f""")
+         WHERE ((o_orderkey + 42) * 2654435761 % 4294967296) / 4294967296.0 < f""",
+
+    // identical tokenization; chunk count replayed with exact integer
+    // arithmetic ((n-32+23) // 24 + 1), chunk text via DuckDB's
+    // 1-based end-inclusive list slice
+    "q127_chunk" ->
+      """WITH w AS (SELECT doc_id,
+              list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws
+            FROM documents),
+         d AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) > 0),
+         c AS (SELECT doc_id, i AS chunk_idx,
+                 array_to_string(ws[i * 24 + 1 : least(i * 24 + 32, n)], ' ') AS chunk_text,
+                 least(32, n - i * 24) AS n_chunk_tokens
+               FROM d, unnest(range(0,
+                 CASE WHEN n <= 32 THEN 1 ELSE (n - 32 + 23) // 24 + 1 END)) AS t(i))
+         SELECT doc_id, chunk_idx, chunk_text, n_chunk_tokens FROM c""")
 }

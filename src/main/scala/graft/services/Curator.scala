@@ -42,6 +42,46 @@ object Curator {
         lit(split.schema.fields.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")))
   }
 
+  /** Token-window chunking with overlap — the retrieval/RAG and
+    * long-context prep step (split every document into ≤ `maxTokens`
+    * -token windows, consecutive windows sharing `overlap` tokens so
+    * no span is cut mid-context). Stride is `maxTokens − overlap`;
+    * a document of n tokens yields `1 + ⌈(n − maxTokens)/stride⌉`
+    * chunks (one chunk when n ≤ maxTokens); the final chunk may be
+    * short but is never empty. Tokenization is the corpus-standard
+    * lowercased alphanumeric split; documents with zero tokens yield
+    * zero chunks (chunking feeds an index — there is nothing to
+    * index — unlike the analysis queries' never-dropped discipline).
+    *
+    * Scale shape: a pure narrow projection — explode is per-row over
+    * that row's own token array, no shuffle, no join; chunk text is
+    * rebuilt with slice/array_join inside codegen. Reference has no
+    * counterpart (training-pipeline extension).
+    * → (id, chunk_idx, chunk_text, n_chunk_tokens) */
+  def chunkDocs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, overlap: Int = 0): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be positive, got $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens), got $overlap of $maxTokens")
+    val stride = maxTokens - overlap
+    val ws = filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= "")
+    // exact integer ceil: floor of double division is safe here
+    // (operands are exact in double well past any document length)
+    val nChunks = when(col("_n") <= maxTokens, lit(1))
+      .otherwise(floor((col("_n") - maxTokens + (stride - 1)) / stride).cast("int") + 1)
+    df.select(col(idCol).as("id"), ws.as("_ws"))
+      .select(col("id"), col("_ws"), size(col("_ws")).as("_n"))
+      .filter(col("_n") > 0)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0), nChunks - 1),
+        i => struct(
+          array_join(slice(col("_ws"), i * stride + 1, lit(maxTokens)), " ").as("t"),
+          least(lit(maxTokens), col("_n") - i * stride).cast("long").as("n")))))
+      .select(col("id"), col("pos").cast("long").as("chunk_idx"),
+        col("col.t").as("chunk_text"), col("col.n").as("n_chunk_tokens"))
+  }
+
   /** Class-balance downsampling to target proportions — the mixture
     * rebalance a pretraining pipeline applies per language/domain/
     * source before training (dataset_curator.py stops at split

@@ -283,6 +283,64 @@ class DedupSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
   }
 
+  test("repeatedSpans: coverage merges abutting intervals, gaps split spans, short docs keep 0") {
+    import spark.implicits._
+    // k=3. A and B share the 3-grams "a b c" (both at start 1) and
+    // "d e f" (A start 4, B start 5): in A the two covered intervals
+    // [1,3] and [4,6] ABUT → one span of 6; in B [1,3] and [5,7] leave
+    // position 4 uncovered → two spans. C is unique; D is < k tokens.
+    val corpus = Seq(
+      (1L, "a b c d e f x y"),
+      (2L, "a b c q d e f z"),
+      (3L, "completely different words entirely present"),
+      (4L, "tiny doc")).toDF("doc_id", "text")
+    val r = TextDedup.repeatedSpans(corpus, "doc_id", "text", k = 3)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getBoolean(5)))).toMap
+    assert(r.keySet == Set(1L, 2L, 3L, 4L), "short/clean docs must not vanish")
+    assert(r(1L) == ((8L, 6L, 1L, false)), "abutting intervals must merge to one span")
+    assert(r(2L) == ((8L, 6L, 2L, false)), "a coverage gap must split spans")
+    assert(r(3L) == ((5L, 0L, 0L, true)))
+    assert(r(4L) == ((2L, 0L, 0L, true)))
+  }
+
+  test("trimRepeatedSpans cuts exactly the covered tokens and keeps the rest in order") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d e f x y"),
+      (2L, "a b c q d e f z"),
+      (3L, "tiny doc")).toDF("doc_id", "text")
+    val r = TextDedup.trimRepeatedSpans(corpus, "doc_id", "text", k = 3)
+      .collect().map(x => x.getLong(0) -> ((x.getString(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L) == (("x y", 8L, 2L)))
+    assert(r(2L) == (("q z", 8L, 2L)), "uncovered tokens must survive in document order")
+    assert(r(3L) == (("tiny doc", 2L, 2L)), "a doc below k tokens is untouched")
+  }
+
+  test("repeatedSpans: hot grams ride the broadcast route under cluster conditions") {
+    import spark.implicits._
+    // Same 100 TB shape as boilerplateLines: the gram-count rejoin is
+    // an attach-aggregate join AQE cannot split; a universal footer
+    // gram must route through the forced broadcast + anti-join.
+    val footer = "all rights reserved contact the operator for details"
+    val corpus = (1 to 5000).map(i => (i.toLong, s"u$i v$i w$i $footer")).toDF("doc_id", "text")
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = TextDedup.repeatedSpans(corpus, "doc_id", "text",
+        k = 8, hotGramMinCount = 1000)
+      val r = df.collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+      // tokens 4..11 (the 8 footer tokens) are covered in every doc —
+      // the universal grams have count 5000; the u/v/w prefix grams are
+      // unique per doc
+      assert(r.size == 5000 && r(1L) == 8L && r(4999L) == 8L)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+        s"hot grams must ride a broadcast join + anti-join:\n$plan")
+    } finally saved.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+  }
+
   test("contamination: per-doc collision counts, clean docs keep 0, threshold gates") {
     import spark.implicits._
     val evalDocs = Seq(

@@ -14,6 +14,37 @@ class PackingSpec extends SparkSpec {
     .map(i => (i, 1L + (i * 37) % 700)) // lengths 1..700, deterministic
     .toDF("doc_id", "n_tokens")
 
+  test("chunkDocs: overlap windows, exact boundary, short docs one chunk, empty docs none") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks → 3 chunks
+      (2L, "a b c"),                                  // ≤ maxTokens → 1 chunk
+      (3L, ""),                                       // 0 toks → 0 chunks
+      (4L, (1 to 7).map(i => s"s$i").mkString(" ")))  // (n−maxT) divisible by stride
+      .toDF("doc_id", "text")
+    val r = Curator.chunkDocs(docs, "doc_id", "text", maxTokens = 4, overlap = 1)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> ((x.getString(2), x.getLong(3)))).toMap
+    assert(r.keys.map(_._1).toSet == Set(1L, 2L, 4L), "empty docs yield no chunks")
+    assert(r((1L, 0L)) == (("t1 t2 t3 t4", 4L)))
+    assert(r((1L, 1L)) == (("t4 t5 t6 t7", 4L)), "consecutive chunks share `overlap` tokens")
+    assert(r((1L, 2L)) == (("t7 t8 t9 t10", 4L)))
+    assert(r((2L, 0L)) == (("a b c", 3L)))
+    assert(r((4L, 0L)) == (("s1 s2 s3 s4", 4L)))
+    assert(r((4L, 1L)) == (("s4 s5 s6 s7", 4L)), "exact boundary must not emit an empty tail chunk")
+    assert(r.size == 6)
+  }
+
+  test("chunkDocs: every token position is covered by some chunk; args validated") {
+    val docs = Seq((1L, (1 to 137).map(i => s"x$i").mkString(" "))).toDF("doc_id", "text")
+    val covered = Curator.chunkDocs(docs, "doc_id", "text", maxTokens = 32, overlap = 8)
+      .select(explode(split(col("chunk_text"), " ")).as("t"))
+      .distinct().count()
+    assert(covered == 137, "no token may fall between chunks")
+    intercept[IllegalArgumentException](
+      Curator.chunkDocs(docs, "doc_id", "text", maxTokens = 4, overlap = 4))
+    intercept[IllegalArgumentException](
+      Curator.chunkDocs(docs, "doc_id", "text", maxTokens = 0))
+  }
+
   test("every doc packed once; every pack within budget; FFD is tight") {
     val max = 2048L
     val packed = Curator.packSequences(docs, "doc_id", "n_tokens", max)

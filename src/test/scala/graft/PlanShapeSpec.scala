@@ -143,6 +143,18 @@ class PlanShapeSpec extends SparkSpec {
     "q121_decontaminate" -> PlanGolden.Shape(
       "Project>Join>Project>Filter>LogicalRelation>Aggregate>Project>Join>Aggregate>Generate>Project>Filter>LogicalRelation>Aggregate>Generate>Project>Filter>LogicalRelation",
       286),
+    // LogicalRDDs = the eager gram checkpoint (the five-consumer
+    // lineage: counts aggregate + hotColdJoin's three probe legs);
+    // the Union carries the hot-broadcast/cold-shuffle differentiated
+    // join, the leading Join is the never-dropped-docs left rejoin
+    "q126_repeated_spans" -> PlanGolden.Shape(
+      "Project>Join>Project>LogicalRelation>Project>Aggregate>Union>Project>Join>Filter>LogicalRDD>Project>Filter>Aggregate>Project>Filter>LogicalRDD>Project>Join>Project>Join>Filter>LogicalRDD>Project>Filter>Aggregate>Project>Filter>LogicalRDD>Project>Filter>Aggregate>Project>Filter>LogicalRDD",
+      234),
+    // chunking must stay one narrow Generate chain — no join, no
+    // aggregate, no second scan
+    "q127_chunk" -> PlanGolden.Shape(
+      "Project>Generate>Project>Project>Filter>LogicalRelation",
+      99),
     "q122_coverage" -> PlanGolden.Shape(
       "Project>Aggregate>Project>Join>Project>Generate>Project>Filter>LogicalRelation>Filter>Aggregate>Filter>Generate>Project>Filter>LogicalRelation",
       130))
