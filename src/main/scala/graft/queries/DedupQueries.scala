@@ -142,6 +142,20 @@ object DedupQueries {
         lit(" all rights reserved contact the site operator for permission details"))
       val docs = Tables.documents(s, d).select(col("doc_id"), mt.as("mtext"))
       TextDedup.repeatedSpans(docs, "doc_id", "mtext",
+        k = 8, minCount = 2, maxDupFrac = 0.5, hotGramMinCount = 400,
+        portable = true)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_dup_tokens"),
+          col("n_spans"), col("dup_frac"), col("passes"))
+    }),
+
+    // the production fast path (codegen'd xxhash64 gram ids, no gram
+    // string built): benched rows-only per round, the q40a pattern —
+    // row-identity vs the portable path is asserted in DedupSpec
+    "q126a_repeated_spans_fast" -> ((s, d) => {
+      val mt = concat(col("text"),
+        lit(" all rights reserved contact the site operator for permission details"))
+      val docs = Tables.documents(s, d).select(col("doc_id"), mt.as("mtext"))
+      TextDedup.repeatedSpans(docs, "doc_id", "mtext",
         k = 8, minCount = 2, maxDupFrac = 0.5, hotGramMinCount = 400)
         .select(col("id").as("doc_id"), col("n_tokens"), col("n_dup_tokens"),
           col("n_spans"), col("dup_frac"), col("passes"))

@@ -317,6 +317,19 @@ class DedupSpec extends SparkSpec {
     assert(r(3L) == (("tiny doc", 2L, 2L)), "a doc below k tokens is untouched")
   }
 
+  test("repeatedSpans: the xxhash64 fast path is row-identical to the portable path") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val corpus = (1L to 120L).map(id =>
+      id -> List.fill(4 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      .toDF("doc_id", "text")
+    def rows(portable: Boolean) =
+      TextDedup.repeatedSpans(corpus, "doc_id", "text", k = 3, portable = portable)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSet
+    assert(rows(portable = false) == rows(portable = true))
+  }
+
   test("repeatedSpans: hot grams ride the broadcast route under cluster conditions") {
     import spark.implicits._
     // Same 100 TB shape as boilerplateLines: the gram-count rejoin is

@@ -150,6 +150,12 @@ class PlanShapeSpec extends SparkSpec {
     "q126_repeated_spans" -> PlanGolden.Shape(
       "Project>Join>Project>LogicalRelation>Project>Aggregate>Union>Project>Join>Filter>LogicalRDD>Project>Filter>Aggregate>Project>Filter>LogicalRDD>Project>Join>Project>Join>Filter>LogicalRDD>Project>Filter>Aggregate>Project>Filter>LogicalRDD>Project>Filter>Aggregate>Project>Filter>LogicalRDD",
       234),
+    // the fast path's only skeleton delta: no null-guard Filter above
+    // the checkpoint legs (xxhash64 over token columns is
+    // non-nullable where conv(substr(md5)) is not)
+    "q126a_repeated_spans_fast" -> PlanGolden.Shape(
+      "Project>Join>Project>LogicalRelation>Project>Aggregate>Union>Project>Join>Filter>LogicalRDD>Project>Filter>Aggregate>Project>LogicalRDD>Project>Join>Project>Join>Filter>LogicalRDD>Project>Filter>Aggregate>Project>LogicalRDD>Project>Filter>Aggregate>Project>LogicalRDD",
+      222),
     // chunking must stay one narrow Generate chain — no join, no
     // aggregate, no second scan
     "q127_chunk" -> PlanGolden.Shape(

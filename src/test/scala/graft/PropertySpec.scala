@@ -70,6 +70,71 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("repeatedSpans/trimRepeatedSpans agree with a naive reference on random corpora") {
+    import spark.implicits._
+    import graft.dedup.TextDedup
+    val k = 3
+    for (seed <- 1 to 4) {
+      val rnd = new Random(300 + seed)
+      val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+      val docs = (1L to 40L).map(id =>
+        id -> List.fill(rnd.nextInt(26))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      // independent third formulation (the DuckDB oracle is the second):
+      // brute-force gram multiset + per-position cover marking
+      val toks = docs.map { case (id, t) =>
+        id -> t.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq }
+      val gramCounts = scala.collection.mutable.Map.empty[Seq[String], Int]
+      toks.foreach { case (_, ws) =>
+        ws.sliding(k).filter(_.size == k).foreach(g =>
+          gramCounts(g) = gramCounts.getOrElse(g, 0) + 1) }
+      val expected = toks.map { case (id, ws) =>
+        val n = ws.size
+        val covered = Array.fill(n)(false)
+        if (n >= k)
+          for (i <- 0 to n - k; if gramCounts(ws.slice(i, i + k)) >= 2; j <- i until i + k)
+            covered(j) = true
+        val spans = covered.zipWithIndex.count { case (c, i) => c && (i == 0 || !covered(i - 1)) }
+        id -> ((n.toLong, covered.count(identity).toLong, spans.toLong,
+          ws.zipWithIndex.collect { case (w, i) if !covered(i) => w }.mkString(" ")))
+      }.toMap
+      val df = docs.toDF("doc_id", "text")
+      val spansOut = TextDedup.repeatedSpans(df, "doc_id", "text", k = k)
+        .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+      val trimOut = TextDedup.trimRepeatedSpans(df, "doc_id", "text", k = k)
+        .collect().map(x => x.getLong(0) -> ((x.getString(1), x.getLong(3)))).toMap
+      expected.foreach { case (id, (n, nDup, nSpans, kept)) =>
+        assert(spansOut(id) == ((n, nDup, nSpans)), s"seed=$seed doc=$id")
+        assert(trimOut(id) == ((kept, n - nDup)), s"seed=$seed doc=$id trim")
+      }
+    }
+  }
+
+  test("chunkDocs: stitching chunks (dropping each overlap) reconstructs every document") {
+    import spark.implicits._
+    for (seed <- 1 to 4) {
+      val rnd = new Random(400 + seed)
+      val maxT = 2 + rnd.nextInt(8)
+      val overlap = rnd.nextInt(maxT)
+      val docs = (1L to 30L).map(id =>
+        id -> (0 until rnd.nextInt(60)).map(i => s"w${rnd.nextInt(9)}x$i").mkString(" "))
+      val chunks = Curator.chunkDocs(docs.toDF("doc_id", "text"), "doc_id", "text", maxT, overlap)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2), x.getLong(3)))
+      chunks.foreach { case (_, _, t, n) =>
+        assert(n <= maxT && n >= 1 && t.split(" ").length == n.toInt,
+          s"seed=$seed maxT=$maxT ov=$overlap chunk token count") }
+      val byDoc = chunks.groupBy(_._1).view
+        .mapValues(_.sortBy(_._2).map(_._3.split(" ").toSeq)).toMap
+      docs.foreach { case (id, text) =>
+        val ws = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+        val got = byDoc.get(id) match {
+          case None => Seq.empty
+          case Some(cs) => cs.head ++ cs.tail.flatMap(_.drop(overlap))
+        }
+        assert(got == ws, s"seed=$seed maxT=$maxT ov=$overlap doc=$id reconstruction")
+      }
+    }
+  }
+
   test("packSequences invariants over random corpora: total, budget, determinism") {
     import spark.implicits._
     for (seed <- 1 to 4) {
