@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.TextDedup
+import graft.orchestration.Pipeline
+import graft.orchestration.Pipeline.Stage
+import graft.services.Curator
+import graft.text.TextAnalysis
+
+/** The whole pretraining-data workload, composed end-to-end through
+  * the Pipeline DAG: hygiene filters → quality-aware near-dup removal
+  * → benchmark decontamination → repeated-span trimming → chunking,
+  * packing and splits. Every stage is the production operator (no
+  * test doubles); the corpus plants one defect per stage so each
+  * stage's effect is individually observable in the final output —
+  * the "a user of the reference could run their entire workload"
+  * claim as a single executable fact. Because stages return lazy
+  * DataFrames, the DAG composes into ONE logical plan per terminal
+  * output (no materialization barriers between stages — see
+  * Pipeline's Spark-first stance).
+  */
+class CorpusPipelineSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val footer =
+    "all rights reserved contact the site operator for permission details"
+
+  private def own(i: Long): String = (1 to 20).map(j => s"w${i}x$j").mkString(" ")
+
+  private lazy val corpus = {
+    val base = (1L to 30L).map(i => i -> s"${own(i)} $footer")
+    val exactDup = Seq(101L -> s"${own(1)} $footer")
+    val nearDup = // doc 2 with the tail shortened: lower quality, same shingle mass
+      Seq(102L -> s"${(1 to 18).map(j => s"w2x$j").mkString(" ")} $footer")
+    val contaminated = Seq(103L -> s"${own(103)} ${(1 to 15).map(j => s"q$j").mkString(" ")} $footer")
+    val spam = Seq(104L -> Seq.fill(30)("spam alert").flatMap(_.split(" ")).mkString(" "))
+    (base ++ exactDup ++ nearDup ++ contaminated ++ spam).toDF("doc_id", "text")
+  }
+
+  private lazy val evalSuite =
+    Seq(900L -> (1 to 15).map(j => s"q$j").mkString(" ")).toDF("doc_id", "text")
+
+  test("pretraining pipeline end-to-end: each planted defect dies at its stage") {
+    val stages = Seq(
+      // Gopher-style repetition hygiene: kills the spam doc (104)
+      Stage("hygiene", Seq("docs"), in =>
+        in("docs").filter(TextAnalysis.passesRepetitionFilter(col("text")))),
+      // quality-aware near-dup removal: collapses {1,101} (tie → min
+      // id) and {2,102} (longer doc wins)
+      Stage("dedup", Seq("hygiene"), in =>
+        TextDedup.removeNearDuplicatesBy(
+          in("hygiene"), "doc_id", "text", quality = length(col("text")))),
+      // 13-gram benchmark decontamination: kills 103
+      Stage("decontaminate", Seq("dedup", "eval"), in =>
+        in("dedup").join(
+          TextDedup.contamination(in("dedup"), in("eval"), "doc_id", "text")
+            .filter(!col("contaminated")).select(col("id").as("doc_id")),
+          Seq("doc_id"))),
+      // substring-level dedup: cuts the universal footer span
+      Stage("trim", Seq("decontaminate"), in =>
+        TextDedup.trimRepeatedSpans(in("decontaminate"), "doc_id", "text", k = 8)),
+      // RAG/window chunking of the trimmed text
+      Stage("chunk", Seq("trim"), in =>
+        Curator.chunkDocs(in("trim"), "id", "text", maxTokens = 16, overlap = 4)),
+      // fixed-token-budget training packs over trimmed lengths
+      Stage("pack", Seq("trim"), in =>
+        Curator.packSequences(in("trim"), "id", "n_kept_tokens", maxTokensPerPack = 64)),
+      // deterministic splits over the surviving ids
+      Stage("split", Seq("trim"), in =>
+        Curator.assignSplits(in("trim").select(col("id")), col("id"),
+          Seq("train" -> 0.9, "val" -> 0.1), seed = 7L)))
+
+    val r = Pipeline.run("pretrain", stages,
+      Map("docs" -> corpus, "eval" -> evalSuite))
+    assert(r.success, s"pipeline must succeed: ${r.stages}")
+
+    // survivors: exactly the 30 base docs — spam, both dup copies and
+    // the contaminated doc are gone, nothing else was touched
+    val survivors = r("decontaminate").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors == (1L to 30L).toSet, s"survivors: $survivors")
+
+    // trim cut the footer (and ONLY the footer: every doc keeps its
+    // 20 own tokens — cross-boundary grams are unique per doc)
+    val trimmed = r("trim").collect()
+      .map(x => x.getLong(0) -> ((x.getString(1), x.getLong(3)))).toMap
+    assert(trimmed.values.forall(_._2 == 20L), "every doc must keep exactly its own tokens")
+    assert(!trimmed.values.exists(_._1.contains("rights")), "footer must be cut everywhere")
+    assert(trimmed(5L)._1 == own(5), "own tokens must survive in order")
+
+    // chunks: 20 trimmed tokens at (16, 4) → two windows per doc
+    val chunks = r("chunk").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2), x.getLong(3)))
+    assert(chunks.length == 60 && chunks.forall(_._4 <= 16))
+    val d5 = chunks.filter(_._1 == 5L).sortBy(_._2).map(_._3)
+    assert((d5.head.split(" ") ++ d5(1).split(" ").drop(4)).mkString(" ") == own(5))
+
+    // packs respect the budget; every survivor packed exactly once
+    val packs = r("pack").groupBy("pack_id").agg(sum("n_kept_tokens").as("tok"))
+    assert(r("pack").count() == 30 && packs.filter(col("tok") > 64).count() == 0)
+
+    // splits cover every survivor with labels from the ratio set
+    val splits = r("split").collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(splits.keySet == (1L to 30L).toSet)
+    assert(splits.values.toSet.subsetOf(Set("train", "val")))
+  }
+}
