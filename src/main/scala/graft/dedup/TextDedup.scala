@@ -171,8 +171,10 @@ object TextDedup {
     * measured 1.4× end-to-end on the 50k-doc Zipf corpus, and the
     * saving grows with k since the portable path's concat+md5 cost is
     * linear in gram bytes). */
-  private def gramRows(docs: DataFrame, k: Int, portable: Boolean): DataFrame =
-    docs.filter(col("n_tokens") >= k)
+  private def gramRows(
+      docs: DataFrame, k: Int, portable: Boolean,
+      checkpoint: Boolean = true): DataFrame = {
+    val rows = docs.filter(col("n_tokens") >= k)
       .select(col("id"), explode(transform(
         sequence(lit(1), col("n_tokens") - (k - 1)),
         i => {
@@ -181,7 +183,27 @@ object TextDedup {
           struct(i.as("s"), gid.as("g"))
         })).as("_sg"))
       .select(col("id"), col("_sg.s").as("s"), col("_sg.g").as("g"))
-      .localCheckpoint(true)
+    if (checkpoint) rows.localCheckpoint(true) else rows
+  }
+
+  /** Shared trim kernel: cut every token covered by an interval
+    * [s, s+k−1] from `starts` (id, s); uncovered tokens survive in
+    * document order. → (id, text, n_tokens, n_kept_tokens) */
+  private def trimByStarts(docs: DataFrame, starts: DataFrame, k: Int): DataFrame = {
+    val perDoc = starts.groupBy("id").agg(array_sort(collect_list(col("s"))).as("_ss"))
+    docs.join(perDoc, Seq("id"), "left")
+      .select(col("id"), col("_ws"), col("n_tokens"),
+        coalesce(col("_ss"), array().cast("array<int>")).as("_ss"))
+      .select(col("id"), col("n_tokens"),
+        filter(transform(col("_ws"), (t, i) => struct((i + 1).as("p"), t.as("t"))),
+          pt => !exists(col("_ss"),
+            s => s <= pt.getField("p") && pt.getField("p") <= s + (k - 1)))
+          .as("_kept"))
+      .select(col("id"),
+        concat_ws(" ", transform(col("_kept"), pt => pt.getField("t"))).as("text"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        size(col("_kept")).cast("long").as("n_kept_tokens"))
+  }
 
   def repeatedSpans(
       df: DataFrame, idCol: String, textCol: String,
@@ -250,21 +272,42 @@ object TextDedup {
     val counts = grams.groupBy("g")
       .agg(count(lit(1)).as("_gcnt"))
       .filter(col("_gcnt") >= minCount)
-    val perDoc =
+    val dupStarts =
       graft.ops.Skew.hotColdJoin(grams, counts, "g", "_gcnt", hotGramMinCount)
-        .groupBy("id").agg(array_sort(collect_list(col("s"))).as("_ss"))
-    docs.join(perDoc, Seq("id"), "left")
-      .select(col("id"), col("_ws"), col("n_tokens"),
-        coalesce(col("_ss"), array().cast("array<int>")).as("_ss"))
-      .select(col("id"), col("n_tokens"),
-        filter(transform(col("_ws"), (t, i) => struct((i + 1).as("p"), t.as("t"))),
-          pt => !exists(col("_ss"),
-            s => s <= pt.getField("p") && pt.getField("p") <= s + (k - 1)))
-          .as("_kept"))
-      .select(col("id"),
-        concat_ws(" ", transform(col("_kept"), pt => pt.getField("t"))).as("text"),
-        col("n_tokens").cast("long").as("n_tokens"),
-        size(col("_kept")).cast("long").as("n_kept_tokens"))
+        .select("id", "s")
+    trimByStarts(docs, dupStarts, k)
+  }
+
+  /** Surgical decontamination — the remediation twin of
+    * [[contamination]]: instead of DROPPING a training document that
+    * shares a k-gram with the evaluation suite, cut exactly the
+    * covered tokens and keep the rest (the document is otherwise
+    * valuable; the leaked span is not). A token survives iff no
+    * eval-colliding k-gram covers it; clean documents pass through
+    * untouched (and unshuffled: their rows never match the probe).
+    *
+    * Scale shape is q121's, not q126's: the eval suite is SMALL by
+    * nature, so its distinct gram ids BROADCAST and the whole
+    * detection is one broadcast semi-join over the corpus's gram rows
+    * — no corpus-gram shuffle, no join skew, no checkpoint (the gram
+    * lineage feeds exactly one consumer here). The trim kernel is
+    * shared with [[trimRepeatedSpans]].
+    * → (id, text, n_tokens, n_kept_tokens) */
+  def trimContaminatedSpans(
+      docs: DataFrame, evalDocs: DataFrame,
+      idCol: String, textCol: String,
+      k: Int = 13, portable: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val ws = filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= "")
+    def tokenized(df: DataFrame) = df.select(col(idCol).as("id"), ws.as("_ws"))
+      .select(col("id"), col("_ws"), size(col("_ws")).as("n_tokens"))
+    val docsT = tokenized(docs)
+    val evalIds = gramRows(tokenized(evalDocs), k, portable, checkpoint = false)
+      .select("g").distinct()
+    val hitStarts = gramRows(docsT, k, portable, checkpoint = false)
+      .join(broadcast(evalIds), "g")
+      .select("id", "s")
+    trimByStarts(docsT, hitStarts, k)
   }
 
   /** Exact dedup by content hash (hash group-by; one shuffle on the

@@ -161,6 +161,21 @@ object DedupQueries {
           col("n_spans"), col("dup_frac"), col("passes"))
     }),
 
+    // Surgical decontamination (q121's remediation twin): same
+    // eval/train partition and 13-gram construction as q121, but the
+    // colliding spans are CUT and the document kept — the planted
+    // near-dup pairs straddling the %50 boundary lose their leaked
+    // runs, clean docs pass through byte-identical
+    "q128_trim_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextDedup.trimContaminatedSpans(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", k = 13, portable = true)
+        .select(col("id").as("doc_id"), col("text"),
+          col("n_tokens"), col("n_kept_tokens"))
+    }),
+
     "q114_dedup_clusters" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val pairs = TextDedup.minhashLshPairs(docs, "doc_id", "text",
@@ -394,7 +409,44 @@ object DedupQueries {
         FROM d LEFT JOIN agg a USING (doc_id)"""
   }
 
+  /** q128 oracle: q121's partition + 13-gram md5 ids, coverage by
+    * explode-positions, surviving text rebuilt independently with an
+    * ordered string_agg over the uncovered positions (empty-doc trap:
+    * a fully-trimmed doc is absent from the rollup — coalesce to
+    * ''/0, matching Spark's concat_ws on an empty array). */
+  private val q128Sql = {
+    val terms = (0 until 13).map(j => if (j == 0) "ws[i]" else s"ws[i+$j]")
+      .mkString(" || ' ' || ")
+    s"""WITH w AS (SELECT doc_id,
+              list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws
+            FROM documents),
+        d AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE doc_id % 50 <> 0),
+        e AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE doc_id % 50 = 0),
+        eg AS (SELECT DISTINCT
+                 CAST(concat('0x', substr(md5($terms), 1, 15)) AS BIGINT) AS gid
+               FROM e, unnest(range(1, n - 11)) AS t(i) WHERE n >= 13),
+        g AS (SELECT doc_id, i AS s,
+                CAST(concat('0x', substr(md5($terms), 1, 15)) AS BIGINT) AS gid
+              FROM d, unnest(range(1, n - 11)) AS t(i) WHERE n >= 13),
+        hs AS (SELECT g.doc_id, g.s FROM g JOIN eg USING (gid)),
+        cov AS (SELECT DISTINCT doc_id, s + j AS p
+                FROM hs, unnest(range(0, 13)) AS u(j)),
+        tok AS (SELECT doc_id, ws[p] AS tok, p
+                FROM d, unnest(range(1, n + 1)) AS t(p)),
+        kept AS (SELECT tok.doc_id, tok.tok, tok.p
+                 FROM tok LEFT JOIN cov
+                   ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+                 WHERE cov.p IS NULL),
+        roll AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text,
+                   count(*) AS nk
+                 FROM kept GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(roll.text, '') AS text, d.n AS n_tokens,
+               coalesce(roll.nk, 0) AS n_kept_tokens
+        FROM d LEFT JOIN roll USING (doc_id)"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q128_trim_contamination" -> q128Sql,
     "q126_repeated_spans" -> q126Sql,
     "q90_dedup_exact" ->
       """WITH all_docs AS (

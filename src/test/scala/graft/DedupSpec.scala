@@ -317,6 +317,20 @@ class DedupSpec extends SparkSpec {
     assert(r(3L) == (("tiny doc", 2L, 2L)), "a doc below k tokens is untouched")
   }
 
+  test("trimContaminatedSpans: eval-colliding spans cut, clean docs byte-identical, full leaks empty") {
+    import spark.implicits._
+    val evalDocs = Seq((900L, "a b c d")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "x1 x2 a b c d x3 x4"), // interior leak: grams (a b c)@3, (b c d)@4
+      (2L, "clean doc words only here"),
+      (3L, "a b c d")).toDF("doc_id", "text") // the whole doc is the leak
+    val r = TextDedup.trimContaminatedSpans(train, evalDocs, "doc_id", "text", k = 3)
+      .collect().map(x => x.getLong(0) -> ((x.getString(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L) == (("x1 x2 x3 x4", 8L, 4L)))
+    assert(r(2L) == (("clean doc words only here", 5L, 5L)))
+    assert(r(3L) == (("", 4L, 0L)), "a fully-leaked doc trims to empty, not dropped")
+  }
+
   test("repeatedSpans: the xxhash64 fast path is row-identical to the portable path") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -38,7 +38,8 @@ object PlanGolden {
     "q93_dedup_simhash", "q94_dedup_ngram", "q114_dedup_clusters", "q116_embed_neardup",
     "q116a_neardup_lsh", "q118_c4_filter", "q119_line_boilerplate", "q121_decontaminate",
     "q122_coverage", "q123_incremental_dedup", "q124_url_dedup",
-    "q126_repeated_spans", "q126a_repeated_spans_fast", "q127_chunk")
+    "q126_repeated_spans", "q126a_repeated_spans_fast", "q127_chunk",
+    "q128_trim_contamination")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSpec.session

@@ -150,6 +150,12 @@ class PlanShapeSpec extends SparkSpec {
     "q126_repeated_spans" -> PlanGolden.Shape(
       "Project>Join>Project>LogicalRelation>Project>Aggregate>Union>Project>Join>Filter>LogicalRDD>Project>Filter>Aggregate>Project>Filter>LogicalRDD>Project>Join>Project>Join>Filter>LogicalRDD>Project>Filter>Aggregate>Project>Filter>LogicalRDD>Project>Filter>Aggregate>Project>Filter>LogicalRDD",
       234),
+    // one Generate per side (train grams, eval grams), the eval side
+    // collapsing through its distinct Aggregate into the broadcast
+    // probe — no checkpoint (single consumer), no corpus-gram shuffle
+    "q128_trim_contamination" -> PlanGolden.Shape(
+      "Project>Project>Join>Project>Project>Filter>LogicalRelation>Aggregate>Project>Join>Project>Filter>Generate>Project>Project>Filter>LogicalRelation>Aggregate>Project>Filter>Generate>Project>Project>Filter>LogicalRelation",
+      406),
     // the fast path's only skeleton delta: no null-guard Filter above
     // the checkpoint legs (xxhash64 over token columns is
     // non-nullable where conv(substr(md5)) is not)
