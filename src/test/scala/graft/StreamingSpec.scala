@@ -185,6 +185,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming chunking: the stateless window transform runs directly on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the RAG-ingest shape: stream of documents → chunk → index sink.
+    // chunkDocs is a narrow per-row transform, so it composes onto a
+    // streaming DataFrame with no foreachBatch, no state, no watermark
+    val in = MemoryStream[(Long, String)]
+    val chunked = graft.services.Curator.chunkDocs(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", maxTokens = 4, overlap = 1)
+    val q = chunked.writeStream.format("memory")
+      .queryName("chunks_out").outputMode("append").start()
+    try {
+      in.addData((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, "a b"))
+      drain(q)
+      val rows = spark.table("chunks_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(rows == Set(
+        (1L, 0L, "t1 t2 t3 t4"), (1L, 1L, "t4 t5 t6 t7"), (1L, 2L, "t7 t8 t9 t10"),
+        (2L, 0L, "a b")))
+    } finally q.stop()
+  }
+
   test("foreachBatchVersioned: one committed version per micro-batch, replay is a no-op") {
     import spark.implicits._
     import graft.sources.VersionedTable
