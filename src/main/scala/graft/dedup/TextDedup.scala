@@ -284,7 +284,9 @@ object TextDedup {
     * covered tokens and keep the rest (the document is otherwise
     * valuable; the leaked span is not). A token survives iff no
     * eval-colliding k-gram covers it; clean documents pass through
-    * untouched (and unshuffled: their rows never match the probe).
+    * token-identical — text is rebuilt as the normalized lowercase
+    * token join, the corpus-standard form — and unshuffled (their
+    * gram rows never match the broadcast probe).
     *
     * Scale shape is q121's, not q126's: the eval suite is SMALL by
     * nature, so its distinct gram ids BROADCAST and the whole

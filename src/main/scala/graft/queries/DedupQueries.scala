@@ -165,7 +165,8 @@ object DedupQueries {
     // eval/train partition and 13-gram construction as q121, but the
     // colliding spans are CUT and the document kept — the planted
     // near-dup pairs straddling the %50 boundary lose their leaked
-    // runs, clean docs pass through byte-identical
+    // runs, clean docs pass through token-identical (text is rebuilt
+    // as the normalized lowercase token join)
     "q128_trim_contamination" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       TextDedup.trimContaminatedSpans(
