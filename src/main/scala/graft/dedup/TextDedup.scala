@@ -186,6 +186,40 @@ object TextDedup {
     if (checkpoint) rows.localCheckpoint(true) else rows
   }
 
+  /** Shared stats kernel: merge each doc's duplicated-start intervals
+    * [s, s+k−1] into coverage islands with a sorted fold. Sorted
+    * starts are strictly increasing, so each start either opens a new
+    * span (a coverage GAP: s > end + 1 — merely non-overlapping
+    * intervals that abut at s = end + 1 still produce contiguous
+    * covered tokens) or extends the current one by exactly
+    * s + k − 1 − end tokens.
+    * → (id, n_tokens, n_dup_tokens, n_spans, dup_frac, passes) */
+  private def spanStats(
+      docs: DataFrame, dupStarts: DataFrame, k: Int, maxDupFrac: Double): DataFrame = {
+    val perDoc = dupStarts.groupBy("id")
+      .agg(array_sort(collect_list(col("s"))).as("_ss"))
+      .select(col("id"), aggregate(col("_ss"),
+        struct(lit(0L).as("cov"), lit(0L).as("spans"), lit(-2L).as("end")),
+        (acc, s0) => {
+          val s = s0.cast("long")
+          val isNew = s > acc.getField("end") + 1
+          struct(
+            (acc.getField("cov") +
+              when(isNew, lit(k.toLong)).otherwise(s + (k - 1) - acc.getField("end"))).as("cov"),
+            (acc.getField("spans") + when(isNew, lit(1L)).otherwise(lit(0L))).as("spans"),
+            (s + (k - 1)).as("end"))
+        }).as("_m"))
+      .select(col("id"), col("_m.cov").as("n_dup_tokens"), col("_m.spans").as("n_spans"))
+    val frac = coalesce(col("n_dup_tokens"), lit(0L)).cast("double") / col("n_tokens")
+    docs.select(col("id"), col("n_tokens").cast("long").as("n_tokens"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        when(col("n_tokens") === 0, lit(0.0)).otherwise(frac).as("dup_frac"),
+        (when(col("n_tokens") === 0, lit(0.0)).otherwise(frac) <= maxDupFrac).as("passes"))
+  }
+
   /** Shared trim kernel: cut every token covered by an interval
     * [s, s+k−1] from `starts` (id, s); uncovered tokens survive in
     * document order. → (id, text, n_tokens, n_kept_tokens) */
@@ -221,33 +255,7 @@ object TextDedup {
     val dupStarts =
       graft.ops.Skew.hotColdJoin(grams, counts, "g", "_gcnt", hotGramMinCount)
         .select("id", "s")
-    // Sorted starts are strictly increasing and every interval has
-    // length k, so each start either opens a new span (a coverage GAP:
-    // s > end + 1 — merely non-overlapping intervals that abut at
-    // s = end + 1 still produce contiguous covered tokens) or extends
-    // the current one by exactly s + k - 1 - end tokens.
-    val perDoc = dupStarts.groupBy("id")
-      .agg(array_sort(collect_list(col("s"))).as("_ss"))
-      .select(col("id"), aggregate(col("_ss"),
-        struct(lit(0L).as("cov"), lit(0L).as("spans"), lit(-2L).as("end")),
-        (acc, s0) => {
-          val s = s0.cast("long")
-          val isNew = s > acc.getField("end") + 1
-          struct(
-            (acc.getField("cov") +
-              when(isNew, lit(k.toLong)).otherwise(s + (k - 1) - acc.getField("end"))).as("cov"),
-            (acc.getField("spans") + when(isNew, lit(1L)).otherwise(lit(0L))).as("spans"),
-            (s + (k - 1)).as("end"))
-        }).as("_m"))
-      .select(col("id"), col("_m.cov").as("n_dup_tokens"), col("_m.spans").as("n_spans"))
-    val frac = coalesce(col("n_dup_tokens"), lit(0L)).cast("double") / col("n_tokens")
-    docs.select(col("id"), col("n_tokens").cast("long").as("n_tokens"))
-      .join(perDoc, Seq("id"), "left")
-      .select(col("id"), col("n_tokens"),
-        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        when(col("n_tokens") === 0, lit(0.0)).otherwise(frac).as("dup_frac"),
-        (when(col("n_tokens") === 0, lit(0.0)).otherwise(frac) <= maxDupFrac).as("passes"))
+    spanStats(docs, dupStarts, k, maxDupFrac)
   }
 
   /** Companion to [[repeatedSpans]]: rebuilds each document's text
@@ -276,6 +284,68 @@ object TextDedup {
       graft.ops.Skew.hotColdJoin(grams, counts, "g", "_gcnt", hotGramMinCount)
         .select("id", "s")
     trimByStarts(docs, dupStarts, k)
+  }
+
+  /** Gram-count store builder for [[incrementalRepeatedSpans]] — the
+    * persistable corpus state of substring-level dedup. Counts
+    * SATURATE at `cap` (= the minCount the queries will ask): the
+    * store only ever answers "has this gram been seen ≥ minCount
+    * times", so a universal footer gram stores `cap`, not billions —
+    * the store is bounded by DISTINCT grams, and every row is two
+    * longs. Persist bucketed by `g` ([[graft.sources.Sinks]]) so the
+    * per-batch probe join never reshuffles the store.
+    * → (g, cnt) */
+  def gramCountStore(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, cap: Long = 2, portable: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(cap >= 1, s"cap must be positive, got $cap")
+    val ws = filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= "")
+    val docs = df.select(col(idCol).as("id"), ws.as("_ws"))
+      .select(col("id"), col("_ws"), size(col("_ws")).as("n_tokens"))
+    gramRows(docs, k, portable, checkpoint = false)
+      .groupBy("g").agg(least(count(lit(1)), lit(cap)).as("cnt"))
+  }
+
+  /** Merge a batch's gram counts into the store (same saturation).
+    * Idempotent in the ≥cap region — re-merging a hot gram changes
+    * nothing. */
+  def mergeGramCountStores(a: DataFrame, b: DataFrame, cap: Long = 2): DataFrame = {
+    require(cap >= 1, s"cap must be positive, got $cap")
+    a.unionByName(b).groupBy("g").agg(least(sum(col("cnt")), lit(cap)).as("cnt"))
+  }
+
+  /** The daily-crawl form of [[repeatedSpans]] (the q123 asymmetry
+    * applied to substring dedup): a NEW batch is analyzed against
+    * everything signed so far — a position is duplicated iff some
+    * covering k-gram's batch count plus its saturated store count
+    * reaches `minCount` — and old documents are never revisited
+    * (their verdicts shipped with their own batches; the incremental
+    * contract). Work scales with |batch|: the batch's grams shuffle
+    * once for counting, the store is probed with one join on `g`
+    * (co-located when the store is bucketed by `g` — the store side
+    * never reshuffles), and the span fold runs over batch docs only.
+    * Output = [[repeatedSpans]]'s per-doc schema for the batch.
+    * First batch: pass `gramCountStore(df.limit(0), …)`. */
+  def incrementalRepeatedSpans(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      oldStore: DataFrame,
+      k: Int = 8, minCount: Long = 2, maxDupFrac: Double = 0.5,
+      hotGramMinCount: Long = 100000, portable: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val ws = filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= "")
+    val docs = newDocs.select(col(idCol).as("id"), ws.as("_ws"))
+      .select(col("id"), col("_ws"), size(col("_ws")).as("n_tokens"))
+    val grams = gramRows(docs, k, portable)
+    val totals = grams.groupBy("g").agg(count(lit(1)).as("_bcnt"))
+      .join(oldStore.select(col("g"), col("cnt").as("_scnt")), Seq("g"), "left")
+      .select(col("g"), (col("_bcnt") + coalesce(col("_scnt"), lit(0L))).as("_gcnt"))
+      .filter(col("_gcnt") >= minCount)
+    val dupStarts =
+      graft.ops.Skew.hotColdJoin(grams, totals, "g", "_gcnt", hotGramMinCount)
+        .select("id", "s")
+    spanStats(docs, dupStarts, k, maxDupFrac)
   }
 
   /** Surgical decontamination — the remediation twin of

@@ -317,6 +317,37 @@ class DedupSpec extends SparkSpec {
     assert(r(3L) == (("tiny doc", 2L, 2L)), "a doc below k tokens is untouched")
   }
 
+  test("incrementalRepeatedSpans: batch verdicts against the accumulated store, counts saturate") {
+    import spark.implicits._
+    val k = 3
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val b1 = Seq(
+      (1L, "alpha beta gamma delta one"),
+      (2L, "unrelated words entirely here")).toDF("doc_id", "text")
+    val store0 = TextDedup.gramCountStore(empty, "doc_id", "text", k = k)
+    val r1 = TextDedup.incrementalRepeatedSpans(b1, "doc_id", "text", store0, k = k)
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(r1 == Map(1L -> 0L, 2L -> 0L), "first batch: nothing seen before, no in-batch repeats")
+    val store1 = TextDedup.mergeGramCountStores(
+      store0, TextDedup.gramCountStore(b1, "doc_id", "text", k = k))
+    // batch 2: doc 10 shares "alpha beta gamma delta" with BATCH-1 doc 1
+    // (found only via the store); 11/12 are in-batch twins (found
+    // without it); batch-1 docs are never revisited
+    val b2 = Seq(
+      (10L, "alpha beta gamma delta two"),
+      (11L, "twin payload repeated verbatim"),
+      (12L, "twin payload repeated verbatim")).toDF("doc_id", "text")
+    val r2 = TextDedup.incrementalRepeatedSpans(b2, "doc_id", "text", store1, k = k)
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(r2.keySet == Set(10L, 11L, 12L), "old docs must not be revisited")
+    assert(r2(10L) == 4L, "cross-batch shared span found via the store")
+    assert(r2(11L) == 4L && r2(12L) == 4L, "in-batch twins flagged without the store")
+    // saturation: re-merging shared grams stores the cap, not the sum
+    val store2 = TextDedup.mergeGramCountStores(
+      store1, TextDedup.gramCountStore(b2, "doc_id", "text", k = k))
+    assert(store2.agg(max(col("cnt"))).head().getLong(0) == 2L)
+  }
+
   test("trimContaminatedSpans: eval-colliding spans cut, clean docs byte-identical, full leaks empty") {
     import spark.implicits._
     val evalDocs = Seq((900L, "a b c d")).toDF("doc_id", "text")
