@@ -185,6 +185,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming crawl substring-dedup: micro-batches probe and extend the gram-count store") {
+    import spark.implicits._
+    import graft.dedup.TextDedup
+    import graft.sources.VersionedTable
+    implicit val sqlCtx = spark.sqlContext
+    val storeTable = java.nio.file.Files.createTempDirectory("graft_stream_grams").toString + "/grams"
+    val dupTokens = scala.collection.mutable.Map.empty[Long, Long]
+    val in = MemoryStream[(Long, String)]
+    // the crawl loop for SUBSTRING dedup: score this batch against the
+    // saturated gram counts accumulated so far, then append this
+    // batch's (already saturated) count delta exactly-once — reads
+    // re-saturate across deltas via the same merge, so the store stays
+    // a pile of append-only rows with merge-on-read semantics
+    val q = in.toDF().toDF("doc_id", "text").writeStream.queryName("crawl_grams")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val docs = batch.toDF()
+        val delta = TextDedup.gramCountStore(docs, "doc_id", "text", k = 3)
+        val oldStore =
+          if (VersionedTable.currentVersion(s, storeTable).isDefined) {
+            val raw = VersionedTable.read(s, storeTable)
+            TextDedup.mergeGramCountStores(raw, raw.limit(0))
+          } else delta.limit(0)
+        dupTokens ++= TextDedup.incrementalRepeatedSpans(docs, "doc_id", "text", oldStore, k = 3)
+          .collect().map(r => r.getLong(0) -> r.getLong(2))
+        VersionedTable.appendIdempotent(s, storeTable, delta, s"crawl-grams-$batchId")
+        ()
+      }.start()
+    try {
+      in.addData(
+        (1L, "alpha beta gamma delta one"),
+        (2L, "unrelated words entirely here"))
+      drain(q)
+      assert(dupTokens == Map(1L -> 0L, 2L -> 0L), s"first batch is clean: $dupTokens")
+      in.addData(
+        (10L, "alpha beta gamma delta two"), // shares a 4-token span with batch-1 doc 1
+        (11L, "twin payload repeated verbatim"),
+        (12L, "twin payload repeated verbatim"))
+      drain(q)
+      assert(dupTokens(10L) == 4L, s"cross-batch span must come from the store: $dupTokens")
+      assert(dupTokens(11L) == 4L && dupTokens(12L) == 4L, s"in-batch twins: $dupTokens")
+      assert(VersionedTable.versions(spark, storeTable).size == 2)
+    } finally q.stop()
+  }
+
   test("streaming chunking: the stateless window transform runs directly on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
