@@ -326,7 +326,13 @@ object TextDedup {
     * (co-located when the store is bucketed by `g` — the store side
     * never reshuffles), and the span fold runs over batch docs only.
     * Output = [[repeatedSpans]]'s per-doc schema for the batch.
-    * First batch: pass `gramCountStore(df.limit(0), …)`. */
+    * First batch: pass `gramCountStore(df.limit(0), …)`.
+    *
+    * Exactness requires the store's `cap ≥ minCount − 1`: the largest
+    * store count a verdict ever needs to distinguish is minCount − 1
+    * (one more batch occurrence tips it), and any store count ≥
+    * minCount flags even a single batch occurrence regardless of
+    * saturation. The defaults (cap = 2, minCount = 2) satisfy this. */
   def incrementalRepeatedSpans(
       newDocs: DataFrame, idCol: String, textCol: String,
       oldStore: DataFrame,
