@@ -159,6 +159,42 @@ object TextQueries {
           col("doc_format"), col("n_pages"), col("text"))
     }),
 
+    // Unigram-LM perplexity filtering (the CCNet/KenLM shape): even
+    // doc_ids train the model, odd doc_ids are scored held-out. All
+    // log arithmetic runs on the micro-nat integer grid (see
+    // TextAnalysis.qlog — probed bit-identical JVM vs DuckDB), so
+    // every oracle column is exact integers or a single IEEE division
+    // of them; buckets compare that division to fixed literals. The
+    // float `ppl` column is API-only, projected out here.
+    "q129_lm_perplexity" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = TextAnalysis.unigramLm(docs.filter(col("doc_id") % 2 === 0), "text")
+      TextAnalysis.lmScore(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", model,
+          bucketBounds = (3.401e6, 3.404e6))
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_oov"), col("oov_frac"),
+          col("sum_nll_micro"), col("avg_nll_micro"), col("ppl_bucket"))
+    }),
+
+    // DSIR importance resampling (Xie et al. 2023): target LM = the
+    // English slice, raw LM = the whole corpus; weight = log-ratio in
+    // exact micro-nats; keep the top 25% by (weight, doc_id) — the
+    // deterministic core of the paper's selection step.
+    "q130_dsir_select" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val target = TextAnalysis.unigramLm(docs.filter(col("lang") === "en"), "text")
+      val raw = TextAnalysis.unigramLm(docs, "text")
+      val scored = TextAnalysis.dsirWeights(docs, "doc_id", "text", target, raw)
+      TextAnalysis.dsirSelect(scored, 0.25)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("weight_micro"))
+    }),
+
+    // Per-document top-3 tf·idf keywords, integer-exact scores, one
+    // row per (doc, rank) — deterministic (score desc, token asc).
+    "q131_tfidf_keywords" -> ((s, d) =>
+      TextAnalysis.tfidfKeywords(Tables.documents(s, d), "doc_id", "text", k = 3)
+        .select(col("id").as("doc_id"), col("rank"), col("token"), col("tf"),
+          col("idf_micro"), col("score"))),
+
     // Same gate for the markdown extractor: heading/emphasis/link/list
     // markers wrap the document and must strip back to plain text.
     "q102_md_extract" -> ((s, d) => {
@@ -351,6 +387,93 @@ object TextQueries {
        FROM scored LEFT JOIN model USING (gram)
        GROUP BY doc_id"""
 
+  // The micro-nat grid `floor(ln(n)*1e6 + 0.5)` as a bigint — the SQL
+  // twin of TextAnalysis.qlog (probed bit-identical to JVM Math.log
+  // for every integer n in 1..2e7 on this host's libm).
+  private def qlogSql(expr: String): String =
+    s"CAST(floor(ln(CAST(($expr) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
+
+  // q129: identical model build, identical grid arithmetic — sums of
+  // exact bigints, divisions of exact integers, bucket bounds as the
+  // same literals
+  private val q129Sql =
+    s"""WITH $toksSql,
+        model AS (
+          SELECT token, count(*) AS cnt
+          FROM (SELECT unnest(tk) AS token FROM toks WHERE doc_id % 2 = 0)
+          GROUP BY token),
+        dval AS (SELECT coalesce(sum(cnt), 0) + count(*) + 1 AS d FROM model),
+        tok AS (SELECT doc_id, unnest(tk) AS token FROM toks WHERE doc_id % 2 = 1),
+        j AS (
+          SELECT doc_id, cnt IS NULL AS oov,
+            ${qlogSql("SELECT d FROM dval")} - ${qlogSql("coalesce(cnt, 0) + 1")} AS nll
+          FROM tok LEFT JOIN model USING (token)),
+        a AS (
+          SELECT doc_id, count(*) AS n_tokens,
+            sum(CASE WHEN oov THEN 1 ELSE 0 END) AS n_oov,
+            sum(nll) AS sum_nll_micro
+          FROM j GROUP BY doc_id)
+        SELECT doc_id, n_tokens, CAST(n_oov AS BIGINT) AS n_oov,
+          n_oov * 1.0 / n_tokens AS oov_frac,
+          CAST(sum_nll_micro AS BIGINT) AS sum_nll_micro,
+          sum_nll_micro * 1.0 / n_tokens AS avg_nll_micro,
+          CASE WHEN sum_nll_micro * 1.0 / n_tokens < 3401000.0 THEN 'head'
+               WHEN sum_nll_micro * 1.0 / n_tokens < 3404000.0 THEN 'middle'
+               ELSE 'tail' END AS ppl_bucket
+        FROM a"""
+
+  // q130: two models, merged per token; the per-token D-shift and the
+  // top-25% cutoff replay the Scala constants exactly
+  private val q130Sql =
+    s"""WITH $toksSql,
+        tgt AS (
+          SELECT token, count(*) AS cnt
+          FROM (SELECT unnest(tk) AS token FROM toks WHERE lang = 'en') GROUP BY token),
+        raw AS (
+          SELECT token, count(*) AS cnt
+          FROM (SELECT unnest(tk) AS token FROM toks) GROUP BY token),
+        dt AS (SELECT coalesce(sum(cnt), 0) + count(*) + 1 AS d FROM tgt),
+        dr AS (SELECT coalesce(sum(cnt), 0) + count(*) + 1 AS d FROM raw),
+        tok AS (SELECT doc_id, unnest(tk) AS token FROM toks),
+        j AS (
+          SELECT doc_id,
+            ${qlogSql("coalesce(t.cnt, 0) + 1")} - ${qlogSql("coalesce(r.cnt, 0) + 1")}
+              + ${qlogSql("SELECT d FROM dr")} - ${qlogSql("SELECT d FROM dt")} AS w
+          FROM tok LEFT JOIN tgt t USING (token) LEFT JOIN raw r USING (token)),
+        a AS (
+          SELECT doc_id, count(*) AS n_tokens, CAST(sum(w) AS BIGINT) AS weight_micro
+          FROM j GROUP BY doc_id)
+        SELECT doc_id, n_tokens, weight_micro
+        FROM a
+        QUALIFY row_number() OVER (ORDER BY weight_micro DESC, doc_id)
+          <= CAST(ceil(0.25 * (SELECT count(*) FROM a)) AS BIGINT)"""
+
+  // q131: integer-exact tf·idf, rank deterministic on (score, token)
+  private val q131Sql =
+    s"""WITH $toksSql,
+        n AS (SELECT count(*) AS c FROM documents),
+        dfm AS (
+          SELECT token, count(*) AS df FROM (
+            SELECT DISTINCT doc_id, token
+            FROM (SELECT doc_id, unnest(tk) AS token FROM toks))
+          GROUP BY token),
+        idf AS (
+          SELECT token,
+            ${qlogSql("(SELECT c FROM n) + 1")} - ${qlogSql("df + 1")} AS idf_micro
+          FROM dfm),
+        tf AS (
+          SELECT doc_id, token, count(*) AS tf
+          FROM (SELECT doc_id, unnest(tk) AS token FROM toks)
+          GROUP BY doc_id, token),
+        s AS (
+          SELECT doc_id, token, tf, idf_micro, tf * idf_micro AS score
+          FROM tf JOIN idf USING (token))
+        SELECT doc_id,
+          CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS INT) AS rank,
+          token, tf, idf_micro, score
+        FROM s
+        QUALIFY rank <= 3"""
+
   // escape → build PDF → parse → unescape must round-trip exactly, so
   // the oracle is the identity reconstruction (Td breaks lines, pages
   // join with a newline)
@@ -369,5 +492,8 @@ object TextQueries {
     "q103_pdf_extract" -> q103Sql,
     "q117_repetition" -> q117Sql,
     "q118_c4_filter" -> q118Sql,
-    "q122_coverage" -> q122Sql)
+    "q122_coverage" -> q122Sql,
+    "q129_lm_perplexity" -> q129Sql,
+    "q130_dsir_select" -> q130Sql,
+    "q131_tfidf_keywords" -> q131Sql)
 }

@@ -373,4 +373,158 @@ object TextAnalysis {
       element_at(kv, norm).as(norm)
     }: _*)
   }
+
+  // ——— Unigram LM scoring (CCNet/KenLM-style perplexity filtering) ———
+
+  /** Fixed-point micro-nat logarithm: `floor(ln(c)·10⁶ + 0.5)` as a
+    * bigint. The whole LM family computes in this grid so that log
+    * arithmetic stays EXACT integer arithmetic — summation order,
+    * float accumulation, and libm last-ulp differences cannot touch
+    * the oracle gate. Portability was measured, not assumed: JVM
+    * `Math.log` and DuckDB `ln` produce bit-identical grid values for
+    * every integer argument in 1..2×10⁷ (probed exhaustively on this
+    * host; corpus counts stay far below that). `floor(x+0.5)` rather
+    * than `round` because the two engines' round() tie rules differ
+    * in spelling — floor-of-shifted is the same primitive in both. */
+  def qlog(c: Column): Column = floor(log(c) * 1e6 + 0.5).cast("long")
+
+  /** Driver-side twin of [[qlog]] for single model constants. */
+  def qlogConst(n: Long): Long = math.floor(math.log(n.toDouble) * 1e6 + 0.5).toLong
+
+  /** Unigram language model: token → count over a reference corpus.
+    * One explode + one hash groupBy with map-side partials; the output
+    * is vocabulary-bounded (Heaps' law: sublinear in corpus size), so
+    * downstream scoring can BROADCAST it even when the corpus itself
+    * is 100 TB. → (token, cnt) */
+  def unigramLm(refDocs: DataFrame, textCol: String): DataFrame =
+    refDocs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+
+  /** Laplace denominator for a [[unigramLm]] model: total tokens +
+    * vocabulary + 1 (the +V+1 gives every seen type and the one
+    * unseen-type bucket an add-one share). Single-row driver read. */
+  def lmDenominator(model: DataFrame): Long = {
+    val r = model.agg(
+      coalesce(sum(col("cnt")), lit(0L)).as("t"),
+      count(lit(1)).as("v")).head
+    r.getLong(0) + r.getLong(1) + 1L
+  }
+
+  /** Score documents against a [[unigramLm]]: per-token add-one
+    * negative log-likelihood `qlog(D) − qlog(cnt+1)` in micro-nats
+    * (D = [[lmDenominator]]), summed per document — the CCNet/KenLM
+    * perplexity filter, integer-exact. Buckets follow CCNet's
+    * head/middle/tail split but on FIXED avg-NLL bounds (micro-nats)
+    * instead of corpus percentiles: the comparison is a single IEEE
+    * division of exact integers against a literal, identical in any
+    * engine, and fixed bounds make the bucket a property of the
+    * document rather than of the batch it arrived in.
+    *
+    * Plan shape: explode → broadcast left-join (model is vocab-
+    * bounded) → one groupBy on the document id with map-side partials
+    * (token rows of a document are co-located with it, so partials
+    * collapse to ~1 row per doc before the shuffle). `ppl` =
+    * exp(avg/10⁶) is the human-readable perplexity — derived, float,
+    * for API consumers; oracle-gated queries project the exact
+    * columns. → (id, n_tokens, n_oov, oov_frac, sum_nll_micro,
+    * avg_nll_micro, ppl, ppl_bucket) */
+  def lmScore(
+      docs: DataFrame, idCol: String, textCol: String, model: DataFrame,
+      bucketBounds: (Double, Double) = (3.401e6, 3.404e6)): DataFrame = {
+    val (headLt, middleLt) = bucketBounds
+    require(headLt <= middleLt, s"bucket bounds out of order: $bucketBounds")
+    val qlogD = qlogConst(lmDenominator(model))
+    val toks = docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
+    toks
+      .join(broadcast(model), Seq("token"), "left")
+      .select(col("id"), col("cnt").isNull.as("oov"),
+        (lit(qlogD) - qlog(coalesce(col("cnt"), lit(0L)) + 1L)).as("nll"))
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("oov"), 1L).otherwise(0L)).as("n_oov"),
+        sum(col("nll")).as("sum_nll_micro"))
+      .select(col("id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov") * 1.0 / col("n_tokens")).as("oov_frac"),
+        col("sum_nll_micro"),
+        (col("sum_nll_micro") * 1.0 / col("n_tokens")).as("avg_nll_micro"),
+        exp(col("sum_nll_micro") * 1.0 / col("n_tokens") / 1e6).as("ppl"),
+        when(col("sum_nll_micro") * 1.0 / col("n_tokens") < headLt, "head")
+          .when(col("sum_nll_micro") * 1.0 / col("n_tokens") < middleLt, "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): weight each raw
+    * document by `log p_target(x) − log p_raw(x)` under two unigram
+    * LMs — positive means the document looks more like the target
+    * distribution than the raw crawl. Same micro-nat grid as
+    * [[lmScore]], so the weight is an exact bigint:
+    * `Σ_t [qlog(c_tgt+1) − qlog(c_raw+1)] + n·[qlog(D_raw) − qlog(D_tgt)]`.
+    *
+    * The two models full-outer-join FIRST (both vocab-bounded, so the
+    * merged table is too) and the merge broadcasts once — one
+    * broadcast join on the token stream instead of two. One groupBy
+    * on the document id ends the plan. → (id, n_tokens, weight_micro) */
+  def dsirWeights(
+      docs: DataFrame, idCol: String, textCol: String,
+      targetModel: DataFrame, rawModel: DataFrame): DataFrame = {
+    val perTokenShift = qlogConst(lmDenominator(rawModel)) - qlogConst(lmDenominator(targetModel))
+    val merged = targetModel.select(col("token"), col("cnt").as("ct"))
+      .join(rawModel.select(col("token"), col("cnt").as("cr")), Seq("token"), "full_outer")
+    docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
+      .join(broadcast(merged), Seq("token"), "left")
+      .select(col("id"),
+        (qlog(coalesce(col("ct"), lit(0L)) + 1L)
+          - qlog(coalesce(col("cr"), lit(0L)) + 1L)
+          + lit(perTokenShift)).as("w"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("weight_micro"))
+  }
+
+  /** Keep the `frac` best-weighted documents from [[dsirWeights]]
+    * output (deterministic DSIR: top-k by weight, document id breaking
+    * ties — the paper's Gumbel noise is sampling flavor, the selection
+    * mechanics are identical). `orderBy.limit` plans as TakeOrdered:
+    * each partition keeps its local top-k and only k rows ever move,
+    * no global sort materializes. The doc count is a single-row
+    * driver read. k is capped at Int.MaxValue — selecting >2B docs
+    * should be a threshold filter on weight_micro instead. */
+  def dsirSelect(scored: DataFrame, frac: Double, idCol: String = "id"): DataFrame = {
+    require(frac > 0 && frac <= 1, s"frac must be in (0,1], got $frac")
+    val n = scored.count()
+    val k = math.ceil(n * frac).min(Int.MaxValue.toDouble).toInt
+    scored.orderBy(col("weight_micro").desc, col(idCol)).limit(k)
+  }
+
+  /** Per-document top-k keywords by tf·idf, integer-exact: idf_micro =
+    * qlog(N+1) − qlog(df+1) (micro-nats, N = corpus size, df =
+    * document frequency), score = tf · idf_micro (bigint). Emits one
+    * row per (document, rank) — rank by (score desc, token asc), fully
+    * deterministic, no array-ordering ambiguity. The df model comes
+    * from one distinct-explode groupBy (vocab-bounded → broadcast);
+    * tf is one (id, token) groupBy with map-side partials; the final
+    * rank is a window partitioned by document id — hash-partitioned,
+    * no global ordering. → (id, rank, token, tf, idf_micro, score) */
+  def tfidfKeywords(
+      docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val nDocs = docs.count()
+    val qlogN1 = qlogConst(nDocs + 1L)
+    val df = docs
+      .select(col(idCol).as("id"), explode(array_distinct(tokens(col(textCol)))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .select(col("token"), (lit(qlogN1) - qlog(col("df") + 1L)).as("idf_micro"))
+    val tf = docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("score").desc, col("token"))
+    tf.join(broadcast(df), Seq("token"))
+      .select(col("id"), col("token"), col("tf"), col("idf_micro"),
+        (col("tf") * col("idf_micro")).as("score"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank"), col("token"), col("tf"), col("idf_micro"), col("score"))
+  }
 }

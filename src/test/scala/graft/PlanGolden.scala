@@ -39,7 +39,8 @@ object PlanGolden {
     "q116a_neardup_lsh", "q118_c4_filter", "q119_line_boilerplate", "q121_decontaminate",
     "q122_coverage", "q123_incremental_dedup", "q124_url_dedup",
     "q126_repeated_spans", "q126a_repeated_spans_fast", "q127_chunk",
-    "q128_trim_contamination")
+    "q128_trim_contamination", "q129_lm_perplexity", "q130_dsir_select",
+    "q131_tfidf_keywords")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSpec.session

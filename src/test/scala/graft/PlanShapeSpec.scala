@@ -169,7 +169,27 @@ class PlanShapeSpec extends SparkSpec {
       99),
     "q122_coverage" -> PlanGolden.Shape(
       "Project>Aggregate>Project>Join>Project>Generate>Project>Filter>LogicalRelation>Filter>Aggregate>Filter>Generate>Project>Filter>LogicalRelation",
-      130))
+      130),
+    // LM scoring: one Generate per side (score tokens, model tokens),
+    // one broadcast join, ONE Aggregate on the doc id — the micro-nat
+    // arithmetic must stay in the post-join Project, not multiply
+    // into per-field copies
+    "q129_lm_perplexity" -> PlanGolden.Shape(
+      "Project>Aggregate>Project>Join>Project>Generate>Project>Filter>LogicalRelation>Aggregate>Generate>Project>Filter>LogicalRelation",
+      149),
+    // DSIR: GlobalLimit>LocalLimit>Sort is TakeOrdered (per-partition
+    // top-k, only k rows move — never a full global sort), and the two
+    // vocab-bounded models merge BEFORE the token-stream join so the
+    // corpus tokens are joined exactly once
+    "q130_dsir_select" -> PlanGolden.Shape(
+      "GlobalLimit>LocalLimit>Project>Sort>Aggregate>Project>Join>Project>Generate>Project>LogicalRelation>Project>Filter>Join>Aggregate>Generate>Project>Filter>LogicalRelation>Aggregate>Generate>Project>LogicalRelation",
+      147),
+    // tf·idf: WindowGroupLimit = Spark's rank-limit pushdown (each
+    // partition keeps its local top-k before the window sorts) — if
+    // this node disappears the per-doc rank went global
+    "q131_tfidf_keywords" -> PlanGolden.Shape(
+      "Project>Filter>Window>WindowGroupLimit>Project>Join>Aggregate>Project>Generate>Project>LogicalRelation>Aggregate>Generate>Project>LogicalRelation",
+      114))
 
   test("golden snapshots: operator skeleton exact, expression forest within 1.5x") {
     val failures = golden.toSeq.sortBy(_._1).flatMap { case (name, expected) =>

@@ -168,4 +168,69 @@ class TextSpec extends SparkSpec {
     assert(out.getLong(1) >= 1 && out.getLong(1) <= 1080)
     assert(out.getString(2) == "stub")
   }
+
+  test("qlog column agrees with the driver-side qlogConst across the grid") {
+    import spark.implicits._
+    val ns = Seq(1L, 2L, 3L, 7L, 64L, 1000L, 123456L, 9999991L, 19999999L)
+    val got = ns.toDF("n").select(TextAnalysis.qlog(col("n")).as("q"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == ns.map(TextAnalysis.qlogConst))
+    assert(TextAnalysis.qlogConst(1L) == 0L)
+  }
+
+  test("lmScore: hand-computed micro-nat NLL, OOV counting, ppl consistency") {
+    import spark.implicits._
+    val model = TextAnalysis.unigramLm(Seq((1L, "a a b")).toDF("doc_id", "text"), "text")
+    // counts: a=2, b=1 → total=3, V=2, D=6
+    assert(TextAnalysis.lmDenominator(model) == 6L)
+    val qD = TextAnalysis.qlogConst(6L)
+    val out = TextAnalysis.lmScore(
+      Seq((10L, "a b c")).toDF("doc_id", "text"), "doc_id", "text", model)
+      .collect().head
+    assert(out.getAs[Long]("n_tokens") == 3L)
+    assert(out.getAs[Long]("n_oov") == 1L) // c unseen
+    val expectedSum = 3 * qD - TextAnalysis.qlogConst(3L) - TextAnalysis.qlogConst(2L)
+    assert(out.getAs[Long]("sum_nll_micro") == expectedSum)
+    val avg = out.getAs[Double]("avg_nll_micro")
+    assert(avg == expectedSum * 1.0 / 3)
+    assert(math.abs(out.getAs[Double]("ppl") - math.exp(avg / 1e6)) < 1e-9)
+  }
+
+  test("dsirWeights ranks target-like docs higher; dsirSelect keeps ceil(frac·n) deterministically") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark shuffle join"),   // target-like
+      (2L, "cat dog cat dog"),            // raw-like
+      (3L, "spark dog shuffle cat"),      // mixed
+      (4L, "join shuffle spark spark")    // target-like
+    ).toDF("doc_id", "text")
+    val target = TextAnalysis.unigramLm(docs.filter(col("doc_id").isin(1L, 4L)), "text")
+    val raw = TextAnalysis.unigramLm(docs, "text")
+    val scored = TextAnalysis.dsirWeights(docs, "doc_id", "text", target, raw)
+    val w = scored.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("weight_micro")).toMap
+    assert(w(1L) > w(3L) && w(4L) > w(3L) && w(3L) > w(2L))
+    val kept = TextAnalysis.dsirSelect(scored, 0.5).collect().map(_.getAs[Long]("id")).toSet
+    assert(kept.size == 2 && kept.subsetOf(Set(1L, 4L))) // ceil(0.5*4)=2, the two target-like docs
+  }
+
+  test("tfidfKeywords: ubiquitous tokens score zero, rare tokens rank first, k bounds rows") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common rare common unique"),
+      (2L, "common rare common"),
+      (3L, "common common common")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfKeywords(docs, "doc_id", "text", k = 2).collect()
+    // ≤ k rows per doc, ranks start at 1 and are dense
+    val byDoc = out.groupBy(_.getAs[Long]("id"))
+    assert(byDoc.values.forall(_.length <= 2))
+    assert(byDoc.values.forall(rs =>
+      rs.map(_.getAs[Int]("rank")).sorted.sameElements(1 to rs.length)))
+    // 'common' appears in every doc → idf_micro = qlog(4) - qlog(4) = 0 → score 0
+    val common = out.filter(_.getAs[String]("token") == "common")
+    assert(common.nonEmpty && common.forall(_.getAs[Long]("score") == 0L))
+    // doc 1's top keyword is 'unique' (df=1, highest idf)
+    val top1 = out.filter(r => r.getAs[Long]("id") == 1L && r.getAs[Int]("rank") == 1)
+    assert(top1.head.getAs[String]("token") == "unique")
+  }
 }
