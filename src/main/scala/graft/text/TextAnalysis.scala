@@ -454,6 +454,56 @@ object TextAnalysis {
           .otherwise("tail").as("ppl_bucket"))
   }
 
+  /** Collect a [[unigramLm]] model into a driver map. Bounded driver
+    * read by the same argument that lets [[lmScore]] broadcast: the
+    * model is vocabulary-bounded (Heaps' law), not corpus-sized. */
+  def lmToMap(model: DataFrame): Map[String, Long] =
+    model.collect().map(r => r.getAs[String]("token") -> r.getAs[Long]("cnt")).toMap
+
+  /** Stateless twin of [[lmScore]]: the model rides along as a map
+    * LITERAL and the per-document NLL is a fold over the row's own
+    * token array — no explode, no groupBy, no state. That makes it a
+    * pure per-row projection that composes directly onto a streaming
+    * DataFrame in append mode (the scoring-at-ingest shape: docs
+    * stream in, each is scored against a frozen reference model —
+    * exactly how CCNet deploys its LM filter over a crawl). Same
+    * micro-nat arithmetic, bit-identical outputs to [[lmScore]] for
+    * every document with ≥1 token; token-less documents are dropped
+    * by both paths (explode there, an explicit filter here).
+    *
+    * Tradeoff vs the broadcast join: the map literal serializes into
+    * the plan/task binary (fine for vocab-bounded models — a few MB;
+    * use [[lmScore]] when the model is huge or reused across many
+    * queries). */
+  def lmScoreStateless(
+      docs: DataFrame, idCol: String, textCol: String,
+      modelCounts: Map[String, Long],
+      bucketBounds: (Double, Double) = (3.401e6, 3.404e6)): DataFrame = {
+    val (headLt, middleLt) = bucketBounds
+    require(headLt <= middleLt, s"bucket bounds out of order: $bucketBounds")
+    val d = modelCounts.values.sum + modelCounts.size + 1L
+    val qD = qlogConst(d)
+    val m = typedLit(modelCounts)
+    val toks = tokens(col(textCol))
+    val nll = aggregate(toks, lit(0L), (acc, t) =>
+      acc + (lit(qD) - qlog(coalesce(element_at(m, t), lit(0L)) + 1L)))
+    val oov = size(filter(toks, t => element_at(m, t).isNull))
+    docs
+      .filter(size(tokens(col(textCol))) > 0)
+      .select(col(idCol).as("id"),
+        size(toks).cast("long").as("n_tokens"),
+        oov.cast("long").as("n_oov"),
+        nll.as("sum_nll_micro"))
+      .select(col("id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov") * 1.0 / col("n_tokens")).as("oov_frac"),
+        col("sum_nll_micro"),
+        (col("sum_nll_micro") * 1.0 / col("n_tokens")).as("avg_nll_micro"),
+        exp(col("sum_nll_micro") * 1.0 / col("n_tokens") / 1e6).as("ppl"),
+        when(col("sum_nll_micro") * 1.0 / col("n_tokens") < headLt, "head")
+          .when(col("sum_nll_micro") * 1.0 / col("n_tokens") < middleLt, "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): weight each raw
     * document by `log p_target(x) − log p_raw(x)` under two unigram

@@ -10,7 +10,8 @@ import graft.text.TextAnalysis
 
 /** The whole pretraining-data workload, composed end-to-end through
   * the Pipeline DAG: hygiene filters → quality-aware near-dup removal
-  * → benchmark decontamination → repeated-span trimming → chunking,
+  * → benchmark decontamination → unigram-LM perplexity gate →
+  * repeated-span trimming → chunking,
   * packing and splits. Every stage is the production operator (no
   * test doubles); the corpus plants one defect per stage so each
   * stage's effect is individually observable in the final output —
@@ -36,11 +37,20 @@ class CorpusPipelineSpec extends SparkSpec {
       Seq(102L -> s"${(1 to 18).map(j => s"w2x$j").mkString(" ")} $footer")
     val contaminated = Seq(103L -> s"${own(103)} ${(1 to 15).map(j => s"q$j").mkString(" ")} $footer")
     val spam = Seq(104L -> Seq.fill(30)("spam alert").flatMap(_.split(" ")).mkString(" "))
-    (base ++ exactDup ++ nearDup ++ contaminated ++ spam).toDF("doc_id", "text")
+    // gibberish: unique non-repetitive alien tokens and NO footer — slips
+    // past hygiene (no repetition), dedup (unique shingles) and
+    // decontamination (no eval grams); only the LM gate can see it
+    val gibberish = Seq(105L -> (1 to 20).map(j => s"zx${j}q").mkString(" "))
+    (base ++ exactDup ++ nearDup ++ contaminated ++ spam ++ gibberish).toDF("doc_id", "text")
   }
 
   private lazy val evalSuite =
     Seq(900L -> (1 to 15).map(j => s"q$j").mkString(" ")).toDF("doc_id", "text")
+
+  // the trusted reference the LM gate scores against (footer vocabulary:
+  // base docs keep 10 known tokens of 30 → low avg NLL; gibberish is
+  // 100% OOV → avg NLL = qlog(D) exactly, the ceiling)
+  private lazy val refCorpus = Seq(999L -> footer).toDF("doc_id", "text")
 
   test("pretraining pipeline end-to-end: each planted defect dies at its stage") {
     val stages = Seq(
@@ -58,9 +68,19 @@ class CorpusPipelineSpec extends SparkSpec {
           TextDedup.contamination(in("dedup"), in("eval"), "doc_id", "text")
             .filter(!col("contaminated")).select(col("id").as("doc_id")),
           Seq("doc_id"))),
+      // unigram-LM perplexity gate against the trusted reference:
+      // kills the gibberish doc (105) — 100% OOV lands it in 'tail'
+      // (bounds sit between the base docs' avg NLL ≈ qlog(21) −
+      // 10·qlog(2)/30 ≈ 2.81e6 and the OOV ceiling qlog(21) ≈ 3.04e6)
+      Stage("lm_gate", Seq("decontaminate"), in =>
+        in("decontaminate").join(
+          TextAnalysis.lmScore(in("decontaminate"), "doc_id", "text",
+              TextAnalysis.unigramLm(refCorpus, "text"), bucketBounds = (2.9e6, 3.0e6))
+            .filter(col("ppl_bucket") =!= "tail").select(col("id").as("doc_id")),
+          Seq("doc_id"))),
       // substring-level dedup: cuts the universal footer span
-      Stage("trim", Seq("decontaminate"), in =>
-        TextDedup.trimRepeatedSpans(in("decontaminate"), "doc_id", "text", k = 8)),
+      Stage("trim", Seq("lm_gate"), in =>
+        TextDedup.trimRepeatedSpans(in("lm_gate"), "doc_id", "text", k = 8)),
       // RAG/window chunking of the trimmed text
       Stage("chunk", Seq("trim"), in =>
         Curator.chunkDocs(in("trim"), "id", "text", maxTokens = 16, overlap = 4)),
@@ -76,9 +96,15 @@ class CorpusPipelineSpec extends SparkSpec {
       Map("docs" -> corpus, "eval" -> evalSuite))
     assert(r.success, s"pipeline must succeed: ${r.stages}")
 
-    // survivors: exactly the 30 base docs — spam, both dup copies and
-    // the contaminated doc are gone, nothing else was touched
-    val survivors = r("decontaminate").select("doc_id")
+    // after decontamination: spam, both dup copies and the
+    // contaminated doc are gone; the gibberish doc is still alive
+    // (nothing upstream can see it)
+    val afterDecon = r("decontaminate").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(afterDecon == (1L to 30L).toSet + 105L, s"after decontaminate: $afterDecon")
+
+    // the LM gate is what kills it: survivors = exactly the 30 base docs
+    val survivors = r("lm_gate").select("doc_id")
       .collect().map(_.getLong(0)).toSet
     assert(survivors == (1L to 30L).toSet, s"survivors: $survivors")
 

@@ -252,6 +252,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming LM scoring: stateless per-row NLL against a frozen model, append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // scoring-at-ingest: documents stream in and are scored against a
+    // static reference model. lmScoreStateless folds the NLL inside
+    // each row (model as map literal), so it needs no state, no
+    // watermark, no foreachBatch — and must agree bit-for-bit with
+    // the batch explode+groupBy path on the same rows.
+    val refDocs = Seq((100L, "a a b spark"), (101L, "b spark spark")).toDF("doc_id", "text")
+    val model = graft.text.TextAnalysis.unigramLm(refDocs, "text")
+    val modelMap = graft.text.TextAnalysis.lmToMap(model)
+    val in = MemoryStream[(Long, String)]
+    val scored = graft.text.TextAnalysis.lmScoreStateless(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", modelMap)
+    val q = scored.writeStream.format("memory")
+      .queryName("lm_out").outputMode("append").start()
+    try {
+      in.addData((1L, "a b spark"), (2L, "unseen words only"), (3L, "   "))
+      drain(q)
+      val got = spark.table("lm_out").collect().map(_.toSeq).toSet
+      val batch = graft.text.TextAnalysis.lmScore(
+        Seq((1L, "a b spark"), (2L, "unseen words only")).toDF("doc_id", "text"),
+        "doc_id", "text", model).collect().map(_.toSeq).toSet
+      assert(got == batch) // token-less doc 3 dropped by both paths
+      assert(got.size == 2)
+    } finally q.stop()
+  }
+
   test("foreachBatchVersioned: one committed version per micro-batch, replay is a no-op") {
     import spark.implicits._
     import graft.sources.VersionedTable

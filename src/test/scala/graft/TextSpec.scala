@@ -196,6 +196,18 @@ class TextSpec extends SparkSpec {
     assert(math.abs(out.getAs[Double]("ppl") - math.exp(avg / 1e6)) < 1e-9)
   }
 
+  test("lmScoreStateless is row-identical to lmScore on the real corpus") {
+    val docs = Tables.documents(spark, sfDir)
+    val model = TextAnalysis.unigramLm(docs.filter(col("doc_id") % 2 === 0), "text")
+    val joined = TextAnalysis.lmScore(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", model)
+    val stateless = TextAnalysis.lmScoreStateless(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", TextAnalysis.lmToMap(model))
+    val a = joined.collect().map(_.toSeq).toSet
+    val b = stateless.collect().map(_.toSeq).toSet
+    assert(a.nonEmpty && a == b)
+  }
+
   test("dsirWeights ranks target-like docs higher; dsirSelect keeps ceil(frac·n) deterministically") {
     import spark.implicits._
     val docs = Seq(
