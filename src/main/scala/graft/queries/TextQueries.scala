@@ -195,6 +195,22 @@ object TextQueries {
         .select(col("id").as("doc_id"), col("rank"), col("token"), col("tf"),
           col("idf_micro"), col("score"))),
 
+    // Per-source corpus report: docs/tokens/chars/vocabulary/TTR —
+    // the exact (Expand-free two-leg) path under the oracle gate.
+    "q132_corpus_stats" -> ((s, d) =>
+      TextAnalysis.corpusStats(Tables.documents(s, d), "source", "text")
+        .select(col("group").as("source"), col("n_docs"), col("total_tokens"),
+          col("total_chars"), col("vocab"), col("avg_doc_tokens"),
+          col("type_token_ratio"))),
+
+    // The 100 TB production twin: HLL++ vocabulary, one shuffle fewer
+    // (rows-only in the artifacts, like the q40a family).
+    "q132a_corpus_stats_approx" -> ((s, d) =>
+      TextAnalysis.corpusStats(Tables.documents(s, d), "source", "text", exact = false)
+        .select(col("group").as("source"), col("n_docs"), col("total_tokens"),
+          col("total_chars"), col("vocab"), col("avg_doc_tokens"),
+          col("type_token_ratio"))),
+
     // Same gate for the markdown extractor: heading/emphasis/link/list
     // markers wrap the document and must strip back to plain text.
     "q102_md_extract" -> ((s, d) => {
@@ -474,6 +490,31 @@ object TextQueries {
         FROM s
         QUALIFY rank <= 3"""
 
+  // q132: same two-leg shape — doc-level integer aggregates + an
+  // exact distinct-token count per source; ratios are single IEEE
+  // divisions of exact integers
+  private val q132Sql =
+    """WITH t AS (
+         SELECT source,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk,
+           text
+         FROM documents),
+       d AS (
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(len(tk)) AS BIGINT) AS total_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars
+         FROM t GROUP BY source),
+       v AS (
+         SELECT source, count(*) AS vocab FROM (
+           SELECT DISTINCT source, token
+           FROM (SELECT source, unnest(tk) AS token FROM t))
+         GROUP BY source)
+       SELECT source, n_docs, total_tokens, total_chars,
+         coalesce(vocab, 0) AS vocab,
+         total_tokens * 1.0 / n_docs AS avg_doc_tokens,
+         coalesce(vocab, 0) * 1.0 / total_tokens AS type_token_ratio
+       FROM d LEFT JOIN v USING (source)"""
+
   // escape → build PDF → parse → unescape must round-trip exactly, so
   // the oracle is the identity reconstruction (Td breaks lines, pages
   // join with a newline)
@@ -495,5 +536,6 @@ object TextQueries {
     "q122_coverage" -> q122Sql,
     "q129_lm_perplexity" -> q129Sql,
     "q130_dsir_select" -> q130Sql,
-    "q131_tfidf_keywords" -> q131Sql)
+    "q131_tfidf_keywords" -> q131Sql,
+    "q132_corpus_stats" -> q132Sql)
 }

@@ -547,6 +547,51 @@ object TextAnalysis {
     scored.orderBy(col("weight_micro").desc, col(idCol)).limit(k)
   }
 
+  /** Per-group corpus statistics — the reporting surface of a corpus
+    * pipeline (docs, tokens, vocabulary, type-token ratio, mean doc
+    * length per source/shard/snapshot). Two aggregation legs joined
+    * on the (bounded-cardinality) group key:
+    *
+    *   - doc leg: narrow per-row token counts → one groupBy with
+    *     map-side partials (n_docs, total_tokens, total_chars);
+    *   - vocab leg: per-doc DISTINCT tokens explode → (group, token)
+    *     distinct → count. Expand-free exact distinct (the q40-family
+    *     lesson: `countDistinct` alongside other aggs plans an Expand
+    *     that multiplies the input; two cheap hash shuffles beat one
+    *     row-multiplying plan at corpus scale).
+    *
+    * `exact = false` swaps the vocab leg for approx_count_distinct
+    * (HLL++, one pass, no second shuffle) — the 100 TB default, where
+    * a ±2% vocabulary estimate is indistinguishable for reporting.
+    * Ratios are single IEEE divisions of exact integers (oracle-safe
+    * in the exact path). → (group, n_docs, total_tokens, total_chars,
+    * vocab, avg_doc_tokens, type_token_ratio) */
+  def corpusStats(
+      docs: DataFrame, groupCol: String, textCol: String,
+      exact: Boolean = true): DataFrame = {
+    val toks = tokens(col(textCol))
+    val docLeg = docs
+      .select(col(groupCol).as("group"), size(toks).cast("long").as("n_toks"),
+        length(col(textCol)).cast("long").as("n_chars"))
+      .groupBy("group")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"))
+    val vocabLeg =
+      if (exact)
+        docs.select(col(groupCol).as("group"),
+            explode(array_distinct(toks)).as("token"))
+          .distinct()
+          .groupBy("group").agg(count(lit(1)).as("vocab"))
+      else
+        docs.select(col(groupCol).as("group"), explode(array_distinct(toks)).as("token"))
+          .groupBy("group").agg(approx_count_distinct(col("token")).as("vocab"))
+    docLeg.join(vocabLeg, Seq("group"), "left")
+      .select(col("group"), col("n_docs"), col("total_tokens"), col("total_chars"),
+        coalesce(col("vocab"), lit(0L)).as("vocab"),
+        (col("total_tokens") * 1.0 / col("n_docs")).as("avg_doc_tokens"),
+        (coalesce(col("vocab"), lit(0L)) * 1.0 / col("total_tokens")).as("type_token_ratio"))
+  }
+
   /** Per-document top-k keywords by tf·idf, integer-exact: idf_micro =
     * qlog(N+1) − qlog(df+1) (micro-nats, N = corpus size, df =
     * document frequency), score = tf · idf_micro (bigint). Emits one

@@ -225,6 +225,28 @@ class TextSpec extends SparkSpec {
     assert(kept.size == 2 && kept.subsetOf(Set(1L, 4L))) // ceil(0.5*4)=2, the two target-like docs
   }
 
+  test("corpusStats: both paths Expand-free, approx saves a shuffle and tracks exact vocab") {
+    val docs = Tables.documents(spark, sfDir)
+    val exact = TextAnalysis.corpusStats(docs, "source", "text")
+    val approx = TextAnalysis.corpusStats(docs, "source", "text", exact = false)
+    def nodes(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect { case n => n.nodeName }
+    // the q40-family guarantee: exact distinct WITHOUT the row-multiplying Expand
+    assert(!nodes(exact).contains("Expand") && !nodes(approx).contains("Expand"))
+    // approx folds the vocab leg into one Aggregate (no distinct pre-pass)
+    assert(nodes(approx).count(_ == "Aggregate") < nodes(exact).count(_ == "Aggregate"))
+    val e = exact.collect().map(r => r.getAs[String]("group") -> r).toMap
+    val a = approx.collect().map(r => r.getAs[String]("group") -> r).toMap
+    assert(e.keySet == a.keySet && e.nonEmpty)
+    e.foreach { case (src, er) =>
+      val ar = a(src)
+      assert(er.getAs[Long]("n_docs") == ar.getAs[Long]("n_docs"))
+      assert(er.getAs[Long]("total_tokens") == ar.getAs[Long]("total_tokens"))
+      val (ev, av) = (er.getAs[Long]("vocab").toDouble, ar.getAs[Long]("vocab").toDouble)
+      assert(math.abs(ev - av) / ev <= 0.1, s"$src vocab: exact $ev approx $av") // HLL ±2-5%
+    }
+  }
+
   test("tfidfKeywords: ubiquitous tokens score zero, rare tokens rank first, k bounds rows") {
     import spark.implicits._
     val docs = Seq(
