@@ -109,6 +109,53 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("lmScore/dsirWeights agree with a naive driver-side reference on random corpora") {
+    import spark.implicits._
+    import graft.text.TextAnalysis
+    for (seed <- 1 to 3) {
+      val rnd = new Random(500 + seed)
+      val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta",
+        "iota", "kappa", "rare1", "rare2")
+      def doc(): String =
+        List.fill(1 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val train = (1L to 20L).map(i => i -> doc())
+      val score = (101L to 120L).map(i => i -> doc())
+      // independent third formulation (the DuckDB oracle is the second):
+      // plain Scala maps + the same micro-nat constants
+      val counts = train.flatMap(_._2.split(" ")).groupBy(identity)
+        .map { case (t, xs) => t -> xs.size.toLong }
+      val d = counts.values.sum + counts.size + 1
+      def q(n: Long): Long = TextAnalysis.qlogConst(n)
+      val expected = score.map { case (id, t) =>
+        val ws = t.split(" ").toSeq
+        id -> ((ws.size.toLong, ws.count(w => !counts.contains(w)).toLong,
+          ws.map(w => q(d) - q(counts.getOrElse(w, 0L) + 1)).sum))
+      }.toMap
+      val model = TextAnalysis.unigramLm(train.toDF("doc_id", "text"), "text")
+      assert(TextAnalysis.lmDenominator(model) == d, s"seed=$seed denominator")
+      val got = TextAnalysis.lmScore(score.toDF("doc_id", "text"), "doc_id", "text", model)
+        .collect().map(r => r.getAs[Long]("id") ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"), r.getAs[Long]("sum_nll_micro"))))
+        .toMap
+      assert(got == expected, s"seed=$seed lmScore")
+      // DSIR: target = even-id train docs, raw = all train docs
+      val tgtDocs = train.filter(_._1 % 2 == 0)
+      val tcounts = tgtDocs.flatMap(_._2.split(" ")).groupBy(identity)
+        .map { case (t, xs) => t -> xs.size.toLong }
+      val dt = tcounts.values.sum + tcounts.size + 1
+      val shift = q(d) - q(dt)
+      val expW = score.map { case (id, t) =>
+        id -> t.split(" ").toSeq
+          .map(w => q(tcounts.getOrElse(w, 0L) + 1) - q(counts.getOrElse(w, 0L) + 1) + shift).sum
+      }.toMap
+      val gotW = TextAnalysis.dsirWeights(
+        score.toDF("doc_id", "text"), "doc_id", "text",
+        TextAnalysis.unigramLm(tgtDocs.toDF("doc_id", "text"), "text"), model)
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("weight_micro")).toMap
+      assert(gotW == expW, s"seed=$seed dsir")
+    }
+  }
+
   test("chunkDocs: stitching chunks (dropping each overlap) reconstructs every document") {
     import spark.implicits._
     for (seed <- 1 to 4) {
