@@ -195,6 +195,22 @@ object TextQueries {
         .select(col("id").as("doc_id"), col("rank"), col("token"), col("tf"),
           col("idf_micro"), col("score"))),
 
+    // Interpolated bigram perplexity (KenLM-style backoff step past
+    // q129): λ=½ between bigram MLE and add-one unigram, expressed as
+    // one integer fraction per token so the NLL stays on the exact
+    // micro-nat grid (products ≤ ~1e15, probed range). Same held-out
+    // split as q129; `ppl` is API-only.
+    "q133_bigram_perplexity" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val train = docs.filter(col("doc_id") % 2 === 0)
+      TextAnalysis.lmScoreBigram(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        TextAnalysis.bigramLm(train, "text"),
+        TextAnalysis.unigramLm(train, "text"))
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_ctx_hits"),
+          col("sum_nll_micro"), col("avg_nll_micro"))
+    }),
+
     // Per-source corpus report: docs/tokens/chars/vocabulary/TTR —
     // the exact (Expand-free two-leg) path under the oracle gate.
     "q132_corpus_stats" -> ((s, d) =>
@@ -490,6 +506,47 @@ object TextQueries {
         FROM s
         QUALIFY rank <= 3"""
 
+  // q133: identical bigram/context/unigram model builds; each token's
+  // interpolated probability is ONE integer fraction, so the NLL is a
+  // difference of two grid logs on identical integer operands
+  private val q133Sql =
+    s"""WITH $toksSql,
+        uni AS (
+          SELECT token, count(*) AS cnt
+          FROM (SELECT unnest(tk) AS token FROM toks WHERE doc_id % 2 = 0)
+          GROUP BY token),
+        dval AS (SELECT coalesce(sum(cnt), 0) + count(*) + 1 AS d FROM uni),
+        bgp AS (
+          SELECT doc_id,
+            unnest(list_transform(range(1, len(tk)), i -> {'w1': tk[i], 'w2': tk[i+1]})) AS p
+          FROM toks WHERE doc_id % 2 = 0),
+        bg AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS cnt FROM bgp GROUP BY 1, 2),
+        ctx AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS ctx_cnt FROM bg GROUP BY w1),
+        sp AS (
+          SELECT doc_id,
+            unnest(list_transform(tk, (t, i) ->
+              {'w_prev': CASE WHEN i >= 2 THEN tk[i-1] END, 'w': t})) AS p
+          FROM toks WHERE doc_id % 2 = 1),
+        pr AS (SELECT doc_id, p.w_prev AS w_prev, p.w AS w FROM sp),
+        j AS (
+          SELECT doc_id,
+            w_prev IS NOT NULL AND c.ctx_cnt IS NOT NULL AS ctx_hit,
+            CASE WHEN w_prev IS NULL OR c.ctx_cnt IS NULL
+              THEN ${qlogSql("SELECT d FROM dval")} - ${qlogSql("coalesce(u.cnt, 0) + 1")}
+              ELSE ${qlogSql("2 * c.ctx_cnt * (SELECT d FROM dval)")}
+                 - ${qlogSql(
+                      "coalesce(b.cnt, 0) * (SELECT d FROM dval) + (coalesce(u.cnt, 0) + 1) * c.ctx_cnt")}
+            END AS nll
+          FROM pr
+          LEFT JOIN bg b ON b.w1 = pr.w_prev AND b.w2 = pr.w
+          LEFT JOIN ctx c ON c.w1 = pr.w_prev
+          LEFT JOIN uni u ON u.token = pr.w)
+        SELECT doc_id, count(*) AS n_tokens,
+          CAST(sum(CASE WHEN ctx_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_ctx_hits,
+          CAST(sum(nll) AS BIGINT) AS sum_nll_micro,
+          sum(nll) * 1.0 / count(*) AS avg_nll_micro
+        FROM j GROUP BY doc_id"""
+
   // q132: same two-leg shape — doc-level integer aggregates + an
   // exact distinct-token count per source; ratios are single IEEE
   // divisions of exact integers
@@ -537,5 +594,6 @@ object TextQueries {
     "q129_lm_perplexity" -> q129Sql,
     "q130_dsir_select" -> q130Sql,
     "q131_tfidf_keywords" -> q131Sql,
-    "q132_corpus_stats" -> q132Sql)
+    "q132_corpus_stats" -> q132Sql,
+    "q133_bigram_perplexity" -> q133Sql)
 }

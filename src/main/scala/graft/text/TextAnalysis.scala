@@ -454,6 +454,82 @@ object TextAnalysis {
           .otherwise("tail").as("ppl_bucket"))
   }
 
+  /** Token-bigram counts over a reference corpus → (w1, w2, cnt).
+    * UNLIKE the unigram model this is not vocabulary-bounded (unique
+    * bigrams grow with the corpus, sublinearly but unboundedly), so
+    * scoring joins against it are SHUFFLE joins by design — AQE may
+    * still pick broadcast when the observed model is small, but the
+    * plan must not require it. One explode + one hash groupBy. */
+  def bigramLm(refDocs: DataFrame, textCol: String): DataFrame = {
+    val tk = tokens(col(textCol))
+    refDocs
+      .select(tk.as("_tk"))
+      .select(explode(when(size(col("_tk")) >= 2, zip_with(
+        slice(col("_tk"), lit(1), size(col("_tk")) - 1),
+        slice(col("_tk"), lit(2), size(col("_tk")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2"))))).as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Interpolated bigram perplexity (the KenLM-style step past
+    * [[lmScore]]'s unigram): per token, λ=½ between the bigram MLE and
+    * the add-one unigram —
+    *
+    *   p(w | w₁) = ½·c(w₁w)/c(w₁·) + ½·(cu(w)+1)/D
+    *
+    * which as one fraction is `(a·D + (cu+1)·b) / (2·b·D)` with
+    * a = c(w₁w), b = c(w₁·) (context total from the bigram table),
+    * cu = unigram count, D = [[lmDenominator]] — integers, so the NLL
+    * is `qlog(2·b·D) − qlog(a·D + (cu+1)·b)`: still EXACT micro-nat
+    * arithmetic. The grid at these product magnitudes (≤ ~10¹⁵) was
+    * probed on 10⁷ log-uniform random points, zero JVM/DuckDB
+    * mismatches (1..2×10⁷ is exhaustive). A document's first token and
+    * tokens with unseen context back off to the pure unigram term.
+    *
+    * Plan shape: one positional pair-explode of the scored docs; LEFT
+    * joins to the bigram and context tables (shuffle-join-capable —
+    * the models are NOT broadcastable at corpus scale) and a broadcast
+    * left-join to the bounded unigram model; one groupBy on the doc
+    * id. → (id, n_tokens, n_ctx_hits, sum_nll_micro, avg_nll_micro,
+    * ppl) */
+  def lmScoreBigram(
+      docs: DataFrame, idCol: String, textCol: String,
+      bigramModel: DataFrame, unigramModel: DataFrame): DataFrame = {
+    val d = lmDenominator(unigramModel)
+    val qD = qlogConst(d)
+    val context = bigramModel.groupBy("w1").agg(sum(col("cnt")).as("ctx_cnt"))
+    val tk = tokens(col(textCol))
+    val pairs = docs
+      .select(col(idCol).as("id"), tk.as("_tk"))
+      .select(col("id"), explode(transform(col("_tk"), (t, i) =>
+        struct(when(i > 0, element_at(col("_tk"), i)).as("w_prev"), t.as("w")))).as("p"))
+      .select(col("id"), col("p.w_prev").as("w_prev"), col("p.w").as("w"))
+    val uniNll = lit(qD) - qlog(coalesce(col("ucnt"), lit(0L)) + 1L)
+    val a0 = coalesce(col("cnt"), lit(0L))
+    val cu1 = coalesce(col("ucnt"), lit(0L)) + 1L
+    val biNll = qlog(lit(2L) * col("ctx_cnt") * lit(d)) -
+      qlog(a0 * lit(d) + cu1 * col("ctx_cnt"))
+    pairs
+      .join(bigramModel.withColumnRenamed("w1", "w_prev").withColumnRenamed("w2", "w"),
+        Seq("w_prev", "w"), "left")
+      .join(context.withColumnRenamed("w1", "w_prev"), Seq("w_prev"), "left")
+      .join(broadcast(unigramModel.select(col("token").as("w"), col("cnt").as("ucnt"))),
+        Seq("w"), "left")
+      .select(col("id"),
+        (col("w_prev").isNotNull && col("ctx_cnt").isNotNull).as("ctx_hit"),
+        when(col("w_prev").isNull || col("ctx_cnt").isNull, uniNll)
+          .otherwise(biNll).as("nll"))
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("ctx_hit"), 1L).otherwise(0L)).as("n_ctx_hits"),
+        sum(col("nll")).as("sum_nll_micro"))
+      .select(col("id"), col("n_tokens"), col("n_ctx_hits"), col("sum_nll_micro"),
+        (col("sum_nll_micro") * 1.0 / col("n_tokens")).as("avg_nll_micro"),
+        exp(col("sum_nll_micro") * 1.0 / col("n_tokens") / 1e6).as("ppl"))
+  }
+
   /** Collect a [[unigramLm]] model into a driver map. Bounded driver
     * read by the same argument that lets [[lmScore]] broadcast: the
     * model is vocabulary-bounded (Heaps' law), not corpus-sized. */

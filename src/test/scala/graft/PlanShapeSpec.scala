@@ -189,7 +189,14 @@ class PlanShapeSpec extends SparkSpec {
     // this node disappears the per-doc rank went global
     "q131_tfidf_keywords" -> PlanGolden.Shape(
       "Project>Filter>Window>WindowGroupLimit>Project>Join>Aggregate>Project>Generate>Project>LogicalRelation>Aggregate>Generate>Project>LogicalRelation",
-      114))
+      114),
+    // bigram perplexity: three LEFT joins (bigram, context, unigram) +
+    // ONE doc-id Aggregate; the bigram/context sides must remain
+    // shuffle-join-capable (no broadcast REQUIREMENT in the logical
+    // plan — they are not vocab-bounded at corpus scale)
+    "q133_bigram_perplexity" -> PlanGolden.Shape(
+      "Project>Aggregate>Project>Join>Project>Join>Project>Join>Project>Generate>Project>Filter>LogicalRelation>Aggregate>Project>Filter>Generate>Project>Filter>LogicalRelation>Aggregate>Aggregate>Project>Filter>Generate>Project>Filter>LogicalRelation>Aggregate>Generate>Project>Filter>LogicalRelation",
+      357))
 
   test("golden snapshots: operator skeleton exact, expression forest within 1.5x") {
     val failures = golden.toSeq.sortBy(_._1).flatMap { case (name, expected) =>

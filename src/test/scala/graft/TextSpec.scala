@@ -196,6 +196,28 @@ class TextSpec extends SparkSpec {
     assert(math.abs(out.getAs[Double]("ppl") - math.exp(avg / 1e6)) < 1e-9)
   }
 
+  test("lmScoreBigram: hand-computed interpolated NLL, first-token and unseen-context backoff") {
+    import spark.implicits._
+    val train = Seq((1L, "a b a c")).toDF("doc_id", "text")
+    // unigrams: a=2,b=1,c=1 → total=4, V=3, D=8
+    // bigrams: (a,b)=1,(b,a)=1,(a,c)=1 → ctx: a=2, b=1
+    val uni = TextAnalysis.unigramLm(train, "text")
+    val bg = TextAnalysis.bigramLm(train, "text")
+    assert(bg.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet ==
+      Set(("a", "b", 1L), ("b", "a", 1L), ("a", "c", 1L)))
+    val out = TextAnalysis.lmScoreBigram(
+      Seq((10L, "a b c d")).toDF("doc_id", "text"), "doc_id", "text", bg, uni)
+      .collect().head
+    def q(n: Long) = TextAnalysis.qlogConst(n)
+    // t1 'a' first-token → unigram: q(8)−q(3); t2 'b'|a (ctx 2):
+    // q(2·2·8)−q(1·8+2·2); t3 'c'|b (ctx 1): q(2·1·8)−q(0+2·1);
+    // t4 'd'|c unseen context → unigram: q(8)−q(1)
+    val expected = (q(8) - q(3)) + (q(32) - q(12)) + (q(16) - q(2)) + (q(8) - q(1))
+    assert(out.getAs[Long]("n_tokens") == 4L)
+    assert(out.getAs[Long]("n_ctx_hits") == 2L)
+    assert(out.getAs[Long]("sum_nll_micro") == expected)
+  }
+
   test("lmScoreStateless is row-identical to lmScore on the real corpus") {
     val docs = Tables.documents(spark, sfDir)
     val model = TextAnalysis.unigramLm(docs.filter(col("doc_id") % 2 === 0), "text")
