@@ -156,6 +156,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("lmScoreBigram agrees with a naive driver-side reference on random corpora") {
+    import spark.implicits._
+    import graft.text.TextAnalysis
+    for (seed <- 1 to 3) {
+      val rnd = new Random(700 + seed)
+      val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+      def doc(): String =
+        List.fill(1 + rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val train = (1L to 15L).map(i => i -> doc())
+      val score = (101L to 115L).map(i => i -> doc())
+      val uCounts = train.flatMap(_._2.split(" ")).groupBy(identity)
+        .map { case (t, xs) => t -> xs.size.toLong }
+      val d = uCounts.values.sum + uCounts.size + 1
+      val bCounts = train.flatMap(_._2.split(" ").sliding(2).filter(_.size == 2).map(_.toList))
+        .groupBy(identity).map { case (g, xs) => (g.head, g(1)) -> xs.size.toLong }
+      val ctx = bCounts.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+      def q(n: Long): Long = TextAnalysis.qlogConst(n)
+      val expected = score.map { case (id, t) =>
+        val ws = t.split(" ").toSeq
+        val nlls = ws.zipWithIndex.map { case (w, i) =>
+          val cu1 = uCounts.getOrElse(w, 0L) + 1
+          val prev = if (i == 0) None else Some(ws(i - 1))
+          prev.flatMap(p => ctx.get(p).map(b =>
+            q(2 * b * d) - q(bCounts.getOrElse((p, w), 0L) * d + cu1 * b)))
+            .getOrElse(q(d) - q(cu1))
+        }
+        val hits = ws.zipWithIndex.count { case (_, i) => i > 0 && ctx.contains(ws(i - 1)) }
+        id -> ((ws.size.toLong, hits.toLong, nlls.sum))
+      }.toMap
+      val got = TextAnalysis.lmScoreBigram(
+        score.toDF("doc_id", "text"), "doc_id", "text",
+        TextAnalysis.bigramLm(train.toDF("doc_id", "text"), "text"),
+        TextAnalysis.unigramLm(train.toDF("doc_id", "text"), "text"))
+        .collect().map(r => r.getAs[Long]("id") ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_ctx_hits"),
+            r.getAs[Long]("sum_nll_micro")))).toMap
+      assert(got == expected, s"seed=$seed bigram")
+    }
+  }
+
   test("chunkDocs: stitching chunks (dropping each overlap) reconstructs every document") {
     import spark.implicits._
     for (seed <- 1 to 4) {
