@@ -530,6 +530,21 @@ object TextAnalysis {
         exp(col("sum_nll_micro") * 1.0 / col("n_tokens") / 1e6).as("ppl"))
   }
 
+  /** Merge a delta corpus's counts into an existing [[unigramLm]] —
+    * the daily-crawl shape for LM maintenance: count tables are
+    * ADDITIVE, so the update is union + one groupBy sum (map-side
+    * partials) that never rescans the old corpus; persist the model
+    * (e.g. VersionedTable) and fold each batch in. Scoring stays
+    * exact after any merge because [[lmDenominator]] recomputes from
+    * the merged table. `unigramLm(A ∪ B) == merge(unigramLm(A),
+    * unigramLm(B))` exactly — asserted in TextSpec. */
+  def mergeUnigramLms(model: DataFrame, delta: DataFrame): DataFrame =
+    model.unionByName(delta).groupBy("token").agg(sum(col("cnt")).as("cnt"))
+
+  /** [[mergeUnigramLms]] for [[bigramLm]] tables (same additivity). */
+  def mergeBigramLms(model: DataFrame, delta: DataFrame): DataFrame =
+    model.unionByName(delta).groupBy("w1", "w2").agg(sum(col("cnt")).as("cnt"))
+
   /** Collect a [[unigramLm]] model into a driver map. Bounded driver
     * read by the same argument that lets [[lmScore]] broadcast: the
     * model is vocabulary-bounded (Heaps' law), not corpus-sized. */

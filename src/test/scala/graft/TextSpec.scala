@@ -218,6 +218,23 @@ class TextSpec extends SparkSpec {
     assert(out.getAs[Long]("sum_nll_micro") == expected)
   }
 
+  test("LM merge: batch-of-batches equals whole-corpus model, scoring unchanged") {
+    val docs = Tables.documents(spark, sfDir)
+    val (a, b) = (docs.filter(col("doc_id") % 4 === 0), docs.filter(col("doc_id") % 4 === 2))
+    val whole = docs.filter(col("doc_id") % 2 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    val merged = TextAnalysis.mergeUnigramLms(
+      TextAnalysis.unigramLm(a, "text"), TextAnalysis.unigramLm(b, "text"))
+    assert(rows(merged) == rows(TextAnalysis.unigramLm(whole, "text")))
+    val mergedBg = TextAnalysis.mergeBigramLms(
+      TextAnalysis.bigramLm(a, "text"), TextAnalysis.bigramLm(b, "text"))
+    assert(rows(mergedBg) == rows(TextAnalysis.bigramLm(whole, "text")))
+    // scoring through the merged model is identical to the whole-corpus model
+    val scored = docs.filter(col("doc_id") % 2 === 1).limit(50)
+    assert(rows(TextAnalysis.lmScore(scored, "doc_id", "text", merged)) ==
+      rows(TextAnalysis.lmScore(scored, "doc_id", "text", TextAnalysis.unigramLm(whole, "text"))))
+  }
+
   test("lmScoreStateless is row-identical to lmScore on the real corpus") {
     val docs = Tables.documents(spark, sfDir)
     val model = TextAnalysis.unigramLm(docs.filter(col("doc_id") % 2 === 0), "text")
