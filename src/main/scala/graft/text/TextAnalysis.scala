@@ -623,6 +623,30 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("weight_micro"))
   }
 
+  /** CCNet proper buckets documents by corpus PERCENTILES of the LM
+    * score; [[lmScore]] takes fixed bounds so the bucket is a
+    * document property. This bridges the two: one approxQuantile pass
+    * over a scored (sample) frame yields the percentile bounds to
+    * pass as `bucketBounds` — calibrate once on a reference batch,
+    * then score every later batch (or stream) against frozen bounds.
+    * Bounded driver read (two doubles). */
+  def calibrateBuckets(
+      scored: DataFrame, headFrac: Double = 1.0 / 3, middleFrac: Double = 2.0 / 3,
+      relErr: Double = 0.001): (Double, Double) = {
+    require(headFrac < middleFrac, s"fracs out of order: $headFrac, $middleFrac")
+    val qs = scored.stat.approxQuantile("avg_nll_micro", Array(headFrac, middleFrac), relErr)
+    (qs(0), qs(1))
+  }
+
+  /** Single-pass alternative to [[dsirSelect]]: keep documents whose
+    * importance weight clears a FIXED threshold. No count, no
+    * ordering — a narrow filter that composes onto a stream and
+    * avoids top-k's extra scoring pass; obtain the threshold from a
+    * calibration batch (e.g. approxQuantile over weight_micro), the
+    * same freeze-then-apply pattern as [[calibrateBuckets]]. */
+  def dsirSelectByThreshold(scored: DataFrame, minWeightMicro: Long): DataFrame =
+    scored.filter(col("weight_micro") >= minWeightMicro)
+
   /** Keep the `frac` best-weighted documents from [[dsirWeights]]
     * output (deterministic DSIR: top-k by weight, document id breaking
     * ties — the paper's Gumbel noise is sampling flavor, the selection
@@ -693,9 +717,13 @@ object TextAnalysis {
     * rank is a window partitioned by document id — hash-partitioned,
     * no global ordering. → (id, rank, token, tf, idf_micro, score) */
   def tfidfKeywords(
-      docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+      docs: DataFrame, idCol: String, textCol: String, k: Int = 3,
+      nDocsHint: Option[Long] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val nDocs = docs.count()
+    // nDocsHint skips the counting pass when the caller already knows
+    // the corpus size (a catalog statistic, a prior stage's count) —
+    // at 100 TB the count is a full scan worth avoiding
+    val nDocs = nDocsHint.getOrElse(docs.count())
     val qlogN1 = qlogConst(nDocs + 1L)
     val df = docs
       .select(col(idCol).as("id"), explode(array_distinct(tokens(col(textCol)))).as("token"))

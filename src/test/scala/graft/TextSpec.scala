@@ -286,6 +286,36 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("calibrateBuckets + threshold DSIR: freeze-then-apply variants agree with the exact paths") {
+    val docs = Tables.documents(spark, sfDir)
+    val model = TextAnalysis.unigramLm(docs.filter(col("doc_id") % 2 === 0), "text")
+    val scored = TextAnalysis.lmScore(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", model)
+    val (b1, b2) = TextAnalysis.calibrateBuckets(scored)
+    assert(b1 < b2)
+    // rescoring with the calibrated bounds splits into three non-empty buckets
+    val buckets = TextAnalysis.lmScore(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", model, bucketBounds = (b1, b2))
+      .groupBy("ppl_bucket").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(buckets.keySet == Set("head", "middle", "tail"), s"buckets: $buckets")
+    // threshold select at an exact top-k cut keeps exactly the top-k set
+    val w = TextAnalysis.dsirWeights(docs, "doc_id", "text",
+      TextAnalysis.unigramLm(docs.filter(col("lang") === "en"), "text"),
+      TextAnalysis.unigramLm(docs, "text"))
+    val topK = TextAnalysis.dsirSelect(w, 0.25).collect().map(_.getAs[Long]("id")).toSet
+    val cut = w.filter(col("id").isInCollection(topK))
+      .agg(org.apache.spark.sql.functions.min("weight_micro")).head.getLong(0)
+    val byThreshold = TextAnalysis.dsirSelectByThreshold(w, cut)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(topK.subsetOf(byThreshold)) // equal unless weights tie at the cut
+    assert((byThreshold -- topK).forall(id =>
+      w.filter(col("id") === id).head.getAs[Long]("weight_micro") == cut))
+    // nDocsHint path is identical to the counting path
+    val a = TextAnalysis.tfidfKeywords(docs, "doc_id", "text", k = 2).collect().map(_.toSeq).toSet
+    val b = TextAnalysis.tfidfKeywords(docs, "doc_id", "text", k = 2,
+      nDocsHint = Some(docs.count())).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("tfidfKeywords: ubiquitous tokens score zero, rare tokens rank first, k bounds rows") {
     import spark.implicits._
     val docs = Seq(
