@@ -650,11 +650,14 @@ object TextAnalysis {
   /** Keep the `frac` best-weighted documents from [[dsirWeights]]
     * output (deterministic DSIR: top-k by weight, document id breaking
     * ties — the paper's Gumbel noise is sampling flavor, the selection
-    * mechanics are identical). `orderBy.limit` plans as TakeOrdered:
-    * each partition keeps its local top-k and only k rows ever move,
-    * no global sort materializes. The doc count is a single-row
-    * driver read. k is capped at Int.MaxValue — selecting >2B docs
-    * should be a threshold filter on weight_micro instead. */
+    * mechanics are identical). For k under Spark's
+    * topKSortFallbackThreshold the plan is TakeOrdered (per-partition
+    * local top-k, only k rows move); for larger k Spark falls back to
+    * a distributed range-partitioned sort + limit — correct but a
+    * full sort of the scored frame. At corpus scale prefer
+    * [[dsirSelectByThreshold]] with a calibrated cutoff: one narrow
+    * filter, no ordering at all. The doc count is a single-row driver
+    * read; k is capped at Int.MaxValue. */
   def dsirSelect(scored: DataFrame, frac: Double, idCol: String = "id"): DataFrame = {
     require(frac > 0 && frac <= 1, s"frac must be in (0,1], got $frac")
     val n = scored.count()
