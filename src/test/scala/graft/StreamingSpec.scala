@@ -252,6 +252,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming LM maintenance: per-batch count deltas merge to the whole-corpus model") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    import graft.text.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val storeTable = java.nio.file.Files.createTempDirectory("graft_stream_lm").toString + "/lm"
+    val in = MemoryStream[(Long, String)]
+    // the crawl loop for LM maintenance: each micro-batch appends its
+    // OWN count table exactly-once; reads merge-on-read the deltas
+    // (counts are additive, so merge order is irrelevant) — the model
+    // is always the whole-corpus model without ever rescanning it
+    val q = in.toDF().toDF("doc_id", "text").writeStream.queryName("crawl_lm")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val delta = TextAnalysis.unigramLm(batch.toDF(), "text")
+        VersionedTable.appendIdempotent(batch.sparkSession, storeTable, delta, s"lm-$batchId")
+        ()
+      }.start()
+    val b1 = Seq((1L, "a a b spark"), (2L, "b spark join"))
+    val b2 = Seq((3L, "spark spark shuffle"), (4L, "a join shuffle"))
+    try {
+      in.addData(b1: _*); drain(q)
+      in.addData(b2: _*); drain(q)
+      val merged = TextAnalysis.mergeUnigramLms(
+        VersionedTable.read(spark, storeTable), // raw append-only deltas
+        TextAnalysis.unigramLm((b1 ++ b2).toDF("doc_id", "text").limit(0), "text"))
+      val whole = TextAnalysis.unigramLm((b1 ++ b2).toDF("doc_id", "text"), "text")
+      assert(merged.collect().map(_.toSeq).toSet == whole.collect().map(_.toSeq).toSet)
+      assert(TextAnalysis.lmDenominator(merged) == TextAnalysis.lmDenominator(whole))
+      assert(VersionedTable.versions(spark, storeTable).size == 2)
+    } finally q.stop()
+  }
+
   test("streaming LM scoring: stateless per-row NLL against a frozen model, append mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
