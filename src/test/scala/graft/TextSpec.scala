@@ -286,6 +286,27 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("LM score as the near-dup quality signal: the lower-perplexity twin wins") {
+    import spark.implicits._
+    import graft.dedup.TextDedup
+    val trusted = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      10L -> trusted,                                                   // clean copy
+      11L -> ((1 to 18).map(i => s"w$i").mkString(" ") + " zzq1 zzq2"), // near-dup with gibberish tail
+      30L -> (1 to 20).map(i => s"other$i").mkString(" ")               // unrelated
+    ).toDF("doc_id", "text")
+    val model = TextAnalysis.unigramLm(Seq(0L -> trusted).toDF("doc_id", "text"), "text")
+    val scored = docs.join(
+      TextAnalysis.lmScore(docs, "doc_id", "text", model)
+        .select(col("id").as("doc_id"), col("avg_nll_micro")), Seq("doc_id"))
+    // quality = negated avg NLL: the doc the reference model finds more
+    // familiar survives its cluster — id 10 beats 11 despite 11 ≠ min id ordering accidents
+    val kept = TextDedup.removeNearDuplicatesBy(
+      scored, "doc_id", "text", quality = -col("avg_nll_micro"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(10L, 30L), s"kept: $kept")
+  }
+
   test("calibrateBuckets + threshold DSIR: freeze-then-apply variants agree with the exact paths") {
     val docs = Tables.documents(spark, sfDir)
     val model = TextAnalysis.unigramLm(docs.filter(col("doc_id") % 2 === 0), "text")
