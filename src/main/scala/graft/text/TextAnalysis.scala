@@ -635,6 +635,9 @@ object TextAnalysis {
       relErr: Double = 0.001): (Double, Double) = {
     require(headFrac < middleFrac, s"fracs out of order: $headFrac, $middleFrac")
     val qs = scored.stat.approxQuantile("avg_nll_micro", Array(headFrac, middleFrac), relErr)
+    // approxQuantile returns an EMPTY array (not nulls) on an empty frame
+    require(qs.length == 2,
+      "calibrateBuckets needs a non-empty scored frame (approxQuantile saw no rows)")
     (qs(0), qs(1))
   }
 
