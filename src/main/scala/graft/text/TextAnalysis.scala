@@ -406,7 +406,7 @@ object TextAnalysis {
   def lmDenominator(model: DataFrame): Long = {
     val r = model.agg(
       coalesce(sum(col("cnt")), lit(0L)).as("t"),
-      count(lit(1)).as("v")).head
+      count(lit(1)).as("v")).head()
     r.getLong(0) + r.getLong(1) + 1L
   }
 
