@@ -60,6 +60,9 @@ object ZipfCorpus {
   /** Inverse-CDF sample of a generalized Zipf(s) rank in [0, v). */
   private def zipfRank(u: Double, v: Int, s: Double): Int = {
     // CDF(r) ≈ (r^(1-s) − 1) / (v^(1-s) − 1) for s ≠ 1
+    require(s != 1.0,
+      "zipf exponent s = 1.0 hits the removable singularity of the power-law " +
+        "CDF inversion (1/(1-s)); pass s = 1.0001 for the classic harmonic law")
     val p = 1.0 - s
     val r = math.pow(u * (math.pow(v.toDouble, p) - 1.0) + 1.0, 1.0 / p)
     math.min(v - 1, math.max(0, r.toInt - 1))

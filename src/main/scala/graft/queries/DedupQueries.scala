@@ -264,7 +264,9 @@ object DedupQueries {
          FROM parts),
        norm AS (
          SELECT doc_id,
-           regexp_replace(regexp_replace(lower(sh), ':(80|443)$', ''),
+           regexp_replace(regexp_replace(regexp_replace(lower(sh),
+                            '^(http://.*):80$', '\1'),
+                            '^(https://.*):443$', '\1'),
                           '^(https?://)www\.', '\1')
            || regexp_replace(substr(split_part(nofrag, '?', 1), length(sh) + 1), '/+$', '')
            || CASE WHEN q <> '' THEN '?' || q ELSE '' END AS url

@@ -141,8 +141,10 @@ object Curator {
     val counts = df.filter(col(stratumCol).isin(strata: _*))
       .groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val powered = strata.map(s => s -> math.pow(counts.getOrElse(s, 0L).toDouble, alpha))
-      .filter(_._2 > 0)
+    // exclude absent strata BEFORE the pow: 0^0 == 1.0 at alpha = 0
+    // would hand a zero-count stratum a full uniform share
+    val powered = strata.filter(s => counts.getOrElse(s, 0L) > 0)
+      .map(s => s -> math.pow(counts(s).toDouble, alpha))
     val z = powered.map(_._2).sum
     powered.map { case (s, w) => s -> w / z }.toMap
   }

@@ -109,15 +109,19 @@ object Qa {
       else if (after.columns.contains(s"${textCol}_redacted"))
         (col(s"${textCol}_redacted"), "")
       else (lit(""), "missing_after_column")
-    val joined = before.select(col(idCol).cast("double").as("_id"), col(textCol).as("before"))
-      .join(after.select(col(idCol).cast("double").as("_id"), afterText.as("after")), "_id")
+    // equi-join on the ORIGINAL id (exact for 64-bit ids); the double
+    // cast exists only for the quantile sketch + bucket arithmetic,
+    // where ±1 ulp at the boundary moves a sample, not correctness
+    val joined = before.select(col(idCol).as("_id"), col(textCol).as("before"))
+      .join(after.select(col(idCol).as("_id"), afterText.as("after")), "_id")
+      .withColumn("_idd", col("_id").cast("double"))
     // bounded driver read: nSamples quantile boundaries of the id domain
     val bounds = joined.stat.approxQuantile(
-      "_id", (0 until nSamples).map(_.toDouble / nSamples).toArray, 0.001)
+      "_idd", (0 until nSamples).map(_.toDouble / nSamples).toArray, 0.001)
     if (bounds.isEmpty) return joined.select(
       col("_id").as("id"), col("before"), col("after"),
       lit(false).as("changed"), lit(note).as("note")) // empty input
-    val bucket = size(filter(array(bounds.map(lit).toIndexedSeq: _*), b => b <= col("_id"))) - 1
+    val bucket = size(filter(array(bounds.map(lit).toIndexedSeq: _*), b => b <= col("_idd"))) - 1
     joined
       .groupBy(bucket.as("_bucket"))
       .agg(min_by(struct(col("_id"), col("before"), col("after")), col("_id")).as("_s"))

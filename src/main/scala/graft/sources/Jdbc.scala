@@ -139,7 +139,16 @@ object Jdbc {
     * `columns` positionally to the statement's placeholders. Work
     * scales with partitions — no driver funnel, no per-row statement
     * parse. Executors need the driver jar on their classpath (same
-    * contract as the built-in jdbc source). */
+    * contract as the built-in jdbc source).
+    *
+    * Each partition runs as ONE transaction (autocommit off, commit at
+    * partition end, rollback on failure): a task that dies mid-stream
+    * or runs speculatively leaves nothing behind, so a Spark retry
+    * re-executes from a clean slate even for non-idempotent statements
+    * (plain INSERTs) — without this, earlier autocommitted chunks
+    * would duplicate on retry. Targets that reject manual commit mode
+    * fall back to autocommit, where the statement itself must be
+    * idempotent (the upsert path) to survive retries. */
   def executeBatch(
       df: DataFrame, src: JdbcSource, sql: String,
       columns: Seq[String], batchSize: Int = 10000): Unit = {
@@ -155,6 +164,9 @@ object Jdbc {
         user.foreach(props.setProperty("user", _))
         pass.foreach(props.setProperty("password", _))
         val conn = java.sql.DriverManager.getConnection(url, props)
+        val txn =
+          try { conn.setAutoCommit(false); true }
+          catch { case _: java.sql.SQLException => false } // target has no manual-commit mode
         try {
           val st = conn.prepareStatement(sql)
           var pending = 0
@@ -168,6 +180,11 @@ object Jdbc {
           }
           if (pending > 0) st.executeBatch()
           st.close()
+          if (txn) conn.commit()
+        } catch {
+          case e: Throwable =>
+            if (txn) try conn.rollback() catch { case _: java.sql.SQLException => () }
+            throw e
         } finally conn.close()
     }
   }

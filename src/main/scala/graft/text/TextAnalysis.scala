@@ -310,8 +310,10 @@ object TextAnalysis {
     *
     *   1. drop the fragment;
     *   2. lowercase scheme://host (ONLY — path and query stay
-    *      case-sensitive), strip default :80/:443 ports and a leading
-    *      www.;
+    *      case-sensitive), strip the scheme's OWN default port (:80
+    *      after http://, :443 after https:// — a non-default port like
+    *      http://h:443 is a different origin and is preserved) and a
+    *      leading www.;
     *   3. strip trailing slashes off the path;
     *   4. drop tracking parameters (utm_*, fbclid, gclid, msclkid) and
     *      SORT the surviving query parameters (ASCII lexicographic —
@@ -328,7 +330,9 @@ object TextAnalysis {
     val path = regexp_replace(rest, "/+$", "")
     val query = regexp_extract(noFrag, "\\?([^#]*)$", 1)
     val shNorm = regexp_replace(
-      regexp_replace(lower(schemeHost), ":(80|443)$", ""),
+      regexp_replace(
+        regexp_replace(lower(schemeHost), "^(http://.*):80$", "$1"),
+        "^(https://.*):443$", "$1"),
       "^(https?://)www\\.", "$1")
     val params = filter(split(query, "&"), p =>
       p =!= "" && !p.rlike("^(utm_[a-zA-Z0-9_]*|fbclid|gclid|msclkid)="))

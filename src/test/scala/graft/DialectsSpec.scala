@@ -109,4 +109,23 @@ class DialectsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(after == Map(1L -> "new1", 2L -> "old2", 3L -> "new3", 4L -> "new4"))
   }
+
+  test("executeBatch: a partition failing mid-stream rolls back its earlier chunks") {
+    val url = "jdbc:derby:memory:graftrollback;create=true"
+    val src = JdbcSource(url)
+    val conn = DriverManager.getConnection(url)
+    try conn.createStatement().executeUpdate(
+      "CREATE TABLE tx (id BIGINT NOT NULL PRIMARY KEY, v VARCHAR(8))")
+    finally conn.close()
+    // plain (non-idempotent) INSERT, batchSize = 1 so each row is its
+    // own chunk: the duplicate key fails AFTER earlier chunks executed.
+    // Partition-level transaction must leave the table EMPTY — under
+    // autocommit the pre-failure rows would persist and a task retry
+    // would duplicate them.
+    val batch = Seq((10L, "a"), (11L, "b"), (11L, "dup")).toDF("id", "v").coalesce(1)
+    intercept[org.apache.spark.SparkException](
+      Jdbc.executeBatch(batch, src, "INSERT INTO tx VALUES (?, ?)", Seq("id", "v"), batchSize = 1))
+    assert(Jdbc.read(spark, src, "tx").count() == 0,
+      "failed partition must roll back every chunk it executed")
+  }
 }

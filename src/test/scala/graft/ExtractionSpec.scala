@@ -176,6 +176,12 @@ class ExtractionSpec extends SparkSpec {
     // absent stratum contributes nothing; composes with rebalance
     val withGhost = Curator.temperatureTargets(df, "lang", strata :+ "zz", 0.5)
     assert(!withGhost.contains("zz"))
+    // alpha = 0 is the trap: 0^0 == 1.0 would hand the absent stratum
+    // a full uniform share and shrink every real target
+    val ghostUniform = Curator.temperatureTargets(df, "lang", strata :+ "zz", 0.0)
+    assert(!ghostUniform.contains("zz"))
+    assert(strata.forall(s => math.abs(ghostUniform(s) - 1.0 / 3) < 1e-9),
+      s"absent stratum must not dilute the uniform mixture: $ghostUniform")
     val mixed = Curator.rebalance(df, col("id"), "lang",
       Curator.temperatureTargets(df, "lang", strata, 0.5))
     val c = mixed.groupBy("lang").count().collect().map(x => x.getString(0) -> x.getLong(1)).toMap

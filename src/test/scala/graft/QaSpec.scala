@@ -50,14 +50,29 @@ class QaSpec extends SparkSpec {
     val after = (1L to 1000L).map(i => (i, if (i % 2 == 0) s"TEXT $i" else s"text $i"))
       .toDF("id", "text")
     val s = Qa.spotCheckSamples(before, after, "id", "text", nSamples = 10)
-      .collect().map(r => (r.getDouble(0), r.getString(1), r.getString(2), r.getBoolean(3)))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getBoolean(3)))
     assert(s.length == 10)
     // evenly spread over the id domain: one sample per decile-ish
     assert(s.map(_._1).distinct.length == 10)
     assert(s.last._1 > 850, s"samples should reach the tail: ${s.map(_._1).mkString(",")}")
     s.foreach { case (id, b, a, changed) =>
-      assert(b == s"text ${id.toLong}")
-      assert(changed == (id.toLong % 2 == 0) && (a == b) != changed)
+      assert(b == s"text $id")
+      assert(changed == (id % 2 == 0) && (a == b) != changed)
+    }
+  }
+
+  test("spotCheckSamples: ids beyond 2^53 stay exact (no double collision)") {
+    // 2^53 = 9007199254740992; +0 and +1 collide as doubles. The join
+    // must keep them distinct and pair each with its OWN after-row.
+    val base = (0L to 7L).map(i => (9007199254740992L + i, s"t$i"))
+    val before = base.toDF("id", "text")
+    val after = base.map { case (id, t) => (id, t.toUpperCase) }.toDF("id", "text")
+    val s = Qa.spotCheckSamples(before, after, "id", "text", nSamples = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(s.nonEmpty)
+    s.foreach { case (id, b, a) =>
+      val i = id - 9007199254740992L
+      assert(b == s"t$i" && a == s"T$i", s"id $id paired with wrong rows: ($b, $a)")
     }
   }
 

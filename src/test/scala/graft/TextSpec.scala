@@ -132,7 +132,12 @@ class TextSpec extends SparkSpec {
       // bare host, no path/query
       "https://WWW.A.COM:443#top" -> "https://a.com",
       // non-default port survives
-      "https://a.com:8080/x" -> "https://a.com:8080/x")
+      "https://a.com:8080/x" -> "https://a.com:8080/x",
+      // default-port strip is scheme-aware: :443 is NOT http's default
+      // (different origin), :80 is not https's
+      "http://a.com:443/x" -> "http://a.com:443/x",
+      "https://a.com:80/x" -> "https://a.com:80/x",
+      "http://a.com:80/x" -> "http://a.com/x")
       .toDF("url", "expected")
     val bad = cases
       .select(TextAnalysis.normalizeUrl(col("url")).as("got"), col("expected"))

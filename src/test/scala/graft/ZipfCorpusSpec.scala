@@ -32,6 +32,16 @@ class ZipfCorpusSpec extends SparkSpec {
     assert(freq.head._2 > 3 * freq(9)._2)
   }
 
+  test("s = 1.0 is rejected with a message, not silently garbage") {
+    // the inverse-CDF divides by 1-s; s = 1 (the classic exponent a
+    // user plausibly passes) would yield pow(x, Inf), not an error
+    val e = intercept[IllegalArgumentException](
+      ZipfCorpus.docText(0L, 1000, s = 1.0, seed = 1L))
+    assert(e.getMessage.contains("1.0001"))
+    // the suggested workaround works
+    assert(ZipfCorpus.docText(0L, 1000, s = 1.0001, seed = 1L).nonEmpty)
+  }
+
   test("planted dups: every 200th doc exact, every 50th a near-dup of its predecessor") {
     val m = ZipfCorpus.generate(spark, 400).select("doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
