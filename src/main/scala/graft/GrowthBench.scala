@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-trajectory GATE for the corpus-query fleet: every query that
+  * runs on the documents table executes on a small Zipf corpus and its
+  * 10× twin, and the growth ratio min(big)/min(small) must stay inside
+  * a per-query budget derived from the plan's declared scaling model.
+  *
+  * WHY A GATE AND NOT A TABLE: the sf0.1 bench proves a query is fast
+  * at one size; the 100 TB claim is about the CURVE. A regression that
+  * turns a bucketed join into an all-pairs verify, or lets a
+  * vocab-bounded model table grow with the corpus, shows up here as a
+  * growth ratio blowing through its budget — at a size where the local
+  * run still finishes — long before it shows up as a cluster incident.
+  * Budgets are the measured round-9 growth with ~1.5–2× slack, CAPPED
+  * at the model bound (linear paths can never exceed the 10× data
+  * ratio without a plan-shape regression; see BENCHMARKS round 9).
+  *
+  * Corpora: `SPARK_GRAFT_SMALL` (default /tmp/zipf0.1 — 5k docs, 30k
+  * vocab) vs `SPARK_GRAFT_BIG` (default /tmp/zipf10x — 50k docs, 50k
+  * vocab), regenerable with `runMain graft.ZipfCorpus` (TESTDATA.md).
+  * Timing mirrors [[Bench]]: untimed warm-up, interleaved rounds,
+  * per-(query,corpus) MIN, /proc/stat steal sampled per round.
+  *
+  * Exclusions, recorded here because silence would read as coverage:
+  * q91/q94 are the declared quadratic-verify exact-Jaccard ORACLE
+  * BASELINES (production paths are q92/q125 — gated here); q95–q96a
+  * and q116* need the embeddings table the Zipf corpora don't carry
+  * (their scale evidence is the recall-gated rows-only bench); q120
+  * and q124 are TPC-H-fixture-bound in SparkEntry, so their OPERATORS
+  * (Curator.rebalance, TextAnalysis.normalizeUrl) are growth-gated via
+  * the g120/g124 documents-table twins below.
+  */
+object GrowthBench {
+
+  /** query → (growth budget at 10× docs, one-line scaling model). */
+  val budgets: Map[String, (Double, String)] = Map(
+    "q90_dedup_exact" -> (6.0, "hash groupBy on text: scan-linear, shuffle is the dup groups"),
+    "q92_dedup_minhash" -> (7.0, "LSH band-bucket join: shuffle-linear in signatures (r8: 4.4x)"),
+    "q93_dedup_simhash" -> (6.0, "pigeonhole bucket join: linear in docs (r8: 2.3x)"),
+    "q114_dedup_clusters" -> (6.0, "LSH pairs + bounded union-find: edge-linear (r8: 2.2x)"),
+    "q117_repetition" -> (6.0, "narrow per-doc gram projection: token-linear"),
+    "q118_c4_filter" -> (6.0, "narrow per-doc line/sentence projection: token-linear"),
+    "q119_line_boilerplate" -> (6.0, "line groupBy + hot/cold rejoin: line-linear (r8: 1.9x)"),
+    "q121_decontaminate" -> (6.0, "corpus grams probe BROADCAST eval grams: token-linear (r8: 2.5x)"),
+    "q122_coverage" -> (8.0, "gram explode vs broadcast |alphabet|^3 model: token-linear"),
+    "q123_incremental_dedup" -> (3.0, "incremental contract: batch-scaled probe, near-FLAT (r8: 1.2x)"),
+    "q125_dedup_prefix" -> (8.0, "PPJoin: prefix explode bounded by (1-t)|set|, candidate-linear"),
+    "q126_repeated_spans" -> (8.0, "positional gram groupBy + hot/cold rejoin: gram-linear"),
+    "q126a_repeated_spans_fast" -> (8.0, "q126 minus oracle scaffolding: gram-linear"),
+    "q127_chunk" -> (6.0, "pure narrow projection: token-linear"),
+    "q128_trim_contamination" -> (8.0, "q121 + per-doc span fold: token-linear"),
+    "q129_lm_perplexity" -> (6.0, "vocab-bounded broadcast model + token scan (r8: 1.9x)"),
+    "q130_dsir_select" -> (6.0, "two broadcast models + token scan + top-k head (r8: 2.4x)"),
+    "q131_tfidf_keywords" -> (6.0, "df table join + per-doc window top-k: token-linear (r8: 2.8x)"),
+    "q132_corpus_stats" -> (6.0, "group-bounded output, scan-linear + vocab distinct (r8: 1.7x)"),
+    "q132a_corpus_stats_approx" -> (6.0, "HLL twin: one shuffle fewer, scan-linear (r8: 2.2x)"),
+    "q133_bigram_perplexity" -> (8.0, "bigram/context tables Heaps-sublinear, shuffle joins (r8: 4.2x)"),
+    "g120_rebalance_docs" -> (6.0, "|strata|-bounded count pass + hash-fraction filter: scan-linear"),
+    "g124_url_dedup_docs" -> (6.0, "normalizeUrl projection + canonical groupBy: url-linear"))
+
+  /** The two TPC-H-fixture-bound operators re-expressed on documents so
+    * their growth curves are measured on the same corpus as the rest. */
+  private def variants: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g120_rebalance_docs" -> ((s, d) =>
+      graft.services.Curator.rebalance(
+        Tables.documents(s, d).select(col("doc_id"), col("source")),
+        col("doc_id"), "source",
+        Map("src0" -> 1.0, "src1" -> 1.0, "src2" -> 1.0), // ZipfCorpus sources: src0..src9
+        seed = 42L, portable = true)),
+    "g124_url_dedup_docs" -> ((s, d) => {
+      val k = col("doc_id")
+      val site = (k % 500).cast("string"); val item = (k % 100).cast("string")
+      val raw = when(k % 3 === 0,
+          concat(lit("https://www.EXAMPLE"), site, lit(".com/item/"), item, lit("?b=2&a=1#frag")))
+        .when(k % 3 === 1,
+          concat(lit("https://example"), site, lit(".com:443/item/"), item, lit("?a=1&b=2&gclid=zz")))
+        .otherwise(
+          concat(lit("https://example"), site, lit(".com/item/"), item, lit("/?b=2&utm_medium=m&a=1")))
+      Tables.documents(s, d).select(k.as("doc_id"), raw.as("url"))
+        .groupBy(graft.text.TextAnalysis.normalizeUrl(col("url")).as("url"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_variants"))
+    }))
+
+  def main(args: Array[String]): Unit = {
+    val small = sys.env.getOrElse("SPARK_GRAFT_SMALL", "/tmp/zipf0.1")
+    val big = sys.env.getOrElse("SPARK_GRAFT_BIG", "/tmp/zipf10x")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt.max(1)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val fleet: Seq[(String, (SparkSession, String) => DataFrame)] =
+      (SparkEntry.queries.filter { case (n, _) => budgets.contains(n) } ++ variants)
+        .toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.forall(_.contains(n)) }
+    val missing = budgets.keySet -- fleet.map(_._1).toSet
+    if (only.isEmpty && missing.nonEmpty) {
+      System.err.println(s"[growth] FATAL: budgeted queries absent from SparkEntry: ${missing.mkString(", ")}")
+      sys.exit(1)
+    }
+    val dirs = Seq("small" -> small, "big" -> big)
+    // untimed warm-up: codegen-compile every (query, corpus) pair
+    for ((_, dir) <- dirs; (_, fn) <- fleet)
+      try fn(spark, dir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    def stealTotal(): (Long, Long) =
+      try {
+        val parts = scala.io.Source.fromFile("/proc/stat").getLines().next()
+          .trim.split("\\s+").drop(1).map(_.toLong)
+        (if (parts.length > 7) parts(7) else 0L, parts.sum)
+      } catch { case _: Throwable => (0L, 0L) }
+    val samples = scala.collection.mutable.Map.empty[(String, String), List[Double]]
+    val roundSteal = Seq.newBuilder[Double]
+    var failed = Set.empty[String]
+    for (_ <- 1 to trials) {
+      val (s0, t0all) = stealTotal()
+      for ((name, fn) <- fleet; (tag, dir) <- dirs) {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+          samples((name, tag)) =
+            ((System.nanoTime() - t0) / 1e9) :: samples.getOrElse((name, tag), Nil)
+        } catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[growth] $name@$tag FAILED: ${e.getMessage}")
+        }
+      }
+      val (s1, t1all) = stealTotal()
+      roundSteal += (if (t1all > t0all) (s1 - s0) * 100.0 / (t1all - t0all) else 0.0)
+    }
+    def f(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    case class Row(name: String, tSmall: Double, tBig: Double, growth: Double,
+                   budget: Double, model: String) {
+      def ok: Boolean = growth <= budget
+    }
+    val rows = fleet.collect { case (name, _)
+        if samples.contains((name, "small")) && samples.contains((name, "big")) =>
+      val (b, m) = budgets(name)
+      val ts = samples((name, "small")).min; val tb = samples((name, "big")).min
+      Row(name, ts, tb, tb / ts, b, m)
+    }
+    val violations = rows.filterNot(_.ok)
+    val qs = rows.map(r =>
+      "\"" + r.name + "\":{\"small\":" + f(r.tSmall) + ",\"big\":" + f(r.tBig) +
+        ",\"growth\":" + f(r.growth) + ",\"budget\":" + f(r.budget) + "}").mkString("{", ",", "}")
+    val errs = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val steal = roundSteal.result().map(f).mkString("[", ",", "]")
+    val line = s"""{"metric":"growth_gate","violations":${violations.size},"trials":$trials,"queries":$qs,"errors":$errs,"round_steal_pct":$steal,"small":"$small","big":"$big"}"""
+    val out = java.nio.file.Paths.get("target", "growth.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    println(line)
+    violations.foreach(r => System.err.println(
+      s"[growth] VIOLATION ${r.name}: ${f(r.growth)}x > budget ${f(r.budget)}x (${r.model})"))
+    spark.stop()
+    if (violations.nonEmpty || failed.nonEmpty) sys.exit(1)
+  }
+}

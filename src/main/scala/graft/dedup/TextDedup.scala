@@ -779,8 +779,18 @@ object TextDedup {
     // almost every document is a singleton, and singletons can never
     // change label; they rejoin once, lazily, after the fixpoint. At
     // 100 TB this iterates over the pair graph (small), not the corpus.
+    // Pregel-style rounds TRUNCATE lineage every iteration with an
+    // eager localCheckpoint, not cache(): a cached round still NESTS
+    // the whole previous round in its logical plan, so planning work
+    // (and any cache rebuild after the per-round unpersist) grows
+    // geometrically with the round count — the old cache+unpersist
+    // loop burned driver-CPU-minutes by round ~10 (round-9 boundary
+    // test caught it). A checkpointed round starts the next plan from
+    // a flat LogicalRDD: constant planning cost per round, and no
+    // cache-dependency chain to rebuild. Superseded rounds' blocks are
+    // freed by the ContextCleaner when their RDDs are GC'd.
     var labels = edges.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("cluster_id")).cache()
+      .select(col("id"), col("id").as("cluster_id")).localCheckpoint(true)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -788,29 +798,19 @@ object TextDedup {
         .join(labels.select(col("id").as("b"), col("cluster_id").as("_nl")), Seq("b"))
         .groupBy(col("a").as("id")).agg(min(col("_nl")).as("_minNeighbor"))
       // the did-anything-change flag rides along in the same select, so
-      // one action per round both fills the round's cache and answers
-      // the convergence probe — no extra join-with-previous job. The
-      // probe is a FULL count (not limit(1)): a short-circuiting action
-      // would leave this round's cache partially filled and every later
-      // round would recompute the whole unpersisted label lineage.
+      // the checkpoint materialization is the round's only full pass
+      // and the convergence probe is a cheap scan of its blocks.
       val next = labels.join(viaNeighbor, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("_minNeighbor"), col("cluster_id"))).as("cluster_id"),
           (col("_minNeighbor") < col("cluster_id")).as("_changed"))
-        .cache()
+        .localCheckpoint(true)
       val changed = next.filter(col("_changed")).count() > 0
-      labels.unpersist()
       labels = next
       converged = !changed
       iter += 1
     }
-    // Materialize the fixpoint into executor-local checkpoint blocks,
-    // then drop EVERY cache this method created: the returned plan reads
-    // the checkpoint, not the iterative lineage, so unpersisting here
-    // cannot force a recompute, and a long-running session accretes no
-    // cached DataFrames per call (blocks free when the result is GC'd).
-    val finalLabels = labels.select("id", "cluster_id").localCheckpoint(true)
-    labels.unpersist()
+    val finalLabels = labels.select("id", "cluster_id")
     edges.unpersist()
     allIds.join(finalLabels, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))

