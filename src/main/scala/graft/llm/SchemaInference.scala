@@ -95,9 +95,13 @@ object SchemaInference {
       targetRowsPerPartition: Long = 4000000L,
       maxPartitions: Long = 10000L,
       maxCategoricalValues: Long = 1000L): PartitionStrategy = {
-    import org.apache.spark.sql.types.{DateType, TimestampType}
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+    // TimestampNTZType included: parquet timestamp[us] without
+    // isAdjustedToUTC reads back as NTZ, and a time column is a time
+    // column for partitioning either way (date_trunc handles both).
     val timeCols = df.schema.fields.collect {
-      case f if f.dataType == DateType || f.dataType == TimestampType => f.name
+      case f if f.dataType == DateType || f.dataType == TimestampType ||
+        f.dataType == TimestampNTZType => f.name
     }.toSeq
     val grans = Seq("year", "month", "day", "hour")
     val aggs: Seq[Column] =

@@ -140,7 +140,7 @@ object Gold {
       aggs: Seq[(Column, String)]): DataFrame = {
     require(aggs.nonEmpty, "rollingMetrics needs at least one aggregate")
     val w = Window.partitionBy(keyCol)
-      .orderBy(unix_micros(col(tsCol)))
+      .orderBy(graft.ops.TimeOps.epochMicros(col(tsCol)))
       .rangeBetween(-windowMs * 1000L, 0L)
     aggs.foldLeft(df) { case (d, (agg, name)) => d.withColumn(name, agg.over(w)) }
   }

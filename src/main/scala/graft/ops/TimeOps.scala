@@ -13,6 +13,18 @@ import org.apache.spark.sql.functions._
   */
 object TimeOps {
 
+  /** Epoch micros for TIMESTAMP and TIMESTAMP_NTZ columns alike.
+    * `unix_micros()` accepts only TIMESTAMP; parquet `timestamp[us]`
+    * written without `isAdjustedToUTC` reads back as TIMESTAMP_NTZ, so
+    * event tables arrive in either encoding depending on the writer.
+    * The cast is a no-op for TIMESTAMP; for NTZ it interprets the wall
+    * time in the session timezone — every entry point (Verify, Bench,
+    * GrowthBench, SparkSpec) pins `spark.sql.session.timeZone=UTC`, a
+    * fixed-offset zone, so gaps/grains/frames are deterministic and
+    * DST-free regardless of the source encoding. */
+  def epochMicros(c: Column): Column =
+    unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+
   /** Gap-based sessions over a batch table: a new session starts when
     * the gap to the previous same-key event exceeds `gapMs`.
     * → (key, session_start, session_end, n_events). Identical
@@ -29,7 +41,7 @@ object TimeOps {
     val w = Window.partitionBy(keyCol).orderBy(col(tsCol).asc, tiebreaker.asc)
     val prev = lag(col(tsCol), 1).over(w)
     val isNew = when(
-      prev.isNull || (unix_micros(col(tsCol)) - unix_micros(prev)) > gapMs * 1000L, 1)
+      prev.isNull || (epochMicros(col(tsCol)) - epochMicros(prev)) > gapMs * 1000L, 1)
       .otherwise(0)
     val sessId = sum(isNew).over(
       Window.partitionBy(keyCol).orderBy(col(tsCol).asc, tiebreaker.asc)
@@ -64,11 +76,11 @@ object TimeOps {
     require(overlap.isEmpty,
       s"left/right share non-key columns $overlap — rename before rangeJoin()")
     val grain = grainMs * 1000L // micros
-    val l = left.withColumn("_grain", (unix_micros(col(tsCol)) / grain).cast("long"))
+    val l = left.withColumn("_grain", (epochMicros(col(tsCol)) / grain).cast("long"))
     val r = right.withColumn("_grain",
       explode(sequence(
-        (unix_micros(col(startCol)) / grain).cast("long"),
-        (unix_micros(col(endCol)) / grain).cast("long"))))
+        (epochMicros(col(startCol)) / grain).cast("long"),
+        (epochMicros(col(endCol)) / grain).cast("long"))))
     l.join(r, Seq(keyCol, "_grain"))
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("_grain")

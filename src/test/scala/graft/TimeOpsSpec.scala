@@ -73,6 +73,43 @@ class TimeOpsSpec extends SparkSpec {
     assert(out == Set("at-start", "inside", "at-end"))
   }
 
+  test("TIMESTAMP_NTZ events: sessionize/rangeJoin/rollingMetrics match the TIMESTAMP results") {
+    // Parquet timestamp[us] written without isAdjustedToUTC reads back
+    // as TIMESTAMP_NTZ — the library must accept both encodings (the
+    // driver controls the parquet writer). Round 9 went red on exactly
+    // this: unix_micros() rejects NTZ. epochMicros() must not.
+    import spark.implicits._
+    val tz = Seq((1L, ts(1), 1L), (1L, ts(3), 2L), (1L, ts(20), 3L),
+      (2L, ts(2), 4L), (2L, ts(30), 5L), (2L, ts(33), 6L))
+      .toDF("user_id", "ts", "event_id")
+    val ntz = tz.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampNTZType))
+    assert(ntz.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+    val gapMs = 5L * 60 * 1000
+
+    def sess(df: org.apache.spark.sql.DataFrame) =
+      TimeOps.sessionize(df, "user_id", "ts", gapMs, col("event_id"))
+        // NTZ collects as LocalDateTime, TZ as Timestamp — compare epochs
+        .select(col("user_id"), TimeOps.epochMicros(col("session_start")),
+          TimeOps.epochMicros(col("session_end")), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(sess(ntz) == sess(tz))
+
+    def roll(df: org.apache.spark.sql.DataFrame) =
+      graft.medallion.Gold.rollingMetrics(df, "user_id", "ts", 10L * 60 * 1000,
+        Seq((count(lit(1)), "n_10m")))
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(roll(ntz) == roll(tz))
+
+    def rng(points: org.apache.spark.sql.DataFrame, ivals: org.apache.spark.sql.DataFrame) =
+      TimeOps.rangeJoin(points, ivals, "user_id", "ts", "s", "e", grainMs = 2 * 60 * 1000)
+        .select("event_id").collect().map(_.getLong(0)).toSet
+    val ivalsTz = Seq((1L, ts(0), ts(10), "i1")).toDF("user_id", "s", "e", "name")
+    val ivalsNtz = ivalsTz
+      .withColumn("s", col("s").cast(org.apache.spark.sql.types.TimestampNTZType))
+      .withColumn("e", col("e").cast(org.apache.spark.sql.types.TimestampNTZType))
+    assert(rng(ntz, ivalsNtz) == rng(tz, ivalsTz))
+  }
+
   test("sessionize boundary: event exactly at the gap joins the session") {
     import spark.implicits._
     val df = Seq((1L, ts(0), 1L), (1L, ts(5), 2L), (1L, ts(11), 3L))
