@@ -42,15 +42,25 @@ import graft.sources.Registry
 object BatchExtract {
 
   /** batch.py:21 `BatchResult`, per-table flavor: the report row the
-    * reference builds from rows/duration/errors. `version` is the
-    * committed bronze version for lakehouse extraction (None for a
-    * failed table or a plain extract). */
+    * reference builds from rows/duration/errors, carrying the full
+    * rows+bytes+files shape of `PipelineMetrics` (ref
+    * core/pipeline.py:44). `version` is the committed bronze version
+    * for lakehouse extraction (None for a failed table or a plain
+    * extract). `bytesRead` sums the source plan's input files
+    * (metadata listing via `df.inputFiles` — 0 for non-file sources
+    * like JDBC, where the database doesn't expose a byte count);
+    * `bytesWritten`/`filesWritten` are the committed snapshot's
+    * parquet data files ([[graft.sources.VersionedTable.snapshotStats]],
+    * one directory listing, no scan). */
   final case class TableResult(
       table: String,
       rows: Long,
       durationMs: Long,
       version: Option[Int],
-      error: Option[String]) {
+      error: Option[String],
+      bytesRead: Long = 0L,
+      bytesWritten: Long = 0L,
+      filesWritten: Long = 0L) {
     def ok: Boolean = error.isEmpty
     def rowsPerSecond: Double = if (durationMs > 0) rows * 1000.0 / durationMs else 0.0
   }
@@ -117,21 +127,49 @@ object BatchExtract {
       ingestionTimeMs: Long,
       baseOptions: Map[String, String] = Map.empty,
       tableKey: String = "table",
-      maxParallel: Int = 4): Seq[TableResult] = {
+      maxParallel: Int = 4,
+      log: Option[graft.ops.Log.Emitter] = None): Seq[TableResult] = {
     val results = runIsolated(tables, maxParallel) { t =>
       val t0 = System.nanoTime()
       val df = Registry.load(connector, spark, baseOptions + (tableKey -> t))
+      // bytes_read (pipeline.py:48): metadata-only — the plan's input
+      // files' lengths from the filesystem, no extra scan. Non-file
+      // sources (JDBC) report no input files → 0, honestly.
+      val bytesRead = Try {
+        val conf = spark.sparkContext.hadoopConfiguration
+        df.inputFiles.map { p =>
+          val path = new org.apache.hadoop.fs.Path(p)
+          path.getFileSystem(conf).getFileStatus(path).getLen
+        }.sum
+      }.getOrElse(0L)
       val obs = Observation()
       val v = lakehouse.ingest(t, df.observe(obs, count(lit(1)).as("rows")),
         source, s"$batchId/$t", ingestionTimeMs)
       val rows = obs.get("rows").asInstanceOf[Long]
-      (rows, (System.nanoTime() - t0) / 1000000L, v)
+      val (bytesOut, filesOut) = lakehouse.tableStats("bronze", t, v)
+      (rows, (System.nanoTime() - t0) / 1000000L, v, bytesRead, bytesOut, filesOut)
     }
-    results.map {
-      case (t, Success((rows, ms, v))) => TableResult(t, rows, ms, Some(v), None)
+    val report = results.map {
+      case (t, Success((rows, ms, v, bIn, bOut, fOut))) =>
+        TableResult(t, rows, ms, Some(v), None, bIn, bOut, fOut)
       case (t, Failure(e)) =>
         TableResult(t, 0L, 0L, None,
           Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
     }
+    // one structured event per table (ref utils/logging.py vocabulary;
+    // emitted in input order AFTER the concurrent fan-out so the
+    // stream is deterministic regardless of pool interleaving)
+    log.foreach { l =>
+      report.foreach {
+        case r if r.ok => l.info("table_extracted",
+          "batch_id" -> batchId, "table" -> r.table, "rows" -> r.rows,
+          "bytes_read" -> r.bytesRead, "bytes_written" -> r.bytesWritten,
+          "files_written" -> r.filesWritten, "version" -> r.version.get,
+          "duration_ms" -> r.durationMs)
+        case r => l.error("table_failed",
+          "batch_id" -> batchId, "table" -> r.table, "error" -> r.error.get)
+      }
+    }
+    report
   }
 }

@@ -57,6 +57,13 @@ final class Lakehouse(
     v
   }
 
+  /** A committed layer-table version's snapshot (bytes, parquet data
+    * files) — the bytes/files half of the reference's pipeline metrics
+    * (core/pipeline.py:44 `PipelineMetrics.bytes_written` /
+    * `files_processed`); one metadata-only directory listing. */
+  def tableStats(layer: String, table: String, version: Int): (Long, Long) =
+    VersionedTable.snapshotStats(spark, tablePath(layer, table), version)
+
   /** lakehouse.py:135 `process_to_silver`: bronze snapshot →
     * [[Silver.process]] (one fused plan) → committed silver version. */
   def processToSilver(

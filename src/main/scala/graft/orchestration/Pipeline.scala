@@ -112,14 +112,25 @@ object Pipeline {
     *
     * Every executed stage registers lineage: dep → stage edges tagged
     * with the pipeline name, composing with impact analysis (a failed
-    * stage's blast radius IS `tracker.graph.impactAnalysis(stage)`). */
+    * stage's blast radius IS `tracker.graph.impactAnalysis(stage)`).
+    *
+    * With a [[graft.ops.Log.Emitter]], every transition emits one
+    * structured event (ref utils/logging.py + pipeline.py's
+    * before/after/on_error hooks): `pipeline_started`,
+    * `stage_started` / `stage_completed` / `stage_failed` /
+    * `stage_skipped` / `stage_restored` per stage, and
+    * `pipeline_completed` with the success flag — with `pipeline_id`
+    * bound as context for the run's duration. */
   def run(
       name: String,
       stages: Seq[Stage],
       sources: Map[String, DataFrame],
       tracker: Option[Lineage.Tracker] = None,
-      completed: Map[String, DataFrame] = Map.empty): Result = {
+      completed: Map[String, DataFrame] = Map.empty,
+      log: Option[graft.ops.Log.Emitter] = None): Result = {
     val order = topoOrder(stages, sources.keySet)
+    log.foreach(_.bind("pipeline_id" -> name)
+      .info("pipeline_started", "stages" -> order.size))
     val outputs = mutable.Map.from(sources)
     val status = mutable.LinkedHashMap.empty[String, Status]
     // stage → root failure that poisons it (first failed upstream)
@@ -133,10 +144,14 @@ object Pipeline {
       if (completed.contains(stage.name)) {
         outputs(stage.name) = completed(stage.name)
         status(stage.name) = Restored
+        log.foreach(_.info("stage_restored", "stage" -> stage.name))
       } else if (poison.isDefined) {
         status(stage.name) = Skipped(poison.get)
         poisoned(stage.name) = poison.get
+        log.foreach(_.warn("stage_skipped",
+          "stage" -> stage.name, "because_of" -> poison.get))
       } else {
+        log.foreach(_.info("stage_started", "stage" -> stage.name))
         val inputs = stage.dependsOn.map(d => d -> outputs(d)).toMap
         var attempts = 0
         var done = false
@@ -155,12 +170,21 @@ object Pipeline {
           tracker.foreach { t =>
             t.recordTransform(stage.dependsOn, stage.name, s"pipeline:$name")
           }
+          log.foreach(_.info("stage_completed",
+            "stage" -> stage.name, "attempts" -> attempts))
         } else {
           status(stage.name) = Failed(attempts, lastError)
           poisoned(stage.name) = stage.name
+          log.foreach(_.error("stage_failed",
+            "stage" -> stage.name, "attempts" -> attempts, "error" -> lastError))
         }
       }
     }
-    Result(name, ListMap.from(status), outputs.toMap -- sources.keySet)
+    val result = Result(name, ListMap.from(status), outputs.toMap -- sources.keySet)
+    log.foreach { l =>
+      l.info("pipeline_completed", "success" -> result.success)
+      l.unbind("pipeline_id")
+    }
+    result
   }
 }

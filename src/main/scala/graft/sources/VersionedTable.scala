@@ -68,6 +68,18 @@ object VersionedTable {
       .sorted
   }
 
+  /** Data-file stats of a committed version's snapshot: (bytes, files),
+    * counting parquet data files only (markers, `_SUCCESS`, checksums
+    * excluded). One directory listing — metadata-only, no scan; this is
+    * the `bytes_written`/`files_processed` half of the reference's
+    * pipeline metrics (ref core/pipeline.py:44 `PipelineMetrics`). */
+  def snapshotStats(spark: SparkSession, table: String, version: Int): (Long, Long) = {
+    val f = fs(spark, table)
+    val data = f.listStatus(versionDir(table, version))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    (data.map(_.getLen).sum, data.length.toLong)
+  }
+
   def currentVersion(spark: SparkSession, table: String): Option[Int] =
     versions(spark, table).lastOption
 

@@ -223,17 +223,30 @@ class ComponentSpec extends SparkSpec {
     // the path per table via a registered connector
     graft.sources.Registry.register("batchsrc_test",
       (s, o) => s.read.parquet(s"$src/${o("table")}"))
+    val log = new graft.ops.Log.Emitter(clock = () => 0L)
     val report = BatchExtract.extractToLakehouse(spark, lake, "batchsrc_test",
       tables, source = "unit", batchId = "b1", ingestionTimeMs = 1700000000000L,
-      maxParallel = 3)
+      maxParallel = 3, log = Some(log))
     assert(report.map(_.table) == tables, "report preserves input order")
     val byTable = report.map(r => r.table -> r).toMap
     assert(byTable("alpha").ok && byTable("alpha").rows == 100 &&
       byTable("alpha").version.contains(1))
     assert(byTable("beta").ok && byTable("beta").rows == 40)
     assert(byTable("alpha").durationMs > 0 && byTable("alpha").rowsPerSecond > 0)
+    // pipeline.py:44 rows+bytes+files shape: parquet source → real
+    // input bytes; committed bronze snapshot → real output bytes/files
+    assert(byTable("alpha").bytesRead > 0, "parquet source must report input bytes")
+    assert(byTable("alpha").bytesWritten > 0 && byTable("alpha").filesWritten > 0)
+    assert(byTable("beta").bytesWritten > 0)
     assert(!byTable("gamma").ok && byTable("gamma").version.isEmpty &&
-      byTable("gamma").rows == 0)
+      byTable("gamma").rows == 0 && byTable("gamma").bytesWritten == 0)
+    // structured extraction report events, in input order despite the
+    // concurrent fan-out (utils/logging.py vocabulary)
+    assert(log.history.map(e => (e.event, e.fields("table"))) == Seq(
+      ("table_extracted", "alpha"), ("table_extracted", "beta"),
+      ("table_failed", "gamma")))
+    assert(log.history.head.fields("rows") == "100" &&
+      log.history.head.fields("bytes_written").toLong > 0)
     // the two good tables really landed, stamped, one version each
     assert(lake.table("bronze", "alpha").count() == 100)
     assert(lake.table("bronze", "beta").columns.contains("_source"))

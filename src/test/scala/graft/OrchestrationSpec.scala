@@ -70,6 +70,57 @@ class OrchestrationSpec extends SparkSpec {
     assert(r("downstream").count() == 3)
   }
 
+  test("structured event stream: every stage transition emits one JSON event") {
+    // utils/logging.py vocabulary over a 3-stage run with one failure:
+    // pipeline_started → (started/completed | failed | skipped) per
+    // stage → pipeline_completed, pipeline_id bound on every event
+    var t = 0L
+    val lines = Seq.newBuilder[String]
+    val log = new graft.ops.Log.Emitter(
+      service = "graft-test", sink = lines += _, clock = () => { t += 1000; t })
+    val stages = Seq(
+      Stage("clean", Seq("orders"), in => in("orders").filter(col("o_totalprice") > 0)),
+      Stage("boom", Seq("clean"), _ => throw new RuntimeException("nope")),
+      Stage("report", Seq("boom"), in => in("boom")))
+    val r = Pipeline.run("nightly", stages, Map("orders" -> srcOrders), log = Some(log))
+    assert(!r.success)
+    val evs = log.history.map(e => (e.level, e.event, e.fields.get("stage")))
+    assert(evs == Seq(
+      ("info", "pipeline_started", None),
+      ("info", "stage_started", Some("clean")),
+      ("info", "stage_completed", Some("clean")),
+      ("info", "stage_started", Some("boom")),
+      ("error", "stage_failed", Some("boom")),
+      ("warning", "stage_skipped", Some("report")),
+      ("info", "pipeline_completed", None)))
+    // context propagation: pipeline_id rides every event in the run
+    assert(log.history.forall(_.fields.get("pipeline_id").contains("nightly")))
+    assert(log.history.last.fields("success") == "false")
+    assert(log.history(4).fields("error").contains("nope"))
+    assert(log.history(5).fields("because_of") == "boom")
+    // the wire form is real JSON with the ISO-UTC timestamp first
+    val first = lines.result().head
+    assert(first.startsWith("{\"timestamp\":\"1970-01-01T00:00:01Z\""))
+    assert(first.contains("\"logger\":\"graft-test\"") &&
+      first.contains("\"event\":\"pipeline_started\""))
+    // the run unbinds its context: a later event carries no pipeline_id
+    log.info("after")
+    assert(!log.history.last.fields.contains("pipeline_id"))
+  }
+
+  test("log emitter sanitizes credential-shaped keys and bounds history") {
+    val log = new graft.ops.Log.Emitter(clock = () => 0L, maxHistory = 3)
+    val e = log.info("connected",
+      "url" -> "jdbc:postgresql://db/x", "sfPassword" -> "hunter2",
+      "api_key" -> "sk-123", "user_token" -> "abc", "user" -> "etl")
+    assert(e.fields("sfPassword") == "[REDACTED]")
+    assert(e.fields("api_key") == "[REDACTED]")
+    assert(e.fields("user_token") == "[REDACTED]")
+    assert(e.fields("url") == "jdbc:postgresql://db/x" && e.fields("user") == "etl")
+    (1 to 5).foreach(i => log.info(s"e$i"))
+    assert(log.history.size == 3 && log.history.map(_.event) == Seq("e3", "e4", "e5"))
+  }
+
   test("DAG validation rejects cycles, unknown deps, duplicate and shadowed names") {
     val ok = (in: Map[String, DataFrame]) => in.values.head
     intercept[IllegalArgumentException](Pipeline.run("p",
