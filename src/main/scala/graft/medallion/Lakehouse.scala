@@ -28,9 +28,15 @@ import graft.sources.{Connectors, VersionedTable}
 final class Lakehouse(
     spark: SparkSession,
     root: String,
-    val tracker: Lineage.Tracker = new Lineage.Tracker) {
+    val tracker: Lineage.Tracker = new Lineage.Tracker,
+    log: Option[graft.ops.Log.Emitter] = None) {
 
   import Lakehouse._
+
+  // logging.py:326 AuditLogger.log_data_event: every layer commit is a
+  // data-modification audit event (data.ingest / data.process_to_silver
+  // / data.aggregate_to_gold with the committed version)
+  private val audit = log.map(new graft.ops.Log.Audit(_))
 
   private def tablePath(layer: String, table: String): String = {
     requireLayer(layer)
@@ -54,6 +60,8 @@ final class Lakehouse(
     val stamped = Connectors.withIngestMetadata(shaped, source, batchId, ingestionTimeMs)
     val v = VersionedTable.append(spark, tablePath("bronze", table), stamped)
     tracker.recordTransform(Seq(s"source:$source"), s"bronze.$table", "ingest")
+    audit.foreach(_.dataEvent("ingest", s"bronze.$table", None,
+      "version" -> v, "source" -> source, "batch_id" -> batchId))
     v
   }
 
@@ -75,6 +83,8 @@ final class Lakehouse(
     val silver = Silver.process(bronze, config, s"bronze.$table", processingTimeMs)
     val v = VersionedTable.commit(spark, tablePath("silver", table), silver, audit)
     tracker.recordTransform(Seq(s"bronze.$table"), s"silver.$table", "process_to_silver")
+    this.audit.foreach(_.dataEvent("process_to_silver", s"silver.$table", None,
+      "version" -> v))
     v
   }
 
@@ -90,6 +100,8 @@ final class Lakehouse(
     val gold = Gold.aggregate(table("silver", silverTable), groupBy, aggs, filter, having)
     val v = VersionedTable.commit(spark, tablePath("gold", goldTable), gold)
     tracker.recordTransform(Seq(s"silver.$silverTable"), s"gold.$goldTable", "aggregate_to_gold")
+    audit.foreach(_.dataEvent("aggregate_to_gold", s"gold.$goldTable", None,
+      "version" -> v))
     v
   }
 

@@ -111,11 +111,52 @@ object Log {
         e
       }
 
+    /** logging.py:226 `log_execution_time`, as a combinator instead of
+      * a decorator: run `body`, emit `operation_completed` with
+      * function/duration/status on success, `operation_failed` (level
+      * error, exception preserved and RETHROWN — the reference
+      * re-raises too) on failure. Durations come from the injected
+      * clock, so suites assert them exactly. */
+    def timed[A](operation: String, level: String = "info")(body: => A): A = {
+      val t0 = clock()
+      try {
+        val r = body
+        emit(level, "operation_completed", Seq(
+          "function" -> operation, "duration_ms" -> (clock() - t0),
+          "status" -> "success"))
+        r
+      } catch {
+        case e: Throwable =>
+          emit("error", "operation_failed", Seq(
+            "function" -> operation, "duration_ms" -> (clock() - t0),
+            "status" -> "error",
+            "error" -> s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+          throw e
+      }
+    }
+
     /** Emitted events, oldest first (bounded at `maxHistory`). */
     def history: Seq[Event] = synchronized(events.toSeq)
 
     /** The JSON lines of [[history]] — what a collector would have
       * received, re-renderable deterministically from the events. */
     def jsonLines: Seq[String] = synchronized(events.toSeq.map(_.json(service)))
+  }
+
+  /** logging.py:326 `AuditLogger`, DATA-MODIFICATION flavor
+    * (`log_data_event`: `data.<operation>` + table + rows_affected +
+    * event_type): the audit family that belongs to a data engine. The
+    * reference's auth/access/admin audit events are its web-platform
+    * auth stack — out of deterministic scope with the rest of
+    * `ui/ api/ auth/` (SURVEY §2 adjudication), so they are not
+    * mirrored here. */
+  final class Audit(log: Emitter) {
+    def dataEvent(
+        operation: String, table: String,
+        rowsAffected: Option[Long],
+        details: (String, Any)*): Event =
+      log.info(s"data.$operation",
+        Seq[(String, Any)]("event_type" -> "data_modification", "table" -> table) ++
+          rowsAffected.map(r => "rows_affected" -> (r: Any)) ++ details: _*)
   }
 }

@@ -37,6 +37,26 @@ class LakehouseSpec extends SparkSpec {
     assert(gold == Map("a" -> 10.0, "b" -> 25.0))
   }
 
+  test("layer commits emit data-modification audit events (logging.py log_data_event)") {
+    import spark.implicits._
+    val log = new graft.ops.Log.Emitter(clock = () => 42L)
+    val lh = new Lakehouse(
+      spark, java.nio.file.Files.createTempDirectory("graft_lh").toString, log = Some(log))
+    lh.fullPipeline(
+      table = "sales", data = Seq((1L, "a", 10.0)).toDF("id", "cat", "amount"),
+      source = "unit", batchId = "b1",
+      silverConfig = Silver.ProcessConfig(requiredColumns = Seq("cat")),
+      goldTable = "by_cat", groupBy = Seq("cat"),
+      aggs = Seq(Gold.Sum("amount", "total")), nowMs = 1700000000000L)
+    assert(log.history.map(e => (e.event, e.fields("table"))) == Seq(
+      ("data.ingest", "bronze.sales"),
+      ("data.process_to_silver", "silver.sales"),
+      ("data.aggregate_to_gold", "gold.by_cat")))
+    assert(log.history.forall(_.fields("event_type") == "data_modification"))
+    assert(log.history.head.fields("batch_id") == "b1" &&
+      log.history.head.fields("version") == "1")
+  }
+
   test("incremental batches version bronze; time travel reads each batch state") {
     import spark.implicits._
     val lh = newHouse()

@@ -108,6 +108,22 @@ class OrchestrationSpec extends SparkSpec {
     assert(!log.history.last.fields.contains("pipeline_id"))
   }
 
+  test("timed combinator logs duration on success and on rethrown failure") {
+    var t = 0L
+    val log = new graft.ops.Log.Emitter(clock = () => { t += 250; t })
+    assert(log.timed("load")(7) == 7)
+    val ok = log.history.last
+    assert(ok.event == "operation_completed" && ok.fields("function") == "load" &&
+      ok.fields("duration_ms") == "250" && ok.fields("status") == "success")
+    val e = intercept[RuntimeException](log.timed("boom") {
+      throw new RuntimeException("nope")
+    })
+    assert(e.getMessage == "nope") // the exception is preserved, not swallowed
+    val fail = log.history.last
+    assert(fail.level == "error" && fail.event == "operation_failed" &&
+      fail.fields("error").contains("nope") && fail.fields("duration_ms") == "250")
+  }
+
   test("log emitter sanitizes credential-shaped keys and bounds history") {
     val log = new graft.ops.Log.Emitter(clock = () => 0L, maxHistory = 3)
     val e = log.info("connected",
