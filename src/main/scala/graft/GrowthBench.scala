@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   * vocab-bounded model table grow with the corpus, shows up here as a
   * growth ratio blowing through its budget — at a size where the local
   * run still finishes — long before it shows up as a cluster incident.
-  * Budgets are the measured round-9 growth with ~1.5–2× slack, CAPPED
-  * at the model bound (linear paths can never exceed the 10× data
-  * ratio without a plan-shape regression; see BENCHMARKS round 9).
+  * Budgets are measured growth with ~1.5–2× slack, CAPPED at the
+  * model bound (linear paths can never exceed the 10× data ratio
+  * without a plan-shape regression; the gated table lives in
+  * BENCHMARKS "Round 11", artifact target/growth.json).
   *
   * Corpora: `SPARK_GRAFT_SMALL` (default /tmp/zipf0.1 — 5k docs, 30k
   * vocab) vs `SPARK_GRAFT_BIG` (default /tmp/zipf10x — 50k docs, 50k
