@@ -129,11 +129,16 @@ object Ann {
       col(idCol).as("query_id"), col(vecCol).as("_qvec"),
       explode(slice(array_sort(cellDists), 1, np)).as("_p"))
       .select(col("query_id"), col("_qvec"), col("_p.cell").as("cluster"))
+    // No pair dedup needed, unlike the LSH paths: a corpus vector is
+    // assigned to exactly ONE cell, so a (query, neighbor) pair can
+    // arise from at most one probed cluster — the banding multiplicity
+    // that forces dropDuplicates in knnLsh/cosineNearDupLsh cannot
+    // occur, and skipping it removes a wide shuffle that carried both
+    // vectors per candidate row (r11).
     val candidates = indexedCorpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cvec"), col("cluster"))
       .join(probes, Seq("cluster"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
     candidates
       .withColumn("cosine", round(cosineSim(col("_qvec"), col("_cvec")), roundTo))
@@ -181,16 +186,33 @@ object Ann {
     // duplication and every plane dot runs twice (verified in the
     // formatted plan: two Scan parquet subtrees). Same fix as q93's
     // simhashNearPairs: materialize once into executor-local blocks.
-    // Measured at sf0.1: q116a focused min 1.77 → 1.50 s, and the
-    // quantized twin 2.20 → 1.38 s — with the duplicated evaluation
-    // gone, int8 scoring is now FASTER than float, as it should be.
+    //
+    // LEAN payload (round 11): the materialized signatures carry NO
+    // vector — (id, band, sig) is three small ints per row, so the
+    // checkpoint blocks, the (band, sig) exchange and the pair-dedup
+    // shuffle move kilobytes where the previous shape moved the
+    // vector ×bands (dim floats duplicated per band, then TWO vectors
+    // per candidate row through dropDuplicates). Vectors re-attach by
+    // id for the verify step only — at sf0.1 the planner broadcasts
+    // the embedding side; at cluster scale they become id-keyed
+    // shuffle joins that move each vector exactly once per side,
+    // independent of `bands`. Measured at sf0.1 (r11): focused
+    // steady-state q116a 2.97 → 0.97 s, q116b 1.51 → 1.13 s; the
+    // full-suite interleaved mins (the bench statistic) moved
+    // 2.28 → 1.19 s and 2.19 → 1.64 s across two quiet-host runs —
+    // the drift family's block-manager pressure WAS the vector
+    // payload, now gone.
     val sig = bandSignatures(df, idCol, vecCol, bands, bitsPerBand, dim, seed)
+      .select("id", "band", "sig")
       .localCheckpoint(true)
-    sig.toDF("id_1", "_v1", "band", "sig")
-      .join(sig.toDF("id_2", "_v2", "band", "sig"), Seq("band", "sig"))
+    val cand = sig.toDF("id_1", "band", "sig")
+      .join(sig.toDF("id_2", "band", "sig"), Seq("band", "sig"))
       .filter(col("id_1") < col("id_2"))
-      .select("id_1", "_v1", "id_2", "_v2")
+      .select("id_1", "id_2")
       .dropDuplicates("id_1", "id_2")
+    cand
+      .join(df.select(col(idCol).as("id_1"), col(vecCol).as("_v1")), Seq("id_1"))
+      .join(df.select(col(idCol).as("id_2"), col(vecCol).as("_v2")), Seq("id_2"))
       .withColumn("cosine", round(cosineSim(col("_v1"), col("_v2")), roundTo))
       .filter(col("cosine") >= threshold)
       .select("id_1", "id_2", "cosine")
@@ -251,20 +273,29 @@ object Ann {
 
   /** Approximate top-k: score only corpus vectors sharing ≥1 band
     * signature with the query. One shuffle on (band, sig); candidate
-    * count per query is bucket-bounded, not corpus-bounded. */
+    * count per query is bucket-bounded, not corpus-bounded.
+    *
+    * Same LEAN-payload shape as [[cosineNearDupLsh]]: the (band, sig)
+    * bucket join and the candidate dedup move ids only — corpus
+    * vectors would otherwise ride the band explode ×bands and every
+    * candidate row twice. Vectors re-attach by id for the verify
+    * score: one id-keyed join per side, each vector moved once,
+    * independent of `bands`. */
   def knnLsh(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, dim: Int,
       bands: Int = 4, bitsPerBand: Int = 4, seed: Long = 42L,
       roundTo: Int = 4): DataFrame = {
     val cSig = bandSignatures(corpus, idCol, vecCol, bands, bitsPerBand, dim, seed)
-      .toDF("neighbor_id", "_cvec", "band", "sig")
+      .select("id", "band", "sig").toDF("neighbor_id", "band", "sig")
     val qSig = bandSignatures(queries, idCol, vecCol, bands, bitsPerBand, dim, seed)
-      .toDF("query_id", "_qvec", "band", "sig")
+      .select("id", "band", "sig").toDF("query_id", "band", "sig")
     val candidates = cSig.join(qSig, Seq("band", "sig"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "_qvec", "neighbor_id", "_cvec")
+      .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("_qvec")), Seq("query_id"))
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cvec")), Seq("neighbor_id"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
     candidates
       .withColumn("cosine", round(cosineSim(col("_qvec"), col("_cvec")), roundTo))

@@ -125,10 +125,13 @@ class PlanShapeSpec extends SparkSpec {
     "q119_line_boilerplate" -> PlanGolden.Shape(
       "Project>Join>Project>LogicalRelation>Aggregate>Union>Project>Join>Aggregate>Project>Generate>Project>Filter>LogicalRelation>Filter>Aggregate>Aggregate>Project>Generate>Project>LogicalRelation>Project>Join>Aggregate>Project>Join>Generate>Project>Filter>LogicalRelation>Project>Filter>Aggregate>Aggregate>Project>Generate>Project>LogicalRelation>Filter>Aggregate>Aggregate>Project>Generate>Project>LogicalRelation",
       293),
-    // LogicalRDD nodes = the banded-signature checkpoint (r8)
+    // LogicalRDD nodes = the banded-signature checkpoint; r11 LEAN
+    // shape: the two LogicalRelation subtrees are the id-keyed vector
+    // re-attach joins for the verify step — signatures move (id, band,
+    // sig) only, vectors never ride the band explode or the pair dedup
     "q116a_neardup_lsh" -> PlanGolden.Shape(
-      "Project>Filter>Aggregate>Project>Join>Project>Filter>LogicalRDD>Project>Filter>LogicalRDD",
-      66),
+      "Project>Join>Project>Join>Aggregate>Project>Join>Project>Filter>LogicalRDD>Project>Filter>LogicalRDD>Project>Filter>LogicalRelation>Project>Filter>LogicalRelation",
+      78),
     // LogicalRDDs = the batch-signature + fixture-store checkpoints;
     // the three Unions are the (old-anti-new ∪ new) store appearing on
     // the band probe and both estimate sides
