@@ -70,17 +70,46 @@ object GrowthBench {
     "q132a_corpus_stats_approx" -> (6.0, "HLL twin: one shuffle fewer, scan-linear (r8: 2.2x)"),
     "q133_bigram_perplexity" -> (8.0, "bigram/context tables Heaps-sublinear, shuffle joins (r8: 4.2x)"),
     "g120_rebalance_docs" -> (6.0, "|strata|-bounded count pass + hash-fraction filter: scan-linear"),
-    "g124_url_dedup_docs" -> (6.0, "normalizeUrl projection + canonical groupBy: url-linear"))
+    "g124_url_dedup_docs" -> (6.0, "normalizeUrl projection + canonical groupBy: url-linear"),
+    "g116_embed_neardup_docs" -> (8.0, "LSH near-dup at production bit-width (4x16): signature-linear; random-collision verify subdominant"))
 
-  /** The two TPC-H-fixture-bound operators re-expressed on documents so
-    * their growth curves are measured on the same corpus as the rest. */
-  private def variants: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** The TPC-H-fixture-bound / embeddings-bound operators re-expressed
+    * on documents so their growth curves are measured on the same
+    * corpus as the rest (package-visible: GrowthVariantSpec pins that
+    * g116 recovers its planted pairs — the gate must time a query that
+    * MEANS something). */
+  private[graft] def variants: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g120_rebalance_docs" -> ((s, d) =>
       graft.services.Curator.rebalance(
         Tables.documents(s, d).select(col("doc_id"), col("source")),
         col("doc_id"), "source",
         Map("src0" -> 1.0, "src1" -> 1.0, "src2" -> 1.0), // ZipfCorpus sources: src0..src9
         seed = 42L, portable = true)),
+    // The embedding near-dup scale path (q116a) growth-gated on the
+    // corpus the gate already carries: the Zipf corpora have no
+    // embeddings table, so embeddings are a PURE function of doc_id
+    // (dim-16 hash coordinates in [-1, 1]; every 50th doc is a planted
+    // near-dup of its predecessor — same base vector, one coordinate
+    // nudged, cosine ≈ 0.9997 — mirroring ZipfCorpus's planted text
+    // dups). Bit-width is sized to the corpus like production LSH
+    // (4 bands × 16 bits = the q93 simhash band width): planted pairs
+    // survive banding with p ≈ 0.9998 while the random-collision
+    // candidate count stays subdominant to the linear signature work.
+    "g116_embed_neardup_docs" -> ((s, d) => {
+      val dim = 16
+      val src = when(col("doc_id") % 50 === 49, col("doc_id") - 1)
+        .otherwise(col("doc_id"))
+      val coords = (0 until dim).map { i =>
+        val c = (pmod(hash(src, lit(i)), lit(2001)) - lit(1000.0)) / 1000.0
+        (c + when(col("doc_id") % 50 === 49 && lit(i) === 0, 0.05).otherwise(0.0))
+          .cast("float")
+      }
+      val emb = Tables.documents(s, d)
+        .select(col("doc_id"), array(coords: _*).as("embedding"))
+      graft.similarity.Ann.cosineNearDupLsh(
+        emb, "doc_id", "embedding", threshold = 0.98, dim = dim,
+        bands = 4, bitsPerBand = 16)
+    }),
     "g124_url_dedup_docs" -> ((s, d) => {
       val k = col("doc_id")
       val site = (k % 500).cast("string"); val item = (k % 100).cast("string")

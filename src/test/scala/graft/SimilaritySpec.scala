@@ -115,6 +115,14 @@ class SimilaritySpec extends SparkSpec {
     // probing is genuinely bounded: candidates < corpus for nprobe < k
     val probedCells = indexed.groupBy("cluster").count().count()
     assert(probedCells > 2, "quantizer must spread the corpus over cells")
+    // the invariant behind knnIvf carrying NO pair-dedup shuffle (r11):
+    // one cell per corpus vector means a (query, neighbor) pair can
+    // arise from at most one probed cluster — no duplicates, by plan
+    val multi = Ann.knnIvf(indexed, centers, queries, "vec_id", "embedding",
+      k = 5, nprobe = 4)
+    assert(multi.groupBy("query_id", "neighbor_id").count()
+      .filter(col("count") > 1).isEmpty,
+      "knnIvf must never emit a (query, neighbor) pair twice")
   }
 
   test("quantized ANN: the 4x-shuffle-saving paths cost <= 0.02 recall on real embeddings") {
