@@ -35,7 +35,8 @@ object PlanGolden {
   val Pinned: Seq[String] = Seq(
     "q40_profile", "q40a_profile_approx", "q41_outliers", "q42a_dataset_quality_approx",
     "q43_profile_drift", "q43a_profile_drift_approx", "q92_dedup_minhash",
-    "q93_dedup_simhash", "q94_dedup_ngram", "q114_dedup_clusters", "q116_embed_neardup",
+    "q93_dedup_simhash", "q94_dedup_ngram", "q96_knn_lsh", "q96a_knn_ivf",
+    "q114_dedup_clusters", "q116_embed_neardup",
     "q116a_neardup_lsh", "q118_c4_filter", "q119_line_boilerplate", "q121_decontaminate",
     "q122_coverage", "q123_incremental_dedup", "q124_url_dedup",
     "q126_repeated_spans", "q126a_repeated_spans_fast", "q127_chunk",

@@ -125,6 +125,19 @@ class PlanShapeSpec extends SparkSpec {
     "q119_line_boilerplate" -> PlanGolden.Shape(
       "Project>Join>Project>LogicalRelation>Aggregate>Union>Project>Join>Aggregate>Project>Generate>Project>Filter>LogicalRelation>Filter>Aggregate>Aggregate>Project>Generate>Project>LogicalRelation>Project>Join>Aggregate>Project>Join>Generate>Project>Filter>LogicalRelation>Project>Filter>Aggregate>Aggregate>Project>Generate>Project>LogicalRelation>Filter>Aggregate>Aggregate>Project>Generate>Project>LogicalRelation",
       293),
+    // r11 lean knnLsh: bucket join + candidate dedup move ids only;
+    // the last two LogicalRelation subtrees are the vector re-attach
+    // joins feeding the verify cosine + top-k window
+    "q96_knn_lsh" -> PlanGolden.Shape(
+      "Project>Filter>Window>WindowGroupLimit>Project>Join>Project>Join>Aggregate>Project>Join>Project>Generate>Project>Filter>LogicalRelation>Project>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRelation>Project>Filter>LogicalRelation",
+      1085),
+    // r11: NO Aggregate between the cluster join and the top-k window —
+    // the (query, neighbor) pair-dedup shuffle is provably redundant
+    // (one IVF cell per corpus vector); its reappearance here is the
+    // regression this snapshot exists to catch
+    "q96a_knn_ivf" -> PlanGolden.Shape(
+      "Project>Filter>Window>WindowGroupLimit>Project>Join>Project>Filter>LogicalRelation>Project>Generate>Project>Filter>LogicalRelation",
+      743),
     // LogicalRDD nodes = the banded-signature checkpoint; r11 LEAN
     // shape: the two LogicalRelation subtrees are the id-keyed vector
     // re-attach joins for the verify step — signatures move (id, band,

@@ -91,6 +91,15 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     lsh.foreach { case (a, b) => assert(kept(a) && !kept(b), s"pair ($a,$b)") }
     assert(kept.size == 72 - lsh.size)
+    // the r11 LEAN invariant: the materialized signature blocks (the
+    // plan's LogicalRDD leaves) carry (id, band, sig) ONLY — a vector
+    // column reappearing there means embeddings are riding the
+    // checkpoint ×bands and the bucket/dedup shuffles again
+    val rddLeaves = pairs.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.schema.fieldNames.toSeq
+    }
+    assert(rddLeaves.nonEmpty && rddLeaves.forall(_ == Seq("id", "band", "sig")),
+      s"signature checkpoint must be payload-lean, got schemas: $rddLeaves")
   }
 
   test("IVF ANN: planted near-neighbors recovered with bounded probing") {
