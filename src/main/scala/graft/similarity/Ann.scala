@@ -173,7 +173,12 @@ object Ann {
     * p = 1 − θ/π ≈ 0.9), which is exactly the near-DUPLICATE regime
     * this exists for; distant pairs are pruned, which is the point.
     * Output feeds [[graft.dedup.TextDedup.dedupClusters]] unchanged
-    * for embedding-level corpus dedup. */
+    * for embedding-level corpus dedup.
+    *
+    * `df` is referenced three times (signature build + one vector
+    * re-attach per pair side) — fine for a deterministic source read
+    * (scans are pruned to id+vector); a caller holding an expensive
+    * or non-deterministic upstream should persist it first. */
   def cosineNearDupLsh(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, dim: Int,
