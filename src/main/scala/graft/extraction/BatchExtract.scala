@@ -132,14 +132,20 @@ object BatchExtract {
     val results = runIsolated(tables, maxParallel) { t =>
       val t0 = System.nanoTime()
       val df = Registry.load(connector, spark, baseOptions + (tableKey -> t))
-      // bytes_read (pipeline.py:48): metadata-only — the plan's input
-      // files' lengths from the filesystem, no extra scan. Non-file
-      // sources (JDBC) report no input files → 0, honestly.
+      // bytes_read (pipeline.py:48): metadata-only — summed from the
+      // plan's already-resolved FileIndex listings (each file's length
+      // was cached when the read resolved; re-fetching per file would
+      // be one serial getFileStatus RPC per input file on the driver,
+      // thousands of HEAD requests on object stores). Non-file sources
+      // (JDBC) have no file relation → 0, honestly.
       val bytesRead = Try {
-        val conf = spark.sparkContext.hadoopConfiguration
-        df.inputFiles.map { p =>
-          val path = new org.apache.hadoop.fs.Path(p)
-          path.getFileSystem(conf).getFileStatus(path).getLen
+        df.queryExecution.optimizedPlan.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location.sizeInBytes
+              case _ => 0L
+            }
         }.sum
       }.getOrElse(0L)
       val obs = Observation()

@@ -38,7 +38,12 @@ object Log {
   }
 
   /** One emitted event: level + event name + merged (context ++
-    * fields) in insertion order. `json` is the wire form. */
+    * fields) in insertion order. `json` is the wire form; the four
+    * envelope keys (timestamp/level/logger/event) always carry the
+    * Event struct's values — a caller field with a colliding name is
+    * dropped from the wire line rather than silently replacing the
+    * envelope (the history surface and the wire stream must agree on
+    * what the event IS). */
   final case class Event(
       tsMs: Long, level: String, event: String, fields: ListMap[String, String]) {
     def json(service: String): String = {
@@ -47,13 +52,20 @@ object Log {
         "level" -> level,
         "logger" -> service,
         "event" -> event)
-      (base ++ fields).map { case (k, v) => s"${q(k)}:${q(v)}" }
+      (base ++ fields.filter { case (k, _) => !base.contains(k) })
+        .map { case (k, v) => s"${q(k)}:${q(v)}" }
         .mkString("{", ",", "}")
     }
   }
 
-  private def q(s: String): String = {
-    val sb = new StringBuilder("\"")
+  /** JSON string-body escaping (no surrounding quotes) — the ONE
+    * escaper shared by every hand-rolled JSON emitter in the library
+    * (this file's events, Verify's oracle dump, Alerts' webhook
+    * payloads): quote, backslash, and ALL control characters — a
+    * newline in a notification title must never produce an invalid
+    * payload. */
+  def jsonEscape(s: String): String = {
+    val sb = new StringBuilder
     s.foreach {
       case '"' => sb.append("\\\"")
       case '\\' => sb.append("\\\\")
@@ -63,8 +75,13 @@ object Log {
       case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
       case c => sb.append(c)
     }
-    sb.append('"').toString
+    sb.toString
   }
+
+  /** [[jsonEscape]] with the surrounding quotes. */
+  def jsonQuote(s: String): String = "\"" + jsonEscape(s) + "\""
+
+  private def q(s: String): String = jsonQuote(s)
 
   /** The emitter: `bind` context keys (logging.py's ContextVar
     * propagation — pipeline_id/request_id ride every subsequent

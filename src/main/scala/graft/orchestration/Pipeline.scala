@@ -119,8 +119,11 @@ object Pipeline {
     * before/after/on_error hooks): `pipeline_started`,
     * `stage_started` / `stage_completed` / `stage_failed` /
     * `stage_skipped` / `stage_restored` per stage, and
-    * `pipeline_completed` with the success flag — with `pipeline_id`
-    * bound as context for the run's duration. */
+    * `pipeline_completed` with the success flag. `pipeline_id` rides
+    * every event as an EXPLICIT field, not emitter-bound context —
+    * two runs sharing one driver-wide emitter must not overwrite each
+    * other's binding, and a Throwable escaping a stage must not leak
+    * a stale binding onto unrelated later events. */
   def run(
       name: String,
       stages: Seq[Stage],
@@ -129,8 +132,13 @@ object Pipeline {
       completed: Map[String, DataFrame] = Map.empty,
       log: Option[graft.ops.Log.Emitter] = None): Result = {
     val order = topoOrder(stages, sources.keySet)
-    log.foreach(_.bind("pipeline_id" -> name)
-      .info("pipeline_started", "stages" -> order.size))
+    def ev(l: graft.ops.Log.Emitter, level: String, event: String,
+           fields: (String, Any)*): Unit = level match {
+      case "error" => l.error(event, ("pipeline_id" -> name) +: fields: _*)
+      case "warning" => l.warn(event, ("pipeline_id" -> name) +: fields: _*)
+      case _ => l.info(event, ("pipeline_id" -> name) +: fields: _*)
+    }
+    log.foreach(ev(_, "info", "pipeline_started", "stages" -> order.size))
     val outputs = mutable.Map.from(sources)
     val status = mutable.LinkedHashMap.empty[String, Status]
     // stage → root failure that poisons it (first failed upstream)
@@ -144,14 +152,14 @@ object Pipeline {
       if (completed.contains(stage.name)) {
         outputs(stage.name) = completed(stage.name)
         status(stage.name) = Restored
-        log.foreach(_.info("stage_restored", "stage" -> stage.name))
+        log.foreach(ev(_, "info", "stage_restored", "stage" -> stage.name))
       } else if (poison.isDefined) {
         status(stage.name) = Skipped(poison.get)
         poisoned(stage.name) = poison.get
-        log.foreach(_.warn("stage_skipped",
+        log.foreach(ev(_, "warning", "stage_skipped",
           "stage" -> stage.name, "because_of" -> poison.get))
       } else {
-        log.foreach(_.info("stage_started", "stage" -> stage.name))
+        log.foreach(ev(_, "info", "stage_started", "stage" -> stage.name))
         val inputs = stage.dependsOn.map(d => d -> outputs(d)).toMap
         var attempts = 0
         var done = false
@@ -170,21 +178,18 @@ object Pipeline {
           tracker.foreach { t =>
             t.recordTransform(stage.dependsOn, stage.name, s"pipeline:$name")
           }
-          log.foreach(_.info("stage_completed",
+          log.foreach(ev(_, "info", "stage_completed",
             "stage" -> stage.name, "attempts" -> attempts))
         } else {
           status(stage.name) = Failed(attempts, lastError)
           poisoned(stage.name) = stage.name
-          log.foreach(_.error("stage_failed",
+          log.foreach(ev(_, "error", "stage_failed",
             "stage" -> stage.name, "attempts" -> attempts, "error" -> lastError))
         }
       }
     }
     val result = Result(name, ListMap.from(status), outputs.toMap -- sources.keySet)
-    log.foreach { l =>
-      l.info("pipeline_completed", "success" -> result.success)
-      l.unbind("pipeline_id")
-    }
+    log.foreach(ev(_, "info", "pipeline_completed", "success" -> result.success))
     result
   }
 }

@@ -123,7 +123,7 @@ object Alerts {
       case "medium"   => ":large_orange_diamond:"
       case _          => ":information_source:"
     }
-    val esc = (s: String) => s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val esc = graft.ops.Log.jsonEscape _
     val channel = channelOverride.map(c => s""""channel":"${esc(c)}",""").getOrElse("")
     s"""{$channel"text":"$emoji ${esc(n.title)}","blocks":[{"type":"header","text":{"type":"plain_text","text":"${esc(n.title)}"}},{"type":"section","text":{"type":"mrkdwn","text":"${esc(n.message)}"}}]}"""
   }
@@ -138,7 +138,7 @@ object Alerts {
 
   /** channels.py webhook flavor: canonical JSON (sorted metadata). */
   def webhookPayload(n: Notification): String = {
-    val esc = (s: String) => s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val esc = graft.ops.Log.jsonEscape _
     val meta = n.metadata.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
     s"""{"title":"${esc(n.title)}","message":"${esc(n.message)}","severity":"${n.severity}","metadata":$meta}"""

@@ -134,7 +134,9 @@ object Ann {
     // arise from at most one probed cluster — the banding multiplicity
     // that forces dropDuplicates in knnLsh/cosineNearDupLsh cannot
     // occur, and skipping it removes a wide shuffle that carried both
-    // vectors per candidate row (r11).
+    // vectors per candidate row (r11). Requires unique ids per input
+    // (the family's primary-key contract, see cosineNearDupLsh) —
+    // duplicate input rows are the caller's data bug, not banding.
     val candidates = indexedCorpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cvec"), col("cluster"))
       .join(probes, Seq("cluster"))
@@ -178,7 +180,13 @@ object Ann {
     * `df` is referenced three times (signature build + one vector
     * re-attach per pair side) — fine for a deterministic source read
     * (scans are pruned to id+vector); a caller holding an expensive
-    * or non-deterministic upstream should persist it first. */
+    * or non-deterministic upstream should persist it first.
+    *
+    * `idCol` is the corpus PRIMARY KEY and must be unique per row —
+    * duplicate ids multiply the re-attach joins' output (the exact
+    * brute path emits duplicate pairs under the same input, so this
+    * is the family contract, not a path quirk); dedup the corpus
+    * first ([[graft.medallion.Silver.dedup]]). */
   def cosineNearDupLsh(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, dim: Int,
@@ -278,7 +286,9 @@ object Ann {
 
   /** Approximate top-k: score only corpus vectors sharing ≥1 band
     * signature with the query. One shuffle on (band, sig); candidate
-    * count per query is bucket-bounded, not corpus-bounded.
+    * count per query is bucket-bounded, not corpus-bounded. `idCol`
+    * must be unique within each input (primary keys — the
+    * [[cosineNearDupLsh]] family contract).
     *
     * Same LEAN-payload shape as [[cosineNearDupLsh]]: the (band, sig)
     * bucket join and the candidate dedup move ids only — corpus

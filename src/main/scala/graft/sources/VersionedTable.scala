@@ -72,10 +72,15 @@ object VersionedTable {
     * counting parquet data files only (markers, `_SUCCESS`, checksums
     * excluded). One directory listing — metadata-only, no scan; this is
     * the `bytes_written`/`files_processed` half of the reference's
-    * pipeline metrics (ref core/pipeline.py:44 `PipelineMetrics`). */
+    * pipeline metrics (ref core/pipeline.py:44 `PipelineMetrics`).
+    * Gated on the `_COMMITTED` marker like every other read path — a
+    * marker-less directory left by a crashed commit is not a version. */
   def snapshotStats(spark: SparkSession, table: String, version: Int): (Long, Long) = {
     val f = fs(spark, table)
-    val data = f.listStatus(versionDir(table, version))
+    val dir = versionDir(table, version)
+    require(f.exists(new Path(dir, Marker)),
+      s"version $version not committed at $table (have ${versions(spark, table).mkString(", ")})")
+    val data = f.listStatus(dir)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     (data.map(_.getLen).sum, data.length.toLong)
   }

@@ -93,7 +93,9 @@ class OrchestrationSpec extends SparkSpec {
       ("error", "stage_failed", Some("boom")),
       ("warning", "stage_skipped", Some("report")),
       ("info", "pipeline_completed", None)))
-    // context propagation: pipeline_id rides every event in the run
+    // pipeline_id rides every event as an explicit field (NOT emitter-
+    // bound context: two runs sharing one driver-wide emitter must not
+    // overwrite each other's binding)
     assert(log.history.forall(_.fields.get("pipeline_id").contains("nightly")))
     assert(log.history.last.fields("success") == "false")
     assert(log.history(4).fields("error").contains("nope"))
@@ -103,9 +105,17 @@ class OrchestrationSpec extends SparkSpec {
     assert(first.startsWith("{\"timestamp\":\"1970-01-01T00:00:01Z\""))
     assert(first.contains("\"logger\":\"graft-test\"") &&
       first.contains("\"event\":\"pipeline_started\""))
-    // the run unbinds its context: a later event carries no pipeline_id
+    // the run leaves no residue on the emitter: an unrelated later
+    // event carries no pipeline_id
     log.info("after")
     assert(!log.history.last.fields.contains("pipeline_id"))
+    // and a SECOND run on the same emitter labels its own events — the
+    // concurrent-runs case emitter-bound context would corrupt
+    val r2 = Pipeline.run("weekly",
+      Seq(Stage("clean", Seq("orders"), in => in("orders"))),
+      Map("orders" -> srcOrders), log = Some(log))
+    assert(r2.success)
+    assert(log.history.takeRight(4).forall(_.fields.get("pipeline_id").contains("weekly")))
   }
 
   test("timed combinator logs duration on success and on rethrown failure") {

@@ -62,8 +62,9 @@ def main():
         h.update(data)
         total += len(data)
         text = data.decode("utf-8", "replace")
+        lines = text.splitlines()
         for fam, pat in PATTERNS.items():
-            for i, line in enumerate(text.splitlines(), 1):
+            for i, line in enumerate(lines, 1):
                 if re.search(pat, line, re.IGNORECASE):
                     hits[fam].append(f"{rel}:{i}")
         for fam, pat in FULLTEXT_PATTERNS.items():
