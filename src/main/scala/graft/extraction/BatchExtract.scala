@@ -46,9 +46,11 @@ object BatchExtract {
     * rows+bytes+files shape of `PipelineMetrics` (ref
     * core/pipeline.py:44). `version` is the committed bronze version
     * for lakehouse extraction (None for a failed table or a plain
-    * extract). `bytesRead` sums the source plan's input files
-    * (metadata listing via `df.inputFiles` — 0 for non-file sources
-    * like JDBC, where the database doesn't expose a byte count);
+    * extract). `bytesRead` sums the source plan's file-listing sizes
+    * (the already-resolved `FileIndex.sizeInBytes` of every file
+    * relation in the optimized plan, v1 `HadoopFsRelation` and DSv2
+    * `FileTable` alike — 0 for non-file sources like JDBC, where the
+    * database doesn't expose a byte count);
     * `bytesWritten`/`filesWritten` are the committed snapshot's
     * parquet data files ([[graft.sources.VersionedTable.snapshotStats]],
     * one directory listing, no scan). */
@@ -136,16 +138,27 @@ object BatchExtract {
       // plan's already-resolved FileIndex listings (each file's length
       // was cached when the read resolved; re-fetching per file would
       // be one serial getFileStatus RPC per input file on the driver,
-      // thousands of HEAD requests on object stores). Non-file sources
-      // (JDBC) have no file relation → 0, honestly.
+      // thousands of HEAD requests on object stores). Both file-source
+      // plan shapes are covered: v1 LogicalRelation→HadoopFsRelation
+      // (the default for parquet/csv/json/orc) and DSv2
+      // DataSourceV2Relation/ScanRelation→FileTable (when a format is
+      // removed from spark.sql.sources.useV1SourceList). Non-file
+      // sources (JDBC) have no file relation → 0, honestly.
       val bytesRead = Try {
+        import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+        import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation, FileTable}
+        def fileBytes(table: org.apache.spark.sql.connector.catalog.Table): Long =
+          table match {
+            case ft: FileTable => ft.fileIndex.sizeInBytes
+            case _ => 0L
+          }
         df.queryExecution.optimizedPlan.collect {
-          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-            l.relation match {
-              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-                h.location.sizeInBytes
-              case _ => 0L
-            }
+          case l: LogicalRelation => l.relation match {
+            case h: HadoopFsRelation => h.location.sizeInBytes
+            case _ => 0L
+          }
+          case r: DataSourceV2Relation => fileBytes(r.table)
+          case s: DataSourceV2ScanRelation => fileBytes(s.relation.table)
         }.sum
       }.getOrElse(0L)
       val obs = Observation()

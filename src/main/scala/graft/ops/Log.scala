@@ -37,13 +37,17 @@ object Log {
     SensitiveKeys.exists(k.contains)
   }
 
+  /** The four wire-envelope keys (timestamp/level/logger/event) always
+    * carry the Event struct's values: a caller field with a colliding
+    * name is dropped AT EMIT TIME, before the Event is built, so
+    * `fields`, the history surface, and the wire line all agree on
+    * what the event is. */
+  val EnvelopeKeys: Set[String] = Set("timestamp", "level", "logger", "event")
+
   /** One emitted event: level + event name + merged (context ++
-    * fields) in insertion order. `json` is the wire form; the four
-    * envelope keys (timestamp/level/logger/event) always carry the
-    * Event struct's values — a caller field with a colliding name is
-    * dropped from the wire line rather than silently replacing the
-    * envelope (the history surface and the wire stream must agree on
-    * what the event IS). */
+    * fields) in insertion order. [[Emitter.emit]] guarantees `fields`
+    * never contains an [[EnvelopeKeys]] key; `json` re-filters anyway
+    * so a hand-constructed Event can't smuggle one onto the wire. */
   final case class Event(
       tsMs: Long, level: String, event: String, fields: ListMap[String, String]) {
     def json(service: String): String = {
@@ -114,19 +118,27 @@ object Log {
     def warn(event: String, fields: (String, Any)*): Event = emit("warning", event, fields)
     def error(event: String, fields: (String, Any)*): Event = emit("error", event, fields)
 
-    private def emit(level: String, event: String, fields: Seq[(String, Any)]): Event =
-      synchronized {
+    // The sink runs OUTSIDE the monitor: a slow collector must not
+    // serialize every concurrently-extracting table on the emitter
+    // lock (or deadlock against a sink that itself logs from another
+    // thread). History order stays authoritative; under contention two
+    // threads' wire lines may reach the sink in the opposite order.
+    private def emit(level: String, event: String, fields: Seq[(String, Any)]): Event = {
+      val (e, line) = synchronized {
         val merged = ListMap.from(
           (bound.toSeq ++ fields.map { case (k, v) => k -> String.valueOf(v) })
+            .filter { case (k, _) => !EnvelopeKeys.contains(k) }
             .map { case (k, v) =>
               k -> (if (sanitize && redacts(k)) "[REDACTED]" else v)
             })
-        val e = Event(clock(), level, event, merged)
-        events.append(e)
+        val ev = Event(clock(), level, event, merged)
+        events.append(ev)
         if (events.size > maxHistory) events.removeHead()
-        sink(e.json(service))
-        e
+        (ev, ev.json(service))
       }
+      sink(line)
+      e
+    }
 
     /** logging.py:226 `log_execution_time`, as a combinator instead of
       * a decorator: run `body`, emit `operation_completed` with

@@ -147,6 +147,21 @@ class OrchestrationSpec extends SparkSpec {
     assert(log.history.size == 3 && log.history.map(_.event) == Seq("e3", "e4", "e5"))
   }
 
+  test("log emitter drops envelope-colliding caller fields before the Event is built") {
+    val lines = scala.collection.mutable.Buffer.empty[String]
+    val log = new graft.ops.Log.Emitter(sink = lines += _, clock = () => 0L)
+    val e = log.info("real_event",
+      "event" -> "spoofed", "level" -> "error", "timestamp" -> "1999",
+      "logger" -> "other", "table" -> "orders")
+    // history and wire agree on what the event IS: the colliding keys
+    // are gone from fields, not merely hidden from the JSON line
+    assert(e.fields.keySet == Set("table"))
+    assert(e.fields("table") == "orders")
+    assert(log.jsonLines == lines.toSeq)
+    assert(lines.head.contains("\"event\":\"real_event\"") &&
+      lines.head.contains("\"level\":\"info\"") && !lines.head.contains("spoofed"))
+  }
+
   test("DAG validation rejects cycles, unknown deps, duplicate and shadowed names") {
     val ok = (in: Map[String, DataFrame]) => in.values.head
     intercept[IllegalArgumentException](Pipeline.run("p",

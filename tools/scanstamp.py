@@ -74,9 +74,16 @@ def main():
     git_head = subprocess.run(
         ["git", "-C", ROOT, "rev-parse", "HEAD"],
         capture_output=True, text=True).stdout.strip()
+    # The stamp scans the WORKING TREE; attributing working-tree content
+    # to HEAD on a dirty tree would weaken the relabel-vs-rescan audit,
+    # so record dirtiness of the scanned surface alongside the commit.
+    git_dirty = bool(subprocess.run(
+        ["git", "-C", ROOT, "status", "--porcelain", "--", "src", "build.sbt"],
+        capture_output=True, text=True).stdout.strip())
     stamp = {
         "round": int(sys.argv[1]) if len(sys.argv) > 1 else None,
         "git_head": git_head,
+        "git_dirty": git_dirty,
         "files_scanned": len(files),
         "bytes_scanned": total,
         "content_sha256": h.hexdigest(),
