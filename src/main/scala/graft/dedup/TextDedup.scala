@@ -963,10 +963,17 @@ object TextDedup {
 
   /** Near-pairs within `maxDist` bits. Pigeonhole banding: two
     * fingerprints within d bits must share at least one of d+1 equal
-    * byte-bands, so candidates come from shuffling on 16-bit band
-    * values (4 bands ⇒ exact for d ≤ 3), then verifying bit_count —
-    * never an all-pairs comparison. */
-  def simhashNearPairs(sigs0: DataFrame, maxDist: Int = 3): DataFrame = {
+    * bands, so candidates come from shuffling on (64/bands)-bit band
+    * values (`bands` bands ⇒ exact for d ≤ bands−1), then verifying
+    * bit_count — never an all-pairs comparison. The default 4×16-bit
+    * split is the text-simhash shape (q93, d ≤ 3); perceptual-hash
+    * callers with a wider radius (image pHash, d ≤ 7) pass bands = 8
+    * — narrower 8-bit bands collide more often, the price of exact
+    * recall at the larger distance. */
+  def simhashNearPairs(sigs0: DataFrame, maxDist: Int = 3, bands: Int = 4): DataFrame = {
+    require(bands > 0 && 64 % bands == 0, s"bands must divide 64, got $bands")
+    val bandBits = 64 / bands
+    val bandMask = if (bandBits == 64) -1L else (1L << bandBits) - 1L
     // The fingerprint lineage (tokenize Generate + DISTINCT shuffle +
     // 64-sum aggregate) feeds BOTH sides of the band self-join, and the
     // planner broadcasts one side — a BroadcastExchange and a shuffle
@@ -978,9 +985,9 @@ object TextDedup {
     // re-execution 1.70 → 0.57 s.
     val sigs = sigs0.localCheckpoint(true)
     val banded = sigs.select(col("id"), col("simhash"),
-      explode(array((0 until 4).map(b =>
+      explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("sig"))): _*)).as("_b"))
+          shiftright(col("simhash"), b * bandBits).bitwiseAND(bandMask).as("sig"))): _*)).as("_b"))
       .select(col("id"), col("simhash"), col("_b.band").as("band"), col("_b.sig").as("sig"))
     banded.toDF("id_1", "sh_1", "band", "sig")
       .join(banded.toDF("id_2", "sh_2", "band", "sig"), Seq("band", "sig"))

@@ -111,6 +111,58 @@ object Image {
       .toDF(pathCol, "thumb", "width", "height", "error")
   }
 
+  /** 64-bit DCT perceptual hash per row → (…, phash, error): grayscale
+    * resample to 32×32 (bilinear, so the hash is resolution-invariant
+    * by construction), 2-D DCT-II, keep the 8×8 low-frequency block
+    * skipping row/column 0 (the DC terms — brightness/contrast, not
+    * structure), bit i = coefficient > median of the 64. Two renderings
+    * of the same picture — rescaled, re-encoded, mildly recompressed —
+    * land within a few Hamming bits; unrelated pictures land ~32 apart
+    * (independent coin-flips per bit). The standard pHash construction
+    * (Zauner 2010, "Implementation and Benchmarking of Perceptual
+    * Image Hash Functions").
+    *
+    * Cost is bounded per row regardless of resolution: one 32×32
+    * resample + an 8×8-output partial DCT (two 8×32 cosine-table
+    * matmuls), so the map stays O(pixels-read) with a constant
+    * transform — the same one-task-per-row shape as [[metadata]].
+    * Undecodable payloads error-tag with phash = 0. */
+  def pHash(
+      binary: DataFrame, pathCol: String = "path", payloadCol: String = "content"): DataFrame = {
+    val spark = binary.sparkSession
+    import spark.implicits._
+    binary.select(col(pathCol).cast("string"), col(payloadCol))
+      .as[(String, Array[Byte])]
+      .map { case (path, bytes) =>
+        decode(bytes) match {
+          case Right((_, img)) => (path, pHash64(img), null: String)
+          case Left(err)       => (path, 0L, err)
+        }
+      }
+      .toDF(pathCol, "phash", "error")
+  }
+
+  /** Perceptual near-duplicate PAIRS over an image corpus: [[pHash]]
+    * per row, then Hamming banding — the multimodal member of the
+    * dedup family, riding the exact pigeonhole machinery text simhash
+    * uses ([[graft.dedup.TextDedup.simhashNearPairs]]) with 8×8-bit
+    * bands (exact for `maxDist` ≤ 7, the published near-dup radius for
+    * pHash). One (band, sig) shuffle of (id, hash) rows — pixels never
+    * shuffle, no all-pairs comparison, the q93 scale shape unchanged.
+    * Undecodable rows are dropped before banding (an error-tagged row
+    * must not pair with every other error row at hash 0).
+    * → (id_1, id_2, distance) on `pathCol` ids. */
+  def nearDuplicates(
+      binary: DataFrame, maxDist: Int = 7,
+      pathCol: String = "path", payloadCol: String = "content"): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 7,
+      s"maxDist must be in [0, 7] (8-band pigeonhole exactness bound), got $maxDist")
+    val sigs = pHash(binary, pathCol, payloadCol)
+      .filter(col("error").isNull)
+      .select(col(pathCol).as("id"), col("phash").as("simhash"))
+    graft.dedup.TextDedup.simhashNearPairs(sigs, maxDist, bands = 8)
+  }
+
   // ---- byte-level decode (runs inside executor tasks) ----
 
   /** → Right((formatName, image)) or Left(error). */
@@ -129,6 +181,78 @@ object Image {
         } finally reader.dispose()
       }
     } catch { case e: Exception => Left(s"decode failed: ${e.getMessage}") }
+  }
+
+  private val PhashGrid = 32 // resample size
+  private val PhashBlock = 8 // low-frequency block edge (bits = 8×8)
+
+  /** cosTable(u)(x) = cos((2x+1)·u·π/64) — the DCT-II basis for the
+    * partial transform, built once per JVM. Only rows/cols 1..8 of the
+    * output are needed, so the table covers u ∈ [0, 9). */
+  private lazy val phashCos: Array[Array[Double]] =
+    Array.tabulate(PhashBlock + 1, PhashGrid) { (u, x) =>
+      math.cos((2 * x + 1) * u * math.Pi / (2.0 * PhashGrid))
+    }
+
+  /** The 64-bit perceptual hash of one decoded image (driver-free,
+    * runs inside the task). */
+  private[graft] def pHash64(img: BufferedImage): Long = {
+    // bilinear 32×32 grayscale resample (BT.601 luminance)
+    val gray = new BufferedImage(PhashGrid, PhashGrid, BufferedImage.TYPE_INT_RGB)
+    val gfx = gray.createGraphics()
+    try {
+      gfx.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      gfx.drawImage(img, 0, 0, PhashGrid, PhashGrid, null)
+    } finally gfx.dispose()
+    val lum = Array.ofDim[Double](PhashGrid, PhashGrid)
+    var y = 0
+    while (y < PhashGrid) {
+      var x = 0
+      while (x < PhashGrid) {
+        val rgb = gray.getRGB(x, y)
+        lum(y)(x) = 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+          0.114 * (rgb & 0xFF)
+        x += 1
+      }
+      y += 1
+    }
+    // partial separable DCT-II: rows first (only u ≤ 8 outputs), then
+    // columns — 2·8·32·32 multiply-adds, resolution-independent
+    val rowT = Array.ofDim[Double](PhashGrid, PhashBlock + 1)
+    y = 0
+    while (y < PhashGrid) {
+      var u = 1
+      while (u <= PhashBlock) {
+        var s = 0.0
+        var x = 0
+        while (x < PhashGrid) { s += lum(y)(x) * phashCos(u)(x); x += 1 }
+        rowT(y)(u) = s
+        u += 1
+      }
+      y += 1
+    }
+    val coeffs = new Array[Double](PhashBlock * PhashBlock)
+    var v = 1
+    while (v <= PhashBlock) {
+      var u = 1
+      while (u <= PhashBlock) {
+        var s = 0.0
+        var yy = 0
+        while (yy < PhashGrid) { s += rowT(yy)(u) * phashCos(v)(yy); yy += 1 }
+        coeffs((v - 1) * PhashBlock + (u - 1)) = s
+        u += 1
+      }
+      v += 1
+    }
+    // median split: exactly (or nearly, under ties) half the bits set —
+    // hashes sit mid-Hamming-space, the property banding relies on
+    val sorted = coeffs.clone().sorted
+    val median = (sorted(31) + sorted(32)) / 2.0
+    var hash = 0L
+    var i = 0
+    while (i < 64) { if (coeffs(i) > median) hash |= (1L << i); i += 1 }
+    hash
   }
 
   /** Average (luminance, r, g, b) over an at-most grid×grid sample. */

@@ -64,7 +64,19 @@ object SimilarityQueries {
       val (indexed, centers) = Ann.ivfIndex(emb, "vec_id", "embedding", k = 16)
       Ann.knnIvf(indexed, centers, emb.filter(col("vec_id") % 100 === 0),
         "vec_id", "embedding", k = 5, nprobe = 4)
-    }))
+    }),
+
+    // SemDeDup composition (rows-only ⊘): k-means cells + within-cell
+    // LSH near-dup + one representative per duplicate cluster —
+    // cell-boundary semantics and planted-cluster recovery are pinned
+    // in SimilaritySpec; the row keeps the composed plan and its
+    // timing (index build included) an artifact fact. Output is the
+    // kept ids, narrow on purpose: the bench should time the dedup,
+    // not a wide embedding write.
+    "q136_semantic_dedup" -> ((s, d) =>
+      Ann.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+        kCells = 16, threshold = 0.35, dim = 64)
+        .select(col("vec_id"))))
 
   val oracles: Map[String, String] = Map(
     "q95_knn_brute" ->

@@ -227,6 +227,29 @@ object TextQueries {
           col("total_chars"), col("vocab"), col("avg_doc_tokens"),
           col("type_token_ratio"))),
 
+    // Learned quality filter (FineWeb-Edu shape) — rows-only ⊘: the
+    // L-BFGS fit is not replayable in SQL, so correctness is TextSpec's
+    // AUC gate on planted labels + the no-shuffle golden scoring plan.
+    // The fixture manufactures a separable labeling deterministically:
+    // every third doc gets keep-vocabulary appended, the rest get
+    // junk-vocabulary — the classifier must LEARN the split from
+    // hashed token counts (train on even ids, score all, so scored
+    // rows include docs the fit never saw). Fit cost is part of the
+    // measured operator, the q96a index-build stance.
+    "q135_quality_classifier" -> ((s, d) => {
+      val labeled = Tables.documents(s, d).select(
+        col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" excellent thorough educational well researched reference")))
+          .otherwise(concat(col("text"), lit(" click buy cheap winner prize offer")))
+          .as("text"),
+        (col("doc_id") % 3 === 0).cast("double").as("label"))
+      val model = graft.text.QualityFilter.train(
+        labeled.filter(col("doc_id") % 2 === 0), "text", "label", dim = 256)
+      graft.text.QualityFilter.score(labeled, "doc_id", "text", model)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("quality_score"), col("keep"))
+    }),
+
     // Same gate for the markdown extractor: heading/emphasis/link/list
     // markers wrap the document and must strip back to plain text.
     "q102_md_extract" -> ((s, d) => {

@@ -52,13 +52,15 @@ object Ann {
     Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Per-band sign-pattern signatures → (id, vec, band, sig). The dot
-    * product against each plane literal runs as a higher-order
-    * `aggregate` over the vector — no explode, no shuffle; banding is
-    * a narrow projection. */
+  /** Per-band sign-pattern signatures → (id, [carryCols…,] vec, band,
+    * sig). The dot product against each plane literal runs as a
+    * higher-order `aggregate` over the vector — no explode, no
+    * shuffle; banding is a narrow projection. `carryCols` ride along
+    * unchanged (the [[semanticDedupPairs]] cell key). */
   def bandSignatures(
       df: DataFrame, idCol: String, vecCol: String,
-      bands: Int, bitsPerBand: Int, dim: Int, seed: Long = 42L): DataFrame = {
+      bands: Int, bitsPerBand: Int, dim: Int, seed: Long = 42L,
+      carryCols: Seq[String] = Nil): DataFrame = {
     val ps = planes(dim, bands * bitsPerBand, seed)
     def bit(p: Array[Double]): Column = {
       val dot = aggregate(
@@ -72,9 +74,11 @@ object Ann {
         .reduce(_ + _)
       struct(lit(b).as("band"), sig.as("sig"))
     }
-    df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-        explode(array(bandCols: _*)).as("_b"))
-      .select(col("id"), col("vec"), col("_b.band").as("band"), col("_b.sig").as("sig"))
+    val carried = carryCols.map(col)
+    df.select(col(idCol).as("id") +: carried :+ col(vecCol).as("vec") :+
+        explode(array(bandCols: _*)).as("_b"): _*)
+      .select(col("id") +: carried :+ col("vec") :+
+        col("_b.band").as("band") :+ col("_b.sig").as("sig"): _*)
   }
 
   /** IVF (inverted-file) index: a k-means coarse quantizer assigns
@@ -242,6 +246,68 @@ object Ann {
       threshold: Double, dim: Int,
       bands: Int = 4, bitsPerBand: Int = 4, seed: Long = 42L): DataFrame = {
     val pairs = cosineNearDupLsh(df, idCol, vecCol, threshold, dim, bands, bitsPerBand, seed)
+    val clusters = graft.dedup.TextDedup.dedupClusters(pairs, df.select(col(idCol).as("id")))
+    df.join(clusters.filter(col("id") === col("cluster_id")).select(col("id").as(idCol)), Seq(idCol))
+  }
+
+  /** Within-cell near-dup PAIRS for [[semanticDedup]]: `indexed` must
+    * carry a `cluster` column (an [[ivfIndex]] assignment, or any
+    * caller-supplied partition of the corpus). Identical to
+    * [[cosineNearDupLsh]] except the candidate join keys on
+    * (cluster, band, sig) — STRICTLY finer buckets, so a pair in
+    * different cells can never become a candidate, by construction
+    * rather than by filter (SimilaritySpec pins this with an
+    * adversarial assignment that splits a true near-pair across
+    * cells). Same lean-payload shape: the checkpoint and both
+    * shuffles move (id, cluster, band, sig) ints only; vectors
+    * re-attach by id from `indexed` itself for the verify score.
+    * `idCol` unique per row — the family contract. */
+  def semanticDedupPairs(
+      indexed: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int,
+      bands: Int = 4, bitsPerBand: Int = 4, seed: Long = 42L,
+      roundTo: Int = 4): DataFrame = {
+    val sig = bandSignatures(indexed, idCol, vecCol, bands, bitsPerBand, dim, seed,
+        carryCols = Seq("cluster"))
+      .select("id", "cluster", "band", "sig")
+      .localCheckpoint(true)
+    val cand = sig.toDF("id_1", "cluster", "band", "sig")
+      .join(sig.toDF("id_2", "cluster", "band", "sig"), Seq("cluster", "band", "sig"))
+      .filter(col("id_1") < col("id_2"))
+      .select("id_1", "id_2")
+      .dropDuplicates("id_1", "id_2")
+    cand
+      .join(indexed.select(col(idCol).as("id_1"), col(vecCol).as("_v1")), Seq("id_1"))
+      .join(indexed.select(col(idCol).as("id_2"), col(vecCol).as("_v2")), Seq("id_2"))
+      .withColumn("cosine", round(cosineSim(col("_v1"), col("_v2")), roundTo))
+      .filter(col("cosine") >= threshold)
+      .select("id_1", "id_2", "cosine")
+  }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): k-means cells
+    * bound the search space, near-duplicate detection runs WITHIN each
+    * cell only, and one representative (minimum id) survives per
+    * duplicate cluster. The published recipe compares all pairs inside
+    * a cell; here the within-cell probe itself is LSH-bucketed
+    * ([[semanticDedupPairs]]) so a hot cell — k-means balance is not
+    * guaranteed on crawl data — still never goes all-pairs: candidate
+    * buckets are (cluster, band, sig), bounded by both keys. The
+    * documented approximation is inherited from the paper: a
+    * near-duplicate pair straddling a cell boundary is not examined
+    * (SemDeDup accepts this for the ~k× candidate reduction; raise
+    * `kCells` recall by lowering it, or run [[cosineNearDupLsh]] when
+    * cross-cell pairs matter). Composition:
+    * [[ivfIndex]] → [[semanticDedupPairs]] →
+    * [[graft.dedup.TextDedup.dedupClusters]] → keep cluster minima.
+    * → the kept rows of `df`, schema unchanged. */
+  def semanticDedup(
+      df: DataFrame, idCol: String, vecCol: String,
+      kCells: Int, threshold: Double, dim: Int,
+      bands: Int = 4, bitsPerBand: Int = 4, seed: Long = 42L): DataFrame = {
+    val (indexed, _) = ivfIndex(df, idCol, vecCol, kCells, seed)
+    val pairs = semanticDedupPairs(indexed, idCol, vecCol, threshold, dim,
+      bands, bitsPerBand, seed)
     val clusters = graft.dedup.TextDedup.dedupClusters(pairs, df.select(col(idCol).as("id")))
     df.join(clusters.filter(col("id") === col("cluster_id")).select(col("id").as(idCol)), Seq(idCol))
   }

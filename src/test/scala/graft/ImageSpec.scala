@@ -60,4 +60,44 @@ class ImageSpec extends SparkSpec {
     val same = Image.thumbnail(df, maxDim = 400).collect().head
     assert(same.getAs[Int]("width") == 200 && same.getAs[Int]("height") == 50)
   }
+
+  test("pHash: stable under rescale + lossy re-encode, far apart for unrelated images") {
+    import graft.queries.ImageQueries.syntheticImage
+    def hashOf(bytes: Array[Byte]): Long =
+      Image.decode(bytes).map { case (_, img) => Image.pHash64(img) }
+        .getOrElse(fail("decode failed"))
+    def dist(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    for (seed <- 0L until 8L) {
+      val base = hashOf(syntheticImage(seed, 32, "png"))
+      // the SAME picture, rendered 2.25x larger and JPEG-compressed
+      val transformed = hashOf(syntheticImage(seed, 48, "jpg"))
+      assert(dist(base, transformed) <= 7,
+        s"seed $seed: rescale+re-encode moved ${dist(base, transformed)} bits")
+      // a DIFFERENT picture: independent bits land ~32 apart
+      val other = hashOf(syntheticImage(seed + 100, 32, "png"))
+      assert(dist(base, other) >= 16,
+        s"seed $seed: unrelated images only ${dist(base, other)} bits apart")
+    }
+  }
+
+  test("nearDuplicates recovers planted rescaled/re-encoded dups, rejects the rest") {
+    import spark.implicits._
+    import graft.queries.ImageQueries.syntheticImage
+    // 20 distinct pictures; 3 planted duplicates of pictures 0/5/9 at
+    // other resolutions + lossy encoding; one undecodable payload
+    // (error rows must not pair with each other at phash 0)
+    val originals = (0 until 20).map(i => (s"img$i", syntheticImage(i, 32, "png")))
+    val planted = Seq(
+      ("dup0", syntheticImage(0, 48, "jpg")),
+      ("dup5", syntheticImage(5, 64, "jpg")),
+      ("dup9", syntheticImage(9, 40, "png")))
+    val junk = Seq(("junk1", Array[Byte](9, 9, 9)), ("junk2", Array[Byte](1, 2)))
+    val corpus = spark.createDataFrame(originals ++ planted ++ junk).toDF("path", "content")
+    val pairs = Image.nearDuplicates(corpus, maxDist = 7)
+      .collect()
+      .map(r => Set(r.getAs[String]("id_1"), r.getAs[String]("id_2")))
+      .toSet
+    assert(pairs == Set(
+      Set("img0", "dup0"), Set("img5", "dup5"), Set("img9", "dup9")), pairs)
+  }
 }

@@ -173,4 +173,57 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getLong(3)))
     assert(out.toSeq == Seq((2L, 1L), (3L, 2L)))
   }
+
+  test("semanticDedup keeps one representative per planted paraphrase cluster") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    // 3 well-separated base directions, each with 4 near-identical
+    // members (paraphrase clusters, cosine ~0.999) + 30 singletons
+    val centers = Seq.fill(3)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val clustered = for {
+      (c, g) <- centers.zipWithIndex
+      m <- 0 until 4
+    } yield (g * 10L + m) -> c.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+    val singles = (100L until 130L).map(i => i -> Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val corpus = (clustered ++ singles).toDF("vec_id", "embedding")
+    val kept = Ann.semanticDedup(corpus, "vec_id", "embedding",
+      kCells = 8, threshold = 0.99, dim = dim)
+      .collect().map(_.getLong(0)).toSet
+    // exactly the minimum id of each planted cluster survives; every
+    // singleton survives (random gaussians at dim 16 don't reach 0.99)
+    assert(kept == (Set(0L, 10L, 20L) ++ (100L until 130L)), kept)
+    // schema passes through unchanged
+    assert(Ann.semanticDedup(corpus, "vec_id", "embedding", 8, 0.99, dim)
+      .schema.fieldNames.toSeq == Seq("vec_id", "embedding"))
+  }
+
+  test("semanticDedupPairs never crosses cells: the probe is bucketed, not filtered") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val dim = 16
+    val a = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val b = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    // two true near-pairs (cosine ~0.999): one placed within a cell,
+    // one ADVERSARIALLY split across cells by a caller-supplied
+    // assignment — if the pair generator merely filtered cross-cell
+    // candidates after an unkeyed join, both would surface; the
+    // bucketed join must structurally never see the split pair
+    val indexed = Seq(
+      (1L, a, 0), (2L, a.map(x => x + 0.01f * rnd.nextGaussian().toFloat), 0),
+      (3L, b, 0), (4L, b.map(x => x + 0.01f * rnd.nextGaussian().toFloat), 1))
+      .toDF("vec_id", "embedding", "cluster")
+    val pairs = Ann.semanticDedupPairs(indexed, "vec_id", "embedding",
+      threshold = 0.99, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"expected only the within-cell pair, got $pairs")
+    // the lean invariant rides along: checkpointed signature blocks
+    // carry (id, cluster, band, sig) only — no vector payload
+    val leaves = Ann.semanticDedupPairs(indexed, "vec_id", "embedding", 0.99, dim)
+      .queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.schema.fieldNames.toSeq
+      }
+    assert(leaves.nonEmpty && leaves.forall(_ == Seq("id", "cluster", "band", "sig")),
+      s"signature checkpoint must be payload-lean, got schemas: $leaves")
+  }
 }

@@ -362,4 +362,49 @@ class TextSpec extends SparkSpec {
     val top1 = out.filter(r => r.getAs[Long]("id") == 1L && r.getAs[Int]("rank") == 1)
     assert(top1.head.getAs[String]("token") == "unique")
   }
+
+  test("QualityFilter learns planted labels (held-out AUC) and scores shuffle-free") {
+    import graft.text.QualityFilter
+    // real corpus text + planted separable vocabulary, the q135 fixture:
+    // every third doc gets keep-words, the rest junk-words; train on
+    // even ids only so scoring covers docs the fit never saw
+    val labeled = Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" excellent thorough educational well researched reference")))
+        .otherwise(concat(col("text"), lit(" click buy cheap winner prize offer")))
+        .as("text"),
+      (col("doc_id") % 3 === 0).cast("double").as("label"))
+    val model = QualityFilter.train(
+      labeled.filter(col("doc_id") % 2 === 0), "text", "label", dim = 256)
+    val heldOut = labeled.filter(col("doc_id") % 2 === 1)
+    val scored = QualityFilter.score(heldOut, "doc_id", "text", model)
+      .join(heldOut.select(col("doc_id").as("id"), col("label")), Seq("id"))
+      .select("quality_score", "label").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    // held-out AUC: planted vocabulary is separable, so near-perfect
+    val pos = scored.filter(_._2 == 1.0).map(_._1)
+    val neg = scored.filter(_._2 == 0.0).map(_._1)
+    assert(pos.nonEmpty && neg.nonEmpty)
+    val wins = pos.iterator.map(p => neg.count(n => n < p) + 0.5 * neg.count(n => n == p)).sum
+    val auc = wins / (pos.length.toDouble * neg.length)
+    assert(auc >= 0.95, s"held-out AUC $auc")
+    // the 100 TB contract: scoring is one narrow projection — no
+    // Exchange anywhere in the physical plan
+    val plan = QualityFilter.score(heldOut, "doc_id", "text", model)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scoring must be shuffle-free:\n$plan")
+    // refit on the same frame reproduces bit-identically (no RNG)
+    val refit = QualityFilter.train(
+      labeled.filter(col("doc_id") % 2 === 0), "text", "label", dim = 256)
+    assert(refit.intercept == model.intercept &&
+      refit.weights.sameElements(model.weights))
+    // token-less rows score the model prior, sigmoid(intercept)
+    import spark.implicits._
+    val empty = QualityFilter.score(
+      Seq((9L, "")).toDF("doc_id", "text"), "doc_id", "text", model).collect().head
+    assert(empty.getAs[Long]("n_tokens") == 0L)
+    assert(math.abs(empty.getAs[Double]("quality_score") -
+      1.0 / (1.0 + math.exp(-model.intercept))) < 1e-12)
+  }
 }
