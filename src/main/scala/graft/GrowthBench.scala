@@ -56,7 +56,20 @@ object GrowthBench {
     "q118_c4_filter" -> (6.0, "narrow per-doc line/sentence projection: token-linear"),
     "q119_line_boilerplate" -> (6.0, "line groupBy + hot/cold rejoin: line-linear (r8: 1.9x)"),
     "q121_decontaminate" -> (6.0, "corpus grams probe BROADCAST eval grams: token-linear (r8: 2.5x)"),
-    "q122_coverage" -> (8.0, "gram explode vs broadcast |alphabet|^3 model: token-linear"),
+    // q122 budget DERIVATION (round 12, the q117 pattern): chars/doc
+    // is near-flat across the corpora (291.9 → 299.3, +2.5%; doc
+    // length is pure in docId), so total char-trigram OCCURRENCES —
+    // the unit of work for both the model-build explode (even docs)
+    // and the scoring explode (odd docs) — grow 10.26× at 10× docs
+    // (measured: 1,449,476 → 14,866,481 grams). The model TABLE stays
+    // |alphabet|³-bounded (broadcast), so the only corpus-scaled term
+    // is the gram stream and the model bound IS the gram ratio: wall
+    // growth reaches it only fully compute-saturated and can only
+    // EXCEED it with a plan regression (e.g. the map-side collapse
+    // before the model groupBy disappearing). r11 measured 6.94×
+    // (3-trial local[32]) — 32% margin under the bound. The old 8.0
+    // was an empirical slack set below the model bound.
+    "q122_coverage" -> (10.3, "gram explode vs broadcast |alphabet|^3 model: gram-linear; budget = measured gram ratio 10.26x (chars/doc flat)"),
     "q123_incremental_dedup" -> (3.0, "incremental contract: batch-scaled probe, near-FLAT (r8: 1.2x)"),
     "q125_dedup_prefix" -> (8.0, "PPJoin: prefix explode bounded by (1-t)|set|, candidate-linear"),
     "q126_repeated_spans" -> (8.0, "positional gram groupBy + hot/cold rejoin: gram-linear"),

@@ -72,11 +72,19 @@ object QualityFilter {
         (label, Vectors.sparse(dim, counts))
       }
       .toDF("label", "features")
-    val fitted = new LogisticRegression()
-      .setMaxIter(maxIter).setRegParam(regParam)
-      .setFeaturesCol("features").setLabelCol("label")
-      .fit(data)
-    Model(fitted.coefficients.toArray, fitted.intercept, dim)
+    // EMPTY labeled frame → the uninformative prior model (all-zero
+    // weights, zero intercept: every doc scores 0.5) rather than
+    // MLlib's summarizer exception — the first batch of a new
+    // pipeline is empty, and train must survive it (EmptyInputSpec
+    // contract). One cheap job on the bounded offline input.
+    if (data.isEmpty) Model(Array.fill(dim)(0.0), 0.0, dim)
+    else {
+      val fitted = new LogisticRegression()
+        .setMaxIter(maxIter).setRegParam(regParam)
+        .setFeaturesCol("features").setLabelCol("label")
+        .fit(data)
+      Model(fitted.coefficients.toArray, fitted.intercept, dim)
+    }
   }
 
   /** Score a corpus with a fitted model — the scale path: one narrow

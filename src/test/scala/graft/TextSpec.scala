@@ -406,5 +406,14 @@ class TextSpec extends SparkSpec {
     assert(empty.getAs[Long]("n_tokens") == 0L)
     assert(math.abs(empty.getAs[Double]("quality_score") -
       1.0 / (1.0 + math.exp(-model.intercept))) < 1e-12)
+    // empty labeled frame → the uninformative prior model, not an
+    // MLlib summarizer crash (first batch of a new pipeline is empty)
+    val prior = QualityFilter.train(
+      labeled.filter(lit(false)), "text", "label", dim = 256)
+    assert(prior.intercept == 0.0 && prior.weights.forall(_ == 0.0))
+    val priorScore = QualityFilter.score(
+      Seq((1L, "any text at all")).toDF("doc_id", "text"), "doc_id", "text", prior)
+      .collect().head.getAs[Double]("quality_score")
+    assert(priorScore == 0.5)
   }
 }
