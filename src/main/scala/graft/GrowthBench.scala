@@ -84,13 +84,37 @@ object GrowthBench {
     "q133_bigram_perplexity" -> (8.0, "bigram/context tables Heaps-sublinear, shuffle joins (r8: 4.2x)"),
     "g120_rebalance_docs" -> (6.0, "|strata|-bounded count pass + hash-fraction filter: scan-linear"),
     "g124_url_dedup_docs" -> (6.0, "normalizeUrl projection + canonical groupBy: url-linear"),
-    "g116_embed_neardup_docs" -> (8.0, "LSH near-dup at production bit-width (4x16): signature-linear; random-collision verify subdominant"))
+    "g116_embed_neardup_docs" -> (8.0, "LSH near-dup at production bit-width (4x16): signature-linear; random-collision verify subdominant"),
+    "g135_quality_score_docs" -> (10.0, "fixed-model scoring: narrow shuffle-free per-token fold; budget = token ratio (training is the bounded offline step, not gated)"),
+    "g136_semantic_neardup_docs" -> (8.0, "within-cell LSH pairs on (cluster,band,sig) keys: signature-linear like g116; cell assignment deterministic (k-means fit is the bounded offline model-build)"))
+
+  private val PseudoDim = 16
+
+  /** Pseudo-embeddings for the ANN growth rows — the Zipf corpora
+    * carry no embeddings table, so embeddings are a PURE function of
+    * doc_id (dim-16 hash coordinates in [-1, 1]; every 50th doc is a
+    * planted near-dup of its predecessor — same base vector, one
+    * coordinate nudged, cosine ≈ 0.9997 — mirroring ZipfCorpus's
+    * planted text dups). Bit-width at the call sites is sized to the
+    * corpus like production LSH (4 bands × 16 bits = the q93 simhash
+    * band width): planted pairs survive banding with p ≈ 0.9998 while
+    * random-collision candidates stay subdominant. */
+  private def pseudoEmbeddings(s: SparkSession, d: String): DataFrame = {
+    val src = when(col("doc_id") % 50 === 49, col("doc_id") - 1)
+      .otherwise(col("doc_id"))
+    val coords = (0 until PseudoDim).map { i =>
+      val c = (pmod(hash(src, lit(i)), lit(2001)) - lit(1000.0)) / 1000.0
+      (c + when(col("doc_id") % 50 === 49 && lit(i) === 0, 0.05).otherwise(0.0))
+        .cast("float")
+    }
+    Tables.documents(s, d).select(col("doc_id"), array(coords: _*).as("embedding"))
+  }
 
   /** The TPC-H-fixture-bound / embeddings-bound operators re-expressed
     * on documents so their growth curves are measured on the same
     * corpus as the rest (package-visible: GrowthVariantSpec pins that
-    * g116 recovers its planted pairs — the gate must time a query that
-    * MEANS something). */
+    * g116/g136 recover their planted pairs and g135 scores every doc —
+    * the gate must time a query that MEANS something). */
   private[graft] def variants: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g120_rebalance_docs" -> ((s, d) =>
       graft.services.Curator.rebalance(
@@ -108,20 +132,37 @@ object GrowthBench {
     // (4 bands × 16 bits = the q93 simhash band width): planted pairs
     // survive banding with p ≈ 0.9998 while the random-collision
     // candidate count stays subdominant to the linear signature work.
-    "g116_embed_neardup_docs" -> ((s, d) => {
-      val dim = 16
-      val src = when(col("doc_id") % 50 === 49, col("doc_id") - 1)
-        .otherwise(col("doc_id"))
-      val coords = (0 until dim).map { i =>
-        val c = (pmod(hash(src, lit(i)), lit(2001)) - lit(1000.0)) / 1000.0
-        (c + when(col("doc_id") % 50 === 49 && lit(i) === 0, 0.05).otherwise(0.0))
-          .cast("float")
-      }
-      val emb = Tables.documents(s, d)
-        .select(col("doc_id"), array(coords: _*).as("embedding"))
+    "g116_embed_neardup_docs" -> ((s, d) =>
       graft.similarity.Ann.cosineNearDupLsh(
-        emb, "doc_id", "embedding", threshold = 0.98, dim = dim,
-        bands = 4, bitsPerBand = 16)
+        pseudoEmbeddings(s, d), "doc_id", "embedding", threshold = 0.98,
+        dim = PseudoDim, bands = 4, bitsPerBand = 16)),
+    // The SemDeDup pair machinery (q136) growth-gated on the same
+    // pseudo-embeddings: cell assignment is a DETERMINISTIC pure
+    // function of doc_id (blocks of 50 share a cell, so every planted
+    // pair is same-cell by construction — GrowthVariantSpec pins exact
+    // recovery) because the k-means fit is the bounded offline
+    // model-build step; the corpus-scaled path under gate is the
+    // (cluster, band, sig)-keyed candidate join + id-keyed vector
+    // re-attach, exactly the shape that must stay signature-linear.
+    "g136_semantic_neardup_docs" -> ((s, d) => {
+      val indexed = pseudoEmbeddings(s, d)
+        .withColumn("cluster", ((col("doc_id") / 50).cast("long") % 64).cast("int"))
+      graft.similarity.Ann.semanticDedupPairs(
+        indexed, "doc_id", "embedding", threshold = 0.98,
+        dim = PseudoDim, bands = 4, bitsPerBand = 16)
+    }),
+    // The learned quality filter (q135) growth-gated on its 100 TB
+    // path: SCORING with a fixed literal model — one narrow
+    // shuffle-free projection, token-linear. Training is the bounded
+    // offline step (labels are the expensive resource) and is
+    // deliberately NOT under the growth gate; the q135 bench row times
+    // the full train+score fixture at sf0.1. Weights are a pure
+    // function of the bucket index so the gate needs no model state.
+    "g135_quality_score_docs" -> ((s, d) => {
+      val dim = 256
+      val weights = Array.tabulate(dim)(i => ((i * 2654435761L % 1001L) - 500L) / 500.0)
+      val model = graft.text.QualityFilter.Model(weights, -0.1, dim)
+      graft.text.QualityFilter.score(Tables.documents(s, d), "doc_id", "text", model)
     }),
     "g124_url_dedup_docs" -> ((s, d) => {
       val k = col("doc_id")
