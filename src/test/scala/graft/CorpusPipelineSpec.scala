@@ -10,8 +10,8 @@ import graft.text.TextAnalysis
 
 /** The whole pretraining-data workload, composed end-to-end through
   * the Pipeline DAG: hygiene filters → quality-aware near-dup removal
-  * → benchmark decontamination → unigram-LM perplexity gate →
-  * repeated-span trimming → chunking,
+  * → benchmark decontamination → unigram-LM perplexity gate → learned
+  * quality filter → repeated-span trimming → chunking,
   * packing and splits. Every stage is the production operator (no
   * test doubles); the corpus plants one defect per stage so each
   * stage's effect is individually observable in the final output —
@@ -41,7 +41,29 @@ class CorpusPipelineSpec extends SparkSpec {
     // past hygiene (no repetition), dedup (unique shingles) and
     // decontamination (no eval grams); only the LM gate can see it
     val gibberish = Seq(105L -> (1 to 20).map(j => s"zx${j}q").mkString(" "))
-    (base ++ exactDup ++ nearDup ++ contaminated ++ spam ++ gibberish).toDF("doc_id", "text")
+    // the ad doc: distinct tokens (passes hygiene), ~0.18 footer-shingle
+    // Jaccard vs any base doc (passes dedup at t=0.5), no eval 13-grams
+    // (passes decontamination), and 10 of 26 tokens in the reference
+    // vocabulary — avg NLL ≈ qlog(21) − (10/26)·qlog(2) ≈ 2.77e6, inside
+    // the LM gate's bounds. Only the LEARNED filter, trained on labeled
+    // examples of exactly this vocabulary, can see it.
+    val ad = Seq(106L -> s"${adVocab.mkString(" ")} $footer")
+    (base ++ exactDup ++ nearDup ++ contaminated ++ spam ++ gibberish ++ ad)
+      .toDF("doc_id", "text")
+  }
+
+  private val adVocab = (1 to 16).map(j => s"promo${j}buy")
+
+  // FineWeb-Edu-shape labeled frame: positives are a SAMPLE OF THE
+  // CORPUS ITSELF (docs 1-10 — labeling a corpus sample is how the
+  // published recipe gets labels), negatives are pure ad-vocabulary
+  // rows. Deterministic fit (zero init + L-BFGS, no RNG) → the stage
+  // is reproducible bit-for-bit.
+  private lazy val labeledQuality = {
+    val pos = (1L to 10L).map(i => (s"${own(i)} $footer", 1.0))
+    val neg = (1L to 10L).map(i =>
+      (adVocab.drop((i % 4).toInt).mkString(" "), 0.0))
+    (pos ++ neg).toDF("text", "label")
   }
 
   private lazy val evalSuite =
@@ -78,9 +100,20 @@ class CorpusPipelineSpec extends SparkSpec {
               TextAnalysis.unigramLm(refCorpus, "text"), bucketBounds = (2.9e6, 3.0e6))
             .filter(col("ppl_bucket") =!= "tail").select(col("id").as("doc_id")),
           Seq("doc_id"))),
+      // learned quality filter (FineWeb-Edu shape): the model trained
+      // on the labeled frame kills the ad doc (106) — the one defect
+      // no rule-based or LM-likelihood stage upstream can see
+      Stage("learned_filter", Seq("lm_gate"), in => {
+        val model = graft.text.QualityFilter.train(
+          labeledQuality, "text", "label", dim = 1024)
+        in("lm_gate").join(
+          graft.text.QualityFilter.score(in("lm_gate"), "doc_id", "text", model)
+            .filter(col("keep")).select(col("id").as("doc_id")),
+          Seq("doc_id"))
+      }),
       // substring-level dedup: cuts the universal footer span
-      Stage("trim", Seq("lm_gate"), in =>
-        TextDedup.trimRepeatedSpans(in("lm_gate"), "doc_id", "text", k = 8)),
+      Stage("trim", Seq("learned_filter"), in =>
+        TextDedup.trimRepeatedSpans(in("learned_filter"), "doc_id", "text", k = 8)),
       // RAG/window chunking of the trimmed text
       Stage("chunk", Seq("trim"), in =>
         Curator.chunkDocs(in("trim"), "id", "text", maxTokens = 16, overlap = 4)),
@@ -97,14 +130,22 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(r.success, s"pipeline must succeed: ${r.stages}")
 
     // after decontamination: spam, both dup copies and the
-    // contaminated doc are gone; the gibberish doc is still alive
-    // (nothing upstream can see it)
+    // contaminated doc are gone; the gibberish and ad docs are still
+    // alive (nothing upstream can see either)
     val afterDecon = r("decontaminate").select("doc_id")
       .collect().map(_.getLong(0)).toSet
-    assert(afterDecon == (1L to 30L).toSet + 105L, s"after decontaminate: $afterDecon")
+    assert(afterDecon == (1L to 30L).toSet + 105L + 106L, s"after decontaminate: $afterDecon")
 
-    // the LM gate is what kills it: survivors = exactly the 30 base docs
-    val survivors = r("lm_gate").select("doc_id")
+    // the LM gate kills the gibberish doc — but NOT the ad doc, whose
+    // footer tokens keep it inside the perplexity bounds
+    val afterLm = r("lm_gate").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(afterLm == (1L to 30L).toSet + 106L, s"after lm_gate: $afterLm")
+
+    // the learned filter is what kills the ad doc: survivors = exactly
+    // the 30 base docs (docs 11-30 were NOT in the labeled sample —
+    // their footer tokens carry them past the threshold)
+    val survivors = r("learned_filter").select("doc_id")
       .collect().map(_.getLong(0)).toSet
     assert(survivors == (1L to 30L).toSet, s"survivors: $survivors")
 

@@ -312,6 +312,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming learned-quality scoring: fixed model, append mode, agrees with batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the QualityFilter scaladoc claims scoring is streaming-composable
+    // (one narrow projection, weights as a literal, no state); this is
+    // that claim as behavior, not a plan assertion. Train offline on a
+    // static labeled frame, score the stream, and require bit-identical
+    // agreement with the batch path on the same rows.
+    val labeled = Seq(
+      ("excellent thorough educational reference material", 1.0),
+      ("well researched detailed clear explanation text", 1.0),
+      ("click buy cheap winner prize offer now", 0.0),
+      ("cheap promo deal click offer buy fast", 0.0)).toDF("text", "label")
+    val model = graft.text.QualityFilter.train(labeled, "text", "label", dim = 256)
+    val in = MemoryStream[(Long, String)]
+    val scored = graft.text.QualityFilter.score(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", model)
+    val q = scored.writeStream.format("memory")
+      .queryName("qf_out").outputMode("append").start()
+    try {
+      val rows = Seq((1L, "thorough educational explanation"), (2L, "click buy cheap now"), (3L, ""))
+      in.addData(rows: _*)
+      drain(q)
+      val got = spark.table("qf_out").collect().map(_.toSeq).toSet
+      val batch = graft.text.QualityFilter.score(
+        rows.toDF("doc_id", "text"), "doc_id", "text", model)
+        .collect().map(_.toSeq).toSet
+      assert(got == batch, "stream and batch scoring must agree bit-for-bit")
+      assert(got.size == 3) // token-less doc 3 scores the model prior, not dropped
+    } finally q.stop()
+  }
+
   test("foreachBatchVersioned: one committed version per micro-batch, replay is a no-op") {
     import spark.implicits._
     import graft.sources.VersionedTable
