@@ -69,7 +69,15 @@ object ExtractionQueries {
       Curator.chunkDocs(Tables.documents(s, d), "doc_id", "text",
         maxTokens = 32, overlap = 8)
         .select(col("id").as("doc_id"), col("chunk_idx"),
-          col("chunk_text"), col("n_chunk_tokens"))))
+          col("chunk_text"), col("n_chunk_tokens"))),
+
+    // Deterministic training-order sharding: 8 shards over documents
+    // via the portable md5 key; the oracle replays the identical key,
+    // shard arithmetic, and (key, doc_id)-ordered per-shard rank.
+    "q137_shard_corpus" -> ((s, d) =>
+      Curator.shardCorpus(Tables.documents(s, d), "doc_id", nShards = 8,
+        seed = 42L, portable = true)
+        .select(col("doc_id"), col("shard"), col("shard_pos"))))
 
   val oracles: Map[String, String] = Map(
     "q70_incremental" ->
@@ -121,5 +129,15 @@ object ExtractionQueries {
                  least(32, n - i * 24) AS n_chunk_tokens
                FROM d, unnest(range(0,
                  CASE WHEN n <= 32 THEN 1 ELSE (n - 32 + 23) // 24 + 1 END)) AS t(i))
-         SELECT doc_id, chunk_idx, chunk_text, n_chunk_tokens FROM c""")
+         SELECT doc_id, chunk_idx, chunk_text, n_chunk_tokens FROM c""",
+
+    // identical md5-derived 60-bit key (the q93 fingerprint scheme),
+    // identical shard = key % 8, identical (key, doc_id) rank order
+    "q137_shard_corpus" ->
+      """WITH h AS (SELECT doc_id,
+              CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':', '42')), 1, 15)) AS BIGINT) AS hk
+            FROM documents)
+         SELECT doc_id, hk % 8 AS shard,
+                row_number() OVER (PARTITION BY hk % 8 ORDER BY hk, doc_id) AS shard_pos
+         FROM h""")
 }

@@ -225,4 +225,48 @@ object Curator {
     }.otherwise(ratios.last._1)
     df.withColumn(outputCol, expr)
   }
+
+  /** Deterministic training-order sharding — the "global shuffle" a
+    * pretraining pipeline runs before serving so consumption order is
+    * (a) random with respect to source/crawl order, (b) reproducible
+    * from (corpus, seed) alone, and (c) addressable: every row gets
+    * (`shard`, `shard_pos`) and a trainer reads its shards in
+    * shard_pos order. The reference curates frames but leaves ordering
+    * to a driver-global `sample(frac=1)` shuffle (ref
+    * services/dataset_curator.py:153 `_split_data`'s seeded shuffle) —
+    * which cannot scale; this is the distributed-correct equivalent.
+    *
+    * Scale shape: a TOTAL-order sort of 100 TB (one range exchange +
+    * global sort) is wasteful when shards are consumed independently,
+    * so the permutation is hash-bucketing + per-shard rank: ONE hash
+    * exchange on `shard` (the Window's partitionBy is the shuffle key)
+    * and a per-partition sort. Each shard sorts within one task —
+    * size `nShards` like output files, corpus_bytes / ~1 GB (100 TB →
+    * ~100k shards), NOT trainer-rank count; a trainer rank then owns
+    * nShards/world_size whole shards. Ordering is keyed hash with the
+    * row key as tiebreak, so the permutation is total and
+    * re-evaluation-stable. `portable = true` switches xxhash64 to the
+    * md5-derived 60-bit key (the q93 fingerprint scheme) so any engine
+    * can replay the exact order (the DuckDB oracle does).
+    * → input columns + (shard long, shard_pos long). */
+  def shardCorpus(
+      df: DataFrame,
+      idCol: String,
+      nShards: Int,
+      seed: Long = 42L,
+      portable: Boolean = false): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val id = col(idCol)
+    val key = if (portable)
+      conv(substring(md5(concat(id.cast("string"), lit(":"), lit(seed.toString))), 1, 15), 16, 10)
+        .cast("long")
+    else xxhash64(id, lit(seed))
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("_ord", key)
+      .withColumn("shard", pmod(col("_ord"), lit(nShards.toLong)))
+      .withColumn("shard_pos",
+        row_number().over(Window.partitionBy(col("shard")).orderBy(col("_ord"), id))
+          .cast("long"))
+      .drop("_ord")
+  }
 }

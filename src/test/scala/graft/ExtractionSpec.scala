@@ -133,6 +133,40 @@ class ExtractionSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("shardCorpus: a true permutation — balanced shards, contiguous positions, seed-sensitive") {
+    import spark.implicits._
+    val df = (1L to 4000L).toDF("id")
+    val sharded = Curator.shardCorpus(df, "id", nShards = 8, seed = 42L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every row assigned exactly once; (shard, pos) is a bijection
+    assert(sharded.length == 4000 && sharded.map(_._1).distinct.length == 4000)
+    assert(sharded.map(t => (t._2, t._3)).distinct.length == 4000)
+    val byShard = sharded.groupBy(_._2)
+    assert(byShard.keySet == (0L until 8L).toSet)
+    // positions are contiguous 1..count within every shard
+    byShard.foreach { case (s, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq, s"shard $s positions")
+    }
+    // hash balance: no shard more than 25% off the mean
+    assert(byShard.values.forall(r => math.abs(r.length - 500) < 125))
+    // the order is NOT the input order (it is a shuffle)…
+    val firstShardIds = byShard(0L).sortBy(_._3).map(_._1).toSeq
+    assert(firstShardIds != firstShardIds.sorted, "shard order must not be id order")
+    // …is deterministic…
+    val again = Curator.shardCorpus(df, "id", nShards = 8, seed = 42L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sharded.toSet == again.toSet)
+    // …and the seed changes it
+    val reseeded = Curator.shardCorpus(df, "id", nShards = 8, seed = 43L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sharded.toSet != reseeded.toSet)
+    // portable twin: same contracts under the md5 key (the oracle path)
+    val portable = Curator.shardCorpus(df, "id", nShards = 8, seed = 42L, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(portable.length == 4000 && portable.map(t => (t._2, t._3)).distinct.length == 4000)
+    assert(portable.toSet != sharded.toSet) // different key family, different permutation
+  }
+
   test("rebalance keeps the scarcest stratum whole, hits the target mix, drops untargeted strata") {
     import spark.implicits._
     // brutal skew: 8000 en, 1900 de, 100 fr (+ 50 junk not in targets)
