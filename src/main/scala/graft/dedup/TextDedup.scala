@@ -724,6 +724,33 @@ object TextDedup {
     verifyJaccard(lshCandidates(minhashSignatures(sets, k), k, bands), sets, threshold)
   }
 
+  /** Train/eval leakage audit: near-duplicate pairs that STRADDLE
+    * split boundaries — the train-test overlap Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * §train-test leakage) report for standard corpora: a random split
+    * of a near-dup-bearing corpus puts one copy in train and one in
+    * eval, inflating eval scores. Same banded machinery as
+    * [[minhashLshPairs]] (candidate-bounded, no all-pairs), then one
+    * id-keyed join per side attaches split labels and only cross-split
+    * pairs survive — at scale the label joins are id-keyed hash joins
+    * on the tiny pair set, not corpus-wide work. Run BEFORE near-dup
+    * removal to quantify what a naive split would leak; after
+    * [[removeNearDuplicatesBy]] + a fresh split it must return empty —
+    * the cleanliness proof (DedupSpec pins both directions).
+    * `splits`: one (splitIdCol, splitCol) row per document.
+    * → (id_1, id_2, split_1, split_2, jaccard). */
+  def splitLeakage(
+      df: DataFrame, idCol: String, textCol: String,
+      splits: DataFrame, splitIdCol: String, splitCol: String,
+      n: Int = 3, k: Int = 16, bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, n, k, bands, threshold)
+    pairs
+      .join(splits.select(col(splitIdCol).as("id_1"), col(splitCol).as("split_1")), "id_1")
+      .join(splits.select(col(splitIdCol).as("id_2"), col(splitCol).as("split_2")), "id_2")
+      .filter(col("split_1") =!= col("split_2"))
+      .select("id_1", "id_2", "split_1", "split_2", "jaccard")
+  }
+
   /** Connected components over a near-dup pair graph: every node gets
     * the MINIMUM id reachable through pairs as its cluster id
     * (singletons cluster with themselves). Adaptive, like

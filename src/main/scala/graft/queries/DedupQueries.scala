@@ -41,6 +41,19 @@ object DedupQueries {
       TextDedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
         n = N, k = K, bands = Bands, threshold = 0.5)),
 
+    // Split-leakage audit: the q92 near-dup pairs against the q80
+    // portable split — every near-dup pair a naive random split put on
+    // opposite sides of a train/eval boundary.
+    "q138_split_leakage" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val splits = graft.services.Curator.assignSplits(
+        docs.select(col("doc_id")), col("doc_id"),
+        Seq("train" -> 0.8, "test" -> 0.1, "val" -> 0.1),
+        seed = 42L, portable = true)
+      TextDedup.splitLeakage(docs, "doc_id", "text", splits, "doc_id", "split",
+        n = N, k = K, bands = Bands, threshold = 0.5)
+    }),
+
     "q93_dedup_simhash" -> ((s, d) => {
       val sigs = TextDedup.simhash64(
         TextDedup.tokenSets(Tables.documents(s, d), "doc_id", "text"))
@@ -314,6 +327,24 @@ object DedupQueries {
        FROM uni JOIN sizes s1 ON id_1 = s1.id JOIN sizes s2 ON id_2 = s2.id
        WHERE (s1.sz + s2.sz - u) / u >= 0.5"""
 
+  /** q138 oracle: the q92 pair replay joined against the q80 portable
+    * Knuth-hash split; only cross-split pairs survive. */
+  private val q138Sql =
+    s"""WITH $q92Ctes,
+        verified AS ($q92Select),
+        sp AS (SELECT doc_id,
+                 CASE WHEN frac < 0.8 THEN 'train'
+                      WHEN frac < 0.9 THEN 'test'
+                      ELSE 'val' END AS split
+               FROM (SELECT doc_id,
+                       ((doc_id + 42) * 2654435761 % 4294967296) / 4294967296.0 AS frac
+                     FROM documents))
+        SELECT id_1, id_2, s1.split AS split_1, s2.split AS split_2, jaccard
+        FROM verified
+        JOIN sp s1 ON id_1 = s1.doc_id
+        JOIN sp s2 ON id_2 = s2.doc_id
+        WHERE s1.split <> s2.split"""
+
   private val q92Sql = s"WITH $q92Ctes\n$q92Select"
 
   /** Connected components over the q92 pair graph via recursive CTE:
@@ -460,6 +491,7 @@ object DedupQueries {
          FROM all_docs GROUP BY md5(text)""",
     "q91_dedup_jaccard" -> jaccardSql(tokSql, "tok", 0.95),
     "q92_dedup_minhash" -> q92Sql,
+    "q138_split_leakage" -> q138Sql,
     "q93_dedup_simhash" -> q93Sql,
     "q94_dedup_ngram" -> jaccardSql(shSql, "sh", 0.5),
     "q125_dedup_prefix" -> jaccardSql(shSql, "sh", 0.8),

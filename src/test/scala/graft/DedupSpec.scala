@@ -248,6 +248,23 @@ class DedupSpec extends SparkSpec {
     assert(tied == minId && tied == Set(1L, 3L))
   }
 
+  test("splitLeakage reports only cross-split near-dup pairs; clean after dedup + resplit") {
+    import spark.implicits._
+    // docs {1,2,4} are one near-dup cluster; put 1,2 in train and 4 in
+    // test: the straddling pairs are (1,4) and (2,4) — (1,2) is
+    // same-split and must NOT be reported
+    val splits = Seq((1L, "train"), (2L, "train"), (3L, "test"), (4L, "test"))
+      .toDF("doc_id", "split")
+    val leaks = TextDedup.splitLeakage(docs, "doc_id", "text", splits, "doc_id", "split")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(leaks == Set((1L, 4L), (2L, 4L)), s"leaks: $leaks")
+    // the cleanliness direction: dedup first, then split — no
+    // near-dup pair can straddle anything because no pair survives
+    val deduped = TextDedup.removeNearDuplicates(docs, "doc_id", "text")
+    assert(TextDedup.splitLeakage(
+      deduped, "doc_id", "text", splits, "doc_id", "split").isEmpty)
+  }
+
   test("incrementalNearDups: a re-crawled id uses its NEW signature only") {
     import spark.implicits._
     val oldSigs = TextDedup.minhashSignatures(
