@@ -751,6 +751,30 @@ object TextDedup {
       .select("id_1", "id_2", "split_1", "split_2", "jaccard")
   }
 
+  /** The constructive counterpart of [[splitLeakage]]: train/eval
+    * split assignment where the NEAR-DUP CLUSTER, not the document, is
+    * the unit of assignment — every doc splits by a hash of its
+    * cluster id, so a near-dup pair straddling a split boundary is
+    * impossible by construction (both ends share a cluster, a cluster
+    * hashes to one split). This keeps every duplicate (unlike
+    * dedup-then-split) while still guaranteeing zero leakage — the
+    * choice when duplicates are weighted rather than dropped. Scale
+    * shape: [[minhashLshPairs]] + [[dedupClusters]] (both gated) plus
+    * one narrow hash projection; ratios hold in expectation over
+    * CLUSTERS (singletons dominate any real corpus, so doc ratios
+    * track closely). → (id, cluster_id, split).
+    * (DedupSpec pins cluster co-assignment and the zero-leakage
+    * composition with [[splitLeakage]].) */
+  def leakageSafeSplits(
+      df: DataFrame, idCol: String, textCol: String,
+      ratios: Seq[(String, Double)], seed: Long = 42L, portable: Boolean = false,
+      n: Int = 3, k: Int = 16, bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, n, k, bands, threshold)
+    val clusters = dedupClusters(pairs, df.select(col(idCol).as("id")))
+    graft.services.Curator.assignSplits(
+      clusters, col("cluster_id"), ratios, seed, portable)
+  }
+
   /** Connected components over a near-dup pair graph: every node gets
     * the MINIMUM id reachable through pairs as its cluster id
     * (singletons cluster with themselves). Adaptive, like

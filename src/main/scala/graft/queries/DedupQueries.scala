@@ -54,6 +54,15 @@ object DedupQueries {
         n = N, k = K, bands = Bands, threshold = 0.5)
     }),
 
+    // Leakage-safe splitting: the q114 clusters as assignment unit
+    // under the q80 portable split arithmetic — zero cross-split
+    // near-dup pairs by construction.
+    "q139_cluster_split" -> ((s, d) =>
+      TextDedup.leakageSafeSplits(Tables.documents(s, d), "doc_id", "text",
+        Seq("train" -> 0.8, "test" -> 0.1, "val" -> 0.1),
+        seed = 42L, portable = true, n = N, k = K, bands = Bands, threshold = 0.5)
+        .select(col("id").as("doc_id"), col("cluster_id"), col("split"))),
+
     "q93_dedup_simhash" -> ((s, d) => {
       val sigs = TextDedup.simhash64(
         TextDedup.tokenSets(Tables.documents(s, d), "doc_id", "text"))
@@ -327,6 +336,26 @@ object DedupQueries {
        FROM uni JOIN sizes s1 ON id_1 = s1.id JOIN sizes s2 ON id_2 = s2.id
        WHERE (s1.sz + s2.sz - u) / u >= 0.5"""
 
+  /** q139 oracle: the q114 cluster replay (recursive CTE) with the q80
+    * portable Knuth-hash split arithmetic applied to CLUSTER ids. */
+  private val q139Sql =
+    s"""WITH RECURSIVE $q92Ctes,
+        verified AS ($q92Select),
+        edges AS (SELECT id_1 AS a, id_2 AS b FROM verified
+                  UNION ALL SELECT id_2, id_1 FROM verified),
+        reach(id, root) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.id),
+        cl AS (SELECT id AS doc_id, min(root) AS cluster_id FROM reach GROUP BY id)
+        SELECT doc_id, cluster_id,
+               CASE WHEN frac < 0.8 THEN 'train'
+                    WHEN frac < 0.9 THEN 'test'
+                    ELSE 'val' END AS split
+        FROM (SELECT doc_id, cluster_id,
+                ((cluster_id + 42) * 2654435761 % 4294967296) / 4294967296.0 AS frac
+              FROM cl)"""
+
   /** q138 oracle: the q92 pair replay joined against the q80 portable
     * Knuth-hash split; only cross-split pairs survive. */
   private val q138Sql =
@@ -492,6 +521,7 @@ object DedupQueries {
     "q91_dedup_jaccard" -> jaccardSql(tokSql, "tok", 0.95),
     "q92_dedup_minhash" -> q92Sql,
     "q138_split_leakage" -> q138Sql,
+    "q139_cluster_split" -> q139Sql,
     "q93_dedup_simhash" -> q93Sql,
     "q94_dedup_ngram" -> jaccardSql(shSql, "sh", 0.5),
     "q125_dedup_prefix" -> jaccardSql(shSql, "sh", 0.8),

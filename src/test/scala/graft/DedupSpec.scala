@@ -265,6 +265,24 @@ class DedupSpec extends SparkSpec {
       deduped, "doc_id", "text", splits, "doc_id", "split").isEmpty)
   }
 
+  test("leakageSafeSplits: clusters co-assign, so splitLeakage is empty by construction") {
+    val ratios = Seq("train" -> 0.5, "test" -> 0.5)
+    val assigned = TextDedup.leakageSafeSplits(docs, "doc_id", "text", ratios, seed = 7L)
+    val rows = assigned.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.length == 4)
+    // the near-dup cluster {1,2,4} shares cluster_id 1 and ONE split;
+    // singleton 3 clusters alone
+    val byCluster = rows.groupBy(_._2)
+    assert(byCluster(1L).map(_._1).toSet == Set(1L, 2L, 4L))
+    assert(byCluster(1L).map(_._3).distinct.length == 1, "cluster must land in one split")
+    assert(byCluster(3L).map(_._1).toSet == Set(3L))
+    // composition: the audit finds nothing to report, whatever the draw
+    val splits = assigned.select(col("id").as("doc_id"), col("split"))
+    assert(TextDedup.splitLeakage(
+      docs, "doc_id", "text", splits, "doc_id", "split").isEmpty)
+  }
+
   test("incrementalNearDups: a re-crawled id uses its NEW signature only") {
     import spark.implicits._
     val oldSigs = TextDedup.minhashSignatures(
