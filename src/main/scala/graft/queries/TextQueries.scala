@@ -250,6 +250,34 @@ object TextQueries {
         .select(col("id").as("doc_id"), col("n_tokens"), col("quality_score"), col("keep"))
     }),
 
+    // BPE tokenizer training (Sennrich et al. 2016) — rows-only ⊘:
+    // the merge loop is iterative (each rank's counts depend on the
+    // previous rank's rewrite), not replayable in SQL. BpeSpec pins
+    // both production paths — driver-incremental and distributed
+    // fold-merge — to an independent from-scratch reference; the
+    // first-iteration kernel carries the full hash oracle as q140a.
+    "q140_bpe_train" -> ((s, d) =>
+      graft.text.Bpe.mergesDf(s,
+        graft.text.Bpe.train(Tables.documents(s, d), "text", nMerges = 60, minFreq = 2L))),
+
+    // The q140 training kernel under a FULL oracle: first-iteration
+    // character-pair counts weighted by word frequency (overlapping
+    // occurrences included, Sennrich's get_stats) — the aggregation
+    // every merge iteration repeats on the evolving symbol table.
+    "q140a_bpe_pair_counts" -> ((s, d) =>
+      graft.text.Bpe.charPairCounts(Tables.documents(s, d), "text")),
+
+    // BPE encoding — rows-only ⊘: per-doc token accounting under the
+    // corpus-trained merge table (training is part of the measured
+    // operator, the q96a index-build stance; the scoring join runs
+    // once per distinct word). BpeSpec pins encode == training-final
+    // symbols and the per-doc arithmetic against a by-hand fixture.
+    "q141_bpe_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.text.Bpe.train(docs, "text", nMerges = 40, minFreq = 2L)
+      graft.text.Bpe.tokenCounts(docs, "doc_id", "text", merges)
+    }),
+
     // Same gate for the markdown extractor: heading/emphasis/link/list
     // markers wrap the document and must strip back to plain text.
     "q102_md_extract" -> ((s, d) => {
@@ -603,7 +631,22 @@ object TextQueries {
          'Doc ' || doc_id || chr(10) || text || chr(10) || 'End of doc ' || doc_id AS text
        FROM documents"""
 
+  // q140a: the identical tokenize (the toksSql regex), word counts,
+  // per-position char pairs via a list-valued generate_series unnest
+  // (single-char words yield the empty list and vanish, matching the
+  // empty pair array), weighted sum per (l, r).
+  private val q140aSql =
+    """WITH toks AS (
+         SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+         FROM documents),
+       words AS (SELECT unnest(tk) AS w FROM toks),
+       wc AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+       pos AS (SELECT w, c, unnest(generate_series(1, length(w) - 1)) AS i FROM wc),
+       pairs AS (SELECT substr(w, i, 1) AS l, substr(w, i + 1, 1) AS r, c FROM pos)
+       SELECT l, r, CAST(sum(c) AS BIGINT) AS freq FROM pairs GROUP BY l, r"""
+
   val oracles: Map[String, String] = Map(
+    "q140a_bpe_pair_counts" -> q140aSql,
     "q97_lang_id" -> q97Sql,
     "q98_text_quality" -> q98Sql,
     "q99_fingerprint" -> q99Sql,
