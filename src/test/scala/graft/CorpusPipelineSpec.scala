@@ -123,7 +123,14 @@ class CorpusPipelineSpec extends SparkSpec {
       // deterministic splits over the surviving ids
       Stage("split", Seq("trim"), in =>
         Curator.assignSplits(in("trim").select(col("id")), col("id"),
-          Seq("train" -> 0.9, "val" -> 0.1), seed = 7L)))
+          Seq("train" -> 0.9, "val" -> 0.1), seed = 7L)),
+      // tokenizer construction on the CLEANED corpus (the published
+      // ordering: BPE trains after hygiene/dedup/trim so boilerplate
+      // can't earn merges) + per-doc token accounting
+      Stage("tokenize", Seq("trim"), in => {
+        val merges = graft.text.Bpe.train(in("trim"), "text", nMerges = 10, minFreq = 2L)
+        graft.text.Bpe.tokenCounts(in("trim"), "id", "text", merges)
+      }))
 
     val r = Pipeline.run("pretrain", stages,
       Map("docs" -> corpus, "eval" -> evalSuite))
@@ -167,6 +174,16 @@ class CorpusPipelineSpec extends SparkSpec {
     // packs respect the budget; every survivor packed exactly once
     val packs = r("pack").groupBy("pack_id").agg(sum("n_kept_tokens").as("tok"))
     assert(r("pack").count() == 30 && packs.filter(col("tok") > 64).count() == 0)
+
+    // BPE accounting over the trimmed survivors: every doc tokenized,
+    // 20 words each, and the learned merges compress strictly below
+    // the character count while never dropping below the word count
+    val toks = r("tokenize").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(toks.keySet == (1L to 30L).toSet, s"tokenized ids: ${toks.keySet}")
+    assert(toks.values.forall { case (w, t) => w == 20L && t >= w })
+    assert(toks(5L)._2 < own(5).count(_ != ' ').toLong,
+      "BPE merges must compress below the per-character count")
 
     // splits cover every survivor with labels from the ratio set
     val splits = r("split").collect().map(x => x.getLong(0) -> x.getString(1)).toMap
