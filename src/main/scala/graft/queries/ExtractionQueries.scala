@@ -77,7 +77,22 @@ object ExtractionQueries {
     "q137_shard_corpus" -> ((s, d) =>
       Curator.shardCorpus(Tables.documents(s, d), "doc_id", nShards = 8,
         seed = 42L, portable = true)
-        .select(col("doc_id"), col("shard"), col("shard_pos"))))
+        .select(col("doc_id"), col("shard"), col("shard_pos"))),
+
+    // Multi-epoch oversampling: sources src0/src1/src2 at 60/30/10
+    // weights against a fixed 60k-token budget. At sf0.01 this
+    // exercises every branch — src0 hits the 16-epoch cap (part = 0),
+    // src1 takes ~13 full epochs + a partial, src2 ~4 + a partial.
+    // The oracle replays the token sums, the documented double
+    // arithmetic order, and the Knuth partial-epoch membership.
+    "q142_epoch_mix" -> ((s, d) => {
+      val withTok = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        size(graft.text.TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      Curator.epochMix(withTok, col("doc_id"), "source", "n_tokens",
+        Map("src0" -> 0.6, "src1" -> 0.3, "src2" -> 0.1),
+        tokenBudget = 60000L, maxEpochs = 16.0, seed = 42L, portable = true)
+        .select(col("doc_id"), col("source"), col("epoch").cast("long").as("epoch"))
+    }))
 
   val oracles: Map[String, String] = Map(
     "q70_incremental" ->
@@ -139,5 +154,24 @@ object ExtractionQueries {
             FROM documents)
          SELECT doc_id, hk % 8 AS shard,
                 row_number() OVER (PARTITION BY hk % 8 ORDER BY hk, doc_id) AS shard_pos
-         FROM h""")
+         FROM h""",
+
+    // identical tokenize + per-source token sums; epochs computed with
+    // the double arithmetic in epochMix's documented order
+    // (budget·(w/Σw))/tok, capped by least, floored to full copies;
+    // the partial epoch keeps the identical Knuth-hash slice; the
+    // epoch sequence is the q127-style lateral unnest(range)
+    "q142_epoch_mix" ->
+      """WITH d AS (SELECT doc_id, source,
+              CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS BIGINT) AS ntok
+            FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+         tot AS (SELECT source AS s, CAST(sum(ntok) AS BIGINT) AS tok FROM d GROUP BY source),
+         w(s2, wt) AS (VALUES ('src0', 0.6), ('src1', 0.3), ('src2', 0.1)),
+         p AS (SELECT s, CAST(floor(e) AS INT) AS nfull, e - floor(e) AS part
+               FROM (SELECT s, least(16.0, (60000 * (wt / (0.6 + 0.3 + 0.1))) / tok) AS e
+                     FROM tot JOIN w ON s = s2)),
+         j AS (SELECT doc_id, source, nfull, part FROM d JOIN p ON d.source = p.s)
+         SELECT doc_id, source, CAST(i AS BIGINT) AS epoch
+         FROM j, unnest(range(0, nfull + 1)) AS t(i)
+         WHERE i < nfull OR ((doc_id + 42) * 2654435761 % 4294967296) / 4294967296.0 < part""")
 }

@@ -226,6 +226,72 @@ object Curator {
     df.withColumn(outputCol, expr)
   }
 
+  /** Multi-epoch oversampling to a TOKEN budget — the REPEAT half of
+    * data mixing that [[rebalance]] (downsample-only: scale pins to
+    * the scarcest stratum kept whole) cannot express. Published
+    * pretraining mixtures hit target weights by giving small
+    * high-quality sources MORE than one epoch (GPT-3's "epochs
+    * elapsed when training" column — Wikipedia at 3.4 epochs;
+    * Muennighoff et al. 2023 on repeat value in data-constrained
+    * scaling): each targeted stratum s with token mass tokᵢ and
+    * normalized weight wᵢ is replayed epochsᵢ = budget·wᵢ / tokᵢ
+    * times, capped at `maxEpochs` — ⌊epochsᵢ⌋ full copies plus a
+    * deterministic hash-selected partial copy for the fraction.
+    *
+    * Scale shape: one |targets|-bounded token-sum pass (the
+    * [[rebalance]] driver-read guard), then a PURE NARROW projection —
+    * per row, explode a ≤ ⌈epochs⌉-element epoch sequence and filter
+    * the last epoch by the same hash-fraction family as
+    * [[assignSplits]]; no join, no shuffle, output rows ∝ the token
+    * budget. The partial-epoch slice is a pure function of (key,
+    * seed), so every epoch of a document is the SAME document set
+    * decision under re-runs and repartitioning, and `portable = true`
+    * makes the whole plan replayable in any engine (the DuckDB oracle
+    * does, double-for-double: epochs is computed as
+    * (budget·(w/Σw)) / tok in both).
+    * → input columns + (epoch int, 0-based). */
+  def epochMix(
+      df: DataFrame,
+      key: Column,
+      stratumCol: String,
+      nTokensCol: String,
+      weights: Map[String, Double],
+      tokenBudget: Long,
+      maxEpochs: Double = 16.0,
+      seed: Long = 42L,
+      portable: Boolean = false): DataFrame = {
+    require(weights.nonEmpty, "epochMix needs at least one target stratum")
+    require(weights.values.forall(_ > 0), "mixture weights must be positive")
+    require(tokenBudget > 0, s"tokenBudget must be positive, got $tokenBudget")
+    require(maxEpochs >= 1.0, s"maxEpochs must be at least 1, got $maxEpochs")
+    val total = weights.values.sum
+    val toks = df.filter(col(stratumCol).isin(weights.keys.toSeq: _*))
+      .groupBy(col(stratumCol)).agg(sum(col(nTokensCol).cast("long")).as("tok"))
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    val present = weights.filter { case (s, _) => toks.getOrElse(s, 0L) > 0L }
+    if (present.isEmpty) return df.filter(lit(false)).withColumn("epoch", lit(0))
+    // per-stratum plan, arithmetic ordered exactly as documented so an
+    // oracle replay is bit-identical: need = budget·(w/Σw), epochs =
+    // min(maxEpochs, need / tok), nFull = ⌊epochs⌋, part = epochs − nFull
+    val plan = present.toSeq.sortBy(_._1).map { case (s, w) =>
+      val epochs = math.min(maxEpochs, (tokenBudget * (w / total)) / toks(s))
+      (s, math.floor(epochs).toInt, epochs - math.floor(epochs))
+    }
+    val nFullExpr = plan.foldLeft(when(lit(false), 0)) {
+      case (acc, (s, nFull, _)) => acc.when(col(stratumCol) === s, lit(nFull))
+    }.otherwise(lit(0))
+    val partExpr = plan.foldLeft(when(lit(false), 0.0)) {
+      case (acc, (s, _, part)) => acc.when(col(stratumCol) === s, lit(part))
+    }.otherwise(lit(0.0))
+    val frac = if (portable) portableFraction(key, seed) else hashFraction(key, seed)
+    df.filter(col(stratumCol).isin(present.keys.toSeq: _*))
+      // sequence end is inclusive: epoch nFull is the candidate partial
+      // copy, kept only for the hash-selected fraction (dropped whole
+      // when part == 0 — frac is never negative)
+      .withColumn("epoch", explode(sequence(lit(0), nFullExpr)))
+      .filter(col("epoch") < nFullExpr || frac < partExpr)
+  }
+
   /** Deterministic training-order sharding — the "global shuffle" a
     * pretraining pipeline runs before serving so consumption order is
     * (a) random with respect to source/crawl order, (b) reproducible

@@ -224,4 +224,71 @@ class ExtractionSpec extends SparkSpec {
     intercept[IllegalArgumentException](Curator.temperatureTargets(df, "lang", Seq(), 0.5))
     intercept[IllegalArgumentException](Curator.temperatureTargets(df, "lang", strata, 1.5))
   }
+
+  test("epochMix: full copies exact, partial epoch is the deterministic hash slice, budget honored") {
+    import spark.implicits._
+    // 3 sources x 40 docs x 10 tokens each -> tok_s = 400; weights
+    // 50/30/20 against a 2100-token budget -> epochs 2.625/1.575/1.05
+    val docs = (for (s <- 0 until 3; i <- 0 until 40)
+      yield (s * 100L + i, s"s$s", 10L)).toDF("id", "src", "n_tokens")
+    val weights = Map("s0" -> 0.5, "s1" -> 0.3, "s2" -> 0.2)
+    val out = Curator.epochMix(docs, col("id"), "src", "n_tokens", weights,
+      tokenBudget = 2100L, seed = 42L, portable = true)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(3)))
+    val expectedEpochs = Map("s0" -> 2.625, "s1" -> 1.575, "s2" -> 1.05)
+    for ((s, e) <- expectedEpochs) {
+      val nFull = math.floor(e).toInt
+      val part = e - nFull
+      // every full epoch carries EVERY doc of the source
+      for (ep <- 0 until nFull)
+        assert(out.count(r => r._2 == s && r._3 == ep) == 40, s"$s epoch $ep")
+      // the partial epoch is exactly the Knuth-hash slice, replayed
+      // with independent arithmetic here
+      val expectSel = (0 until 40).map(i => s.drop(1).toInt * 100L + i)
+        .filter(id => ((id + 42L) * 2654435761L % 4294967296L) / 4294967296.0 < part).toSet
+      val gotSel = out.filter(r => r._2 == s && r._3 == nFull).map(_._1).toSet
+      assert(gotSel == expectSel, s"$s partial slice")
+      // no epochs beyond the partial
+      assert(!out.exists(r => r._2 == s && r._3 > nFull))
+      // delivered tokens land near budget * weight (uniform doc sizes)
+      val delivered = out.count(_._2 == s) * 10.0
+      assert(math.abs(delivered / (2100.0 * weights(s)) - 1.0) < 0.2,
+        s"$s delivered $delivered")
+    }
+    // determinism
+    val again = Curator.epochMix(docs, col("id"), "src", "n_tokens", weights,
+      tokenBudget = 2100L, seed = 42L, portable = true)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(3)))
+    assert(out.sortBy(r => (r._1, r._3)).toSeq == again.sortBy(r => (r._1, r._3)).toSeq)
+  }
+
+  test("epochMix: maxEpochs cap, untargeted strata dropped, absent strata empty, tiny budget") {
+    import spark.implicits._
+    val docs = (for (s <- 0 until 3; i <- 0 until 40)
+      yield (s * 100L + i, s"s$s", 10L)).toDF("id", "src", "n_tokens")
+    // an enormous budget caps every source at exactly maxEpochs full
+    // copies (part == 0 -> the candidate partial epoch drops whole)
+    val capped = Curator.epochMix(docs, col("id"), "src", "n_tokens",
+      Map("s0" -> 0.5, "s1" -> 0.5), tokenBudget = 1000000L, maxEpochs = 4.0,
+      seed = 42L, portable = true)
+    assert(capped.count() == 2L * 40L * 4L)
+    assert(capped.groupBy("src").agg(countDistinct(col("epoch")).as("n"))
+      .collect().forall(_.getLong(1) == 4L))
+    // untargeted source never appears
+    assert(capped.filter(col("src") === "s2").count() == 0)
+    // weights naming only absent strata -> structurally empty, schema intact
+    val empty = Curator.epochMix(docs, col("id"), "src", "n_tokens",
+      Map("zz" -> 1.0), tokenBudget = 1000L)
+    assert(empty.count() == 0 && empty.columns.contains("epoch"))
+    // a budget below one epoch yields ONLY the partial slice (epoch 0)
+    val tiny = Curator.epochMix(docs, col("id"), "src", "n_tokens",
+      Map("s0" -> 1.0), tokenBudget = 100L, seed = 42L, portable = true)
+      .collect().map(r => (r.getLong(0), r.getInt(3)))
+    assert(tiny.nonEmpty && tiny.forall(_._2 == 0))
+    assert(tiny.length < 40, "partial-only mix must be a strict subset")
+    intercept[IllegalArgumentException](
+      Curator.epochMix(docs, col("id"), "src", "n_tokens", Map.empty, 100L))
+    intercept[IllegalArgumentException](
+      Curator.epochMix(docs, col("id"), "src", "n_tokens", Map("s0" -> 1.0), 0L))
+  }
 }
