@@ -275,19 +275,43 @@ object Curator {
     // min(maxEpochs, need / tok), nFull = ⌊epochs⌋, part = epochs − nFull
     val plan = present.toSeq.sortBy(_._1).map { case (s, w) =>
       val epochs = math.min(maxEpochs, (tokenBudget * (w / total)) / toks(s))
-      (s, math.floor(epochs).toInt, epochs - math.floor(epochs))
+      EpochPlan(s, math.floor(epochs).toInt, epochs - math.floor(epochs))
     }
+    applyEpochPlan(df, key, stratumCol, plan, seed, portable)
+  }
+
+  /** One stratum's share of an epoch plan: `nFull` whole copies plus
+    * the `partialFrac` hash-selected slice of one more. */
+  final case class EpochPlan(stratum: String, nFull: Int, partialFrac: Double) {
+    require(nFull >= 0 && partialFrac >= 0.0 && partialFrac < 1.0,
+      s"invalid epoch plan for $stratum: $nFull full + $partialFrac partial")
+  }
+
+  /** The materialization half of [[epochMix]], usable standalone with
+    * a precomputed plan — the q135 train/score division: the token
+    * count pass is the bounded offline step, THIS is the 100 TB (and
+    * streaming-composable, append-mode) path — plan literals only, a
+    * per-row epoch explode and a hash filter; no join, no shuffle, no
+    * state. */
+  def applyEpochPlan(
+      df: DataFrame,
+      key: Column,
+      stratumCol: String,
+      plan: Seq[EpochPlan],
+      seed: Long = 42L,
+      portable: Boolean = false): DataFrame = {
+    require(plan.nonEmpty, "applyEpochPlan needs at least one stratum")
     val nFullExpr = plan.foldLeft(when(lit(false), 0)) {
-      case (acc, (s, nFull, _)) => acc.when(col(stratumCol) === s, lit(nFull))
+      case (acc, p) => acc.when(col(stratumCol) === p.stratum, lit(p.nFull))
     }.otherwise(lit(0))
     val partExpr = plan.foldLeft(when(lit(false), 0.0)) {
-      case (acc, (s, _, part)) => acc.when(col(stratumCol) === s, lit(part))
+      case (acc, p) => acc.when(col(stratumCol) === p.stratum, lit(p.partialFrac))
     }.otherwise(lit(0.0))
     val frac = if (portable) portableFraction(key, seed) else hashFraction(key, seed)
-    df.filter(col(stratumCol).isin(present.keys.toSeq: _*))
+    df.filter(col(stratumCol).isin(plan.map(_.stratum): _*))
       // sequence end is inclusive: epoch nFull is the candidate partial
       // copy, kept only for the hash-selected fraction (dropped whole
-      // when part == 0 — frac is never negative)
+      // when partialFrac == 0 — frac is never negative)
       .withColumn("epoch", explode(sequence(lit(0), nFullExpr)))
       .filter(col("epoch") < nFullExpr || frac < partExpr)
   }

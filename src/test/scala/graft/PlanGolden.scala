@@ -41,7 +41,8 @@ object PlanGolden {
     "q122_coverage", "q123_incremental_dedup", "q124_url_dedup",
     "q126_repeated_spans", "q126a_repeated_spans_fast", "q127_chunk",
     "q128_trim_contamination", "q129_lm_perplexity", "q130_dsir_select",
-    "q131_tfidf_keywords", "q133_bigram_perplexity")
+    "q131_tfidf_keywords", "q133_bigram_perplexity",
+    "q140a_bpe_pair_counts", "q141_bpe_encode", "q142_epoch_mix")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSpec.session

@@ -212,7 +212,28 @@ class PlanShapeSpec extends SparkSpec {
     // plan — they are not vocab-bounded at corpus scale)
     "q133_bigram_perplexity" -> PlanGolden.Shape(
       "Project>Aggregate>Project>Join>Project>Join>Project>Join>Project>Generate>Project>Filter>LogicalRelation>Aggregate>Project>Filter>Generate>Project>Filter>LogicalRelation>Aggregate>Aggregate>Project>Filter>Generate>Project>Filter>LogicalRelation>Aggregate>Generate>Project>Filter>LogicalRelation",
-      357))
+      357),
+    // BPE training kernel: word-count aggregate feeding the pair
+    // explode + pair aggregate — two shuffles, both vocab-keyed; a
+    // third Aggregate or a Join appearing means the kernel stopped
+    // being a pure two-level aggregation
+    "q140a_bpe_pair_counts" -> PlanGolden.Shape(
+      "Aggregate>Project>Generate>Aggregate>Generate>Project>LogicalRelation",
+      110),
+    // BPE encode: per-doc aggregate over the word-keyed JOIN of the
+    // occurrence explode with the distinct-word (vocab) leg — exactly
+    // one Join; the encode UDF must stay on the vocab side (inside the
+    // right Aggregate leg), never per-occurrence
+    "q141_bpe_encode" -> PlanGolden.Shape(
+      "Aggregate>Project>Join>Generate>Project>LogicalRelation>Aggregate>Generate>Project>LogicalRelation",
+      61),
+    // epoch mix materialization: pure narrow — epoch Generate + hash
+    // Filter over the scan, NO Join and NO extra Aggregate (the token
+    // census is the offline plan-build step, not in this plan); any
+    // Join/Exchange here is the 100 TB regression
+    "q142_epoch_mix" -> PlanGolden.Shape(
+      "Project>Filter>Generate>Project>Filter>LogicalRelation",
+      77))
 
   test("golden snapshots: operator skeleton exact, expression forest within 1.5x") {
     val failures = golden.toSeq.sortBy(_._1).flatMap { case (name, expected) =>

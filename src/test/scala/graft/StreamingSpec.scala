@@ -344,6 +344,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming epoch-mix materialization: precomputed plan, append mode, agrees with batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // applyEpochPlan's scaladoc claims the materialization half is
+    // streaming-composable (plan literals, per-row explode + hash
+    // filter, no state) — the daily-crawl shape: plan from yesterday's
+    // token census, replay applied to today's stream.
+    val plan = Seq(
+      graft.services.Curator.EpochPlan("web", 2, 0.5),
+      graft.services.Curator.EpochPlan("wiki", 3, 0.0))
+    val in = MemoryStream[(Long, String)]
+    val mixed = graft.services.Curator.applyEpochPlan(
+      in.toDF().toDF("doc_id", "source"), col("doc_id"), "source", plan,
+      seed = 42L, portable = true)
+    val q = mixed.writeStream.format("memory")
+      .queryName("mix_out").outputMode("append").start()
+    try {
+      val rows = (1L to 10L).map(i => (i, if (i % 2 == 0) "web" else "wiki")) :+
+        ((99L, "books")) // untargeted stratum: dropped, not an error
+      in.addData(rows: _*)
+      drain(q)
+      val got = spark.table("mix_out").collect().map(_.toSeq).toSet
+      val batch = graft.services.Curator.applyEpochPlan(
+        rows.toDF("doc_id", "source"), col("doc_id"), "source", plan,
+        seed = 42L, portable = true).collect().map(_.toSeq).toSet
+      assert(got == batch, "stream and batch epoch mix must agree bit-for-bit")
+      assert(!got.exists(_.contains("books")))
+      // wiki rows appear exactly 3 times (no partial), web 2 or 3
+      val wiki = got.toSeq.filter(_.contains("wiki"))
+      assert(wiki.size == 5 * 3)
+    } finally q.stop()
+  }
+
   test("foreachBatchVersioned: one committed version per micro-batch, replay is a no-op") {
     import spark.implicits._
     import graft.sources.VersionedTable
