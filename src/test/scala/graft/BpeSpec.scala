@@ -132,6 +132,25 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.train(singles, "text", nMerges = 5, minFreq = 2L).isEmpty)
   }
 
+  test("merge table round-trips through a versioned table and encodes identically") {
+    // the artifact a tokenizer SHIPS as: mergesDf committed to a
+    // versioned table, reloaded in a later session, rank map rebuilt
+    val docs = corpusDf(Seq("lowest lower lowly slower", "newest newer news sewn"))
+    val merges = Bpe.train(docs, "text", nMerges = 8, minFreq = 2L)
+    assert(merges.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_vt").toString
+    graft.sources.VersionedTable.commit(spark, dir, Bpe.mergesDf(spark, merges))
+    val reloaded = graft.sources.VersionedTable.read(spark, dir)
+      .orderBy("rank").collect()
+      .map(r => Bpe.Merge(r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+      .toSeq
+    assert(reloaded == merges)
+    val ranks = reloaded.map(m => (m.left, m.right) -> m.rank).toMap
+    val orig = merges.map(m => (m.left, m.right) -> m.rank).toMap
+    for (w <- Seq("lowest", "newest", "lowers", "unseen"))
+      assert(Bpe.encodeWord(w, ranks) == Bpe.encodeWord(w, orig), s"word $w")
+  }
+
   test("sf0.001 documents: trained merges are nonempty and encode path covers every doc") {
     val docs = Tables.documents(spark, sfDir)
     val merges = Bpe.train(docs, "text", nMerges = 20, minFreq = 2L)
