@@ -79,6 +79,19 @@ object ExtractionQueries {
         seed = 42L, portable = true)
         .select(col("doc_id"), col("shard"), col("shard_pos"))),
 
+    // Exact-count stratified sampling: 30/10/5 docs of src0/src1/src2
+    // chosen by the portable hash order. At sf0.001 src0 carries only
+    // 25 docs so its cap does NOT bind (the min(k, n) branch); src1/
+    // src2's caps bind at every sf. The oracle replays the identical
+    // rank; the literal max-k conjunct keeps the WindowGroupLimit
+    // pushdown in the plan (plan-asserted).
+    "q143_sample_exact" -> ((s, d) =>
+      Curator.sampleExact(
+        Tables.documents(s, d).select(col("doc_id"), col("source")),
+        col("doc_id"), "source",
+        Map("src0" -> 30L, "src1" -> 10L, "src2" -> 5L),
+        seed = 42L, portable = true)),
+
     // Multi-epoch oversampling: sources src0/src1/src2 at 60/30/10
     // weights against a fixed 60k-token budget. At sf0.01 this
     // exercises every branch — src0 hits the 16-epoch cap (part = 0),
@@ -155,6 +168,16 @@ object ExtractionQueries {
          SELECT doc_id, hk % 8 AS shard,
                 row_number() OVER (PARTITION BY hk % 8 ORDER BY hk, doc_id) AS shard_pos
          FROM h""",
+
+    // identical Knuth-hash order (key tiebreak) and per-stratum rank;
+    // the per-stratum cap is the same CASE arithmetic
+    "q143_sample_exact" ->
+      """WITH r AS (SELECT doc_id, source,
+              row_number() OVER (PARTITION BY source
+                ORDER BY ((doc_id + 42) * 2654435761 % 4294967296) / 4294967296.0, doc_id) AS rk
+            FROM documents WHERE source IN ('src0', 'src1', 'src2'))
+         SELECT doc_id, source FROM r
+         WHERE rk <= 30 AND rk <= CASE source WHEN 'src0' THEN 30 WHEN 'src1' THEN 10 ELSE 5 END""",
 
     // identical tokenize + per-source token sums; epochs computed with
     // the double arithmetic in epochMix's documented order

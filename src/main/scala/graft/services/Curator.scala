@@ -280,6 +280,48 @@ object Curator {
     applyEpochPlan(df, key, stratumCol, plan, seed, portable)
   }
 
+  /** EXACT per-stratum downsampling — keep exactly min(kᵢ, nᵢ) rows
+    * of stratum s, the eval-set/labeling-budget companion to
+    * [[rebalance]] (which holds ratios only in expectation): "exactly
+    * 5k docs per language for the benchmark" is a count contract, not
+    * a ratio. Selection order is the deterministic hash of the key
+    * (tie-broken by the key), so the chosen rows are a pure function
+    * of (corpus, seed) — stable under repartitioning and replayable by
+    * any engine under `portable = true`.
+    *
+    * Scale shape: one hash exchange on the stratum (the Window's
+    * partitionBy) + per-partition sort — and the literal max(kᵢ)
+    * bound is a SEPARATE conjunct so Spark's rank-limit pushdown
+    * (WindowGroupLimit) keeps each map task's contribution to
+    * max(kᵢ) rows BEFORE the exchange: the shuffle moves
+    * O(partitions · max k), not the corpus. A hot stratum therefore
+    * cannot flood its reducer. Per-stratum caps then trim to exact
+    * counts. → input columns, exactly min(kᵢ, nᵢ) rows per stratum. */
+  def sampleExact(
+      df: DataFrame,
+      key: Column,
+      stratumCol: String,
+      counts: Map[String, Long],
+      seed: Long = 42L,
+      portable: Boolean = false): DataFrame = {
+    require(counts.nonEmpty, "sampleExact needs at least one stratum")
+    require(counts.values.forall(_ > 0), "per-stratum counts must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val frac = if (portable) portableFraction(key, seed) else hashFraction(key, seed)
+    val kExpr = counts.toSeq.sortBy(_._1).foldLeft(when(lit(false), 0L)) {
+      case (acc, (s, k)) => acc.when(col(stratumCol) === s, lit(k))
+    }.otherwise(lit(0L))
+    val maxK = counts.values.max
+    val rank = row_number()
+      .over(Window.partitionBy(col(stratumCol)).orderBy(frac, key))
+      .cast("long")
+    df.filter(col(stratumCol).isin(counts.keys.toSeq: _*))
+      .withColumn("_rk", rank)
+      // literal conjunct first: this is the WindowGroupLimit trigger
+      .filter(col("_rk") <= lit(maxK) && col("_rk") <= kExpr)
+      .drop("_rk")
+  }
+
   /** One stratum's share of an epoch plan: `nFull` whole copies plus
     * the `partialFrac` hash-selected slice of one more. */
   final case class EpochPlan(stratum: String, nFull: Int, partialFrac: Double) {

@@ -262,6 +262,41 @@ class ExtractionSpec extends SparkSpec {
     assert(out.sortBy(r => (r._1, r._3)).toSeq == again.sortBy(r => (r._1, r._3)).toSeq)
   }
 
+  test("sampleExact: exact per-stratum counts, hash-order selection, WindowGroupLimit pushdown") {
+    import spark.implicits._
+    val docs = (for (s <- 0 until 3; i <- 0 until 40)
+      yield (s * 100L + i, s"s$s")).toDF("id", "src")
+    val caps = Map("s0" -> 7L, "s1" -> 40L, "s2" -> 60L)
+    val out = Curator.sampleExact(docs, col("id"), "src", caps, seed = 42L, portable = true)
+    val got = out.collect().map(r => (r.getLong(0), r.getString(1)))
+    // exact counts: s0 capped at 7, s1 exactly its population, s2's
+    // over-ask clamps to min(k, n)
+    assert(got.groupBy(_._2).view.mapValues(_.length).toMap ==
+      Map("s0" -> 7, "s1" -> 40, "s2" -> 40))
+    // the chosen 7 are the hash-order head, replayed with independent
+    // arithmetic
+    def h(id: Long) = ((id + 42L) * 2654435761L % 4294967296L) / 4294967296.0
+    val expect7 = (0L until 40L).sortBy(i => (h(i), i)).take(7).toSet
+    assert(got.filter(_._2 == "s0").map(_._1).toSet == expect7)
+    // deterministic and stable under repartitioning
+    val again = Curator.sampleExact(docs.repartition(7), col("id"), "src", caps,
+      seed = 42L, portable = true)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again == got.toSet)
+    // untargeted strata never appear
+    val sub = Curator.sampleExact(docs, col("id"), "src", Map("s1" -> 3L))
+    assert(sub.count() == 3 &&
+      sub.select("src").distinct().collect().map(_.getString(0)).toSeq == Seq("s1"))
+    // the literal max-k conjunct must keep the rank-limit pushdown: a
+    // map task contributes at most max(k) rows per stratum before the
+    // exchange — the skew story depends on this node existing
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"WindowGroupLimit missing:\n$plan")
+    intercept[IllegalArgumentException](Curator.sampleExact(docs, col("id"), "src", Map.empty))
+    intercept[IllegalArgumentException](
+      Curator.sampleExact(docs, col("id"), "src", Map("s0" -> 0L)))
+  }
+
   test("epochMix: maxEpochs cap, untargeted strata dropped, absent strata empty, tiny budget") {
     import spark.implicits._
     val docs = (for (s <- 0 until 3; i <- 0 until 40)
