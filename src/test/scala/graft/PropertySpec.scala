@@ -389,4 +389,71 @@ class PropertySpec extends SparkSpec {
     // failed evolutions committed nothing: current is still v6
     assert(VersionedTable.currentVersion(spark, t).contains(6))
   }
+
+  test("BPE train/encode laws on random corpora: matches the from-scratch reference, encode is lossless") {
+    import spark.implicits._
+    import graft.text.Bpe
+    for (seed <- 1 to 4) {
+      val rnd = new Random(700 + seed)
+      val vocab = Vector("banana", "bandana", "cabana", "ban", "anna",
+        "aa", "aaa", "aaaa", "abcabc", "xyz")
+      val docs = (1L to 25L).map(id =>
+        id -> List.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      val df = docs.toDF("doc_id", "text")
+      val n = 3 + rnd.nextInt(10)
+      val merges = Bpe.train(df, "text", nMerges = n, minFreq = 2L)
+      // 1) merge-for-merge agreement with the independent reference
+      val freqs = docs.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      assert(merges == BpeSpec.refTrain(freqs, n, 2L), s"seed=$seed")
+      // 2) encode laws for EVERY word (incl. unseen): lossless
+      //    concatenation, count in [1, len], trained words reproduce
+      //    the training-replay symbols
+      val ranks = merges.map(m => (m.left, m.right) -> m.rank).toMap
+      for (w <- vocab :+ "unseenword") {
+        val enc = Bpe.encodeWord(w, ranks)
+        assert(enc.mkString == w, s"seed=$seed word=$w lossy")
+        assert(enc.nonEmpty && enc.size <= w.length, s"seed=$seed word=$w count")
+        if (freqs.contains(w))
+          assert(enc == BpeSpec.refApplyAll(w, merges), s"seed=$seed word=$w replay")
+      }
+    }
+  }
+
+  test("epochMix/sampleExact arithmetic laws on random mixtures") {
+    import spark.implicits._
+    for (seed <- 1 to 4) {
+      val rnd = new Random(800 + seed)
+      val nSrc = 2 + rnd.nextInt(3)
+      val docs = (for (s <- 0 until nSrc; i <- 0 until 10 + rnd.nextInt(30))
+        yield (s * 1000L + i, s"s$s", 5L + rnd.nextInt(20))).toDF("id", "src", "n_tokens")
+      val pops = docs.groupBy("src").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val toks = docs.groupBy("src").agg(sum("n_tokens").as("t")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val weights = (0 until nSrc).map(s => s"s$s" -> (0.1 + rnd.nextDouble())).toMap
+      val budget = 200L + rnd.nextInt(5000)
+      val out = Curator.epochMix(docs, col("id"), "src", "n_tokens", weights,
+        tokenBudget = budget, maxEpochs = 6.0, seed = 42L, portable = true)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(3)))
+      val total = weights.values.sum
+      for ((s, w) <- weights) {
+        val epochs = math.min(6.0, (budget * (w / total)) / toks(s))
+        val nFull = math.floor(epochs).toInt
+        // every full epoch is the whole stratum; nothing beyond nFull+1
+        for (ep <- 0 until nFull)
+          assert(out.count(r => r._2 == s && r._3 == ep) == pops(s), s"seed=$seed $s ep=$ep")
+        assert(!out.exists(r => r._2 == s && r._3 > nFull), s"seed=$seed $s overflow")
+      }
+      // sampleExact: exact min(k, n) per stratum, disjoint strata
+      val caps = (0 until nSrc).map(s => s"s$s" -> (1L + rnd.nextInt(50))).toMap
+      val sampled = Curator.sampleExact(docs, col("id"), "src", caps,
+        seed = 42L, portable = true)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(sampled.length == sampled.distinct.length, s"seed=$seed dup rows")
+      val bySrc = sampled.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      for ((s, k) <- caps)
+        assert(bySrc.getOrElse(s, 0L) == math.min(k, pops(s)), s"seed=$seed $s count")
+    }
+  }
 }
