@@ -156,4 +156,189 @@ object Audio {
       }
       .toDF("path", "payload")
   }
+
+  // ---- acoustic fingerprinting (the audio member of the dedup family) ----
+
+  private val FpFrame = 2048 // samples per analysis frame (power of 2)
+  private val FpHop = 1024
+  private val FpBands = 17 // log-spaced energy bands -> 16 difference pairs
+  private val FpLoHz = 300.0
+  private val FpHiHz = 2500.0
+  private val FpQuarters = 4 // time pooling: 4 quarters x 16 pairs = 64 bits
+
+  /** 64-bit acoustic fingerprint per clip — the audio sibling of
+    * [[Image.pHash]], completing the multimodal dedup family. The
+    * construction is Haitsma & Kalker 2002 ("A Highly Robust Audio
+    * Fingerprint System"): per overlapped frame, energies in
+    * log-spaced bands (300–2500 Hz); sub-fingerprint bit m = sign of
+    * the band-pair energy difference DERIVATIVE across time,
+    * (E(n,m) − E(n,m+1)) − (E(n−1,m) − E(n−1,m+1)) — invariant under
+    * amplitude scaling (energies scale uniformly, signs survive) and
+    * robust to requantization/low noise (a flipped sign needs a
+    * near-tie). The per-frame 16-bit words pool to 64 bits by
+    * majority vote inside four time quarters, so the signature keeps
+    * coarse temporal structure and small local perturbations cannot
+    * flip pooled bits.
+    *
+    * Scale shape: per-file map tasks (payload bytes never shuffle);
+    * downstream banding moves (id, long) rows only — the q93/q134
+    * story. Non-PCM payloads and clips shorter than 5 frames
+    * error-tag and are excluded from banding by the caller.
+    * → (pathCol, afp long, error). */
+  def acousticFingerprint(
+      binary: DataFrame, pathCol: String = "path", payloadCol: String = "content"): DataFrame = {
+    val spark = binary.sparkSession
+    import spark.implicits._
+    binary.select(col(pathCol).cast("string"), col(payloadCol))
+      .as[(String, Array[Byte])]
+      .map { case (path, bytes) =>
+        fingerprint64(bytes) match {
+          case Right(fp) => (path, fp, null: String)
+          case Left(err) => (path, 0L, err)
+        }
+      }
+      .toDF(pathCol, "afp", "error")
+  }
+
+  /** Hamming near-duplicate pairs over acoustic fingerprints, exact
+    * for distance ≤ `maxDist` via the same 8-band pigeonhole machinery
+    * as q93/q134. */
+  def nearDuplicates(
+      binary: DataFrame, maxDist: Int = 7,
+      pathCol: String = "path", payloadCol: String = "content"): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 7,
+      s"maxDist must be in [0, 7] (8-band pigeonhole exactness bound), got $maxDist")
+    val sigs = acousticFingerprint(binary, pathCol, payloadCol)
+      .filter(col("error").isNull)
+      .select(col(pathCol).as("id"), col("afp").as("simhash"))
+    graft.dedup.TextDedup.simhashNearPairs(sigs, maxDist, bands = 8)
+  }
+
+  private[graft] def fingerprint64(bytes: Array[Byte]): Either[String, Long] =
+    parseWav(bytes).flatMap { w =>
+      if (w.bitsPerSample != 16 && w.bitsPerSample != 8)
+        Left(s"unsupported bits/sample for fingerprint: ${w.bitsPerSample}")
+      else {
+        val mono = monoSamples(bytes, w)
+        val nFrames = if (mono.length < FpFrame) 0 else (mono.length - FpFrame) / FpHop + 1
+        if (nFrames < 5) Left(s"too short to fingerprint: $nFrames frames")
+        else Right(fingerprintFrames(mono, nFrames, w.sampleRate))
+      }
+    }
+
+  /** Channel-averaged double samples in [-1, 1]. */
+  private[graft] def monoSamples(bytes: Array[Byte], w: WavInfo): Array[Double] = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val out = new Array[Double](w.frames.toInt)
+    var f = 0
+    while (f < out.length) {
+      var acc = 0.0
+      var c = 0
+      while (c < w.channels) {
+        acc += (if (w.bitsPerSample == 16)
+          bb.getShort(w.dataOffset + (f * w.channels + c) * 2) / 32768.0
+        else ((bytes(w.dataOffset + f * w.channels + c) & 0xFF) - 128) / 128.0)
+        c += 1
+      }
+      out(f) = acc / w.channels
+      f += 1
+    }
+    out
+  }
+
+  private def fingerprintFrames(mono: Array[Double], nFrames: Int, sampleRate: Int): Long = {
+    // log-spaced band edges as FFT bin indices, clamped to Nyquist
+    val nyquist = sampleRate / 2.0
+    val hi = math.min(FpHiHz, nyquist * 0.95)
+    val edges = Array.tabulate(FpBands + 1)(b =>
+      FpLoHz * math.pow(hi / FpLoHz, b.toDouble / FpBands))
+    val bins = edges.map(f => math.max(1, math.min(FpFrame / 2 - 1,
+      math.round(f * FpFrame / sampleRate).toInt)))
+    val re = new Array[Double](FpFrame)
+    val im = new Array[Double](FpFrame)
+    val hann = Array.tabulate(FpFrame)(i =>
+      0.5 - 0.5 * math.cos(2 * math.Pi * i / (FpFrame - 1)))
+    var prev: Array[Double] = null
+    // votes(q)(m): sum of signs of the difference derivative
+    val votes = Array.ofDim[Int](FpQuarters, FpBands - 1)
+    var n = 0
+    while (n < nFrames) {
+      var i = 0
+      while (i < FpFrame) {
+        re(i) = mono(n * FpHop + i) * hann(i); im(i) = 0.0; i += 1
+      }
+      fft(re, im)
+      val e = new Array[Double](FpBands)
+      var b = 0
+      while (b < FpBands) {
+        var s = 0.0
+        var k = bins(b)
+        while (k < bins(b + 1)) { s += re(k) * re(k) + im(k) * im(k); k += 1 }
+        e(b) = s
+        b += 1
+      }
+      if (prev != null) {
+        val q = math.min(FpQuarters - 1, (n - 1) * FpQuarters / math.max(1, nFrames - 1))
+        var m = 0
+        while (m < FpBands - 1) {
+          val d = (e(m) - e(m + 1)) - (prev(m) - prev(m + 1))
+          votes(q)(m) += (if (d > 0) 1 else -1)
+          m += 1
+        }
+      }
+      prev = e
+      n += 1
+    }
+    var fp = 0L
+    var q = 0
+    while (q < FpQuarters) {
+      var m = 0
+      while (m < FpBands - 1) {
+        if (votes(q)(m) > 0) fp |= 1L << (q * (FpBands - 1) + m)
+        m += 1
+      }
+      q += 1
+    }
+    fp
+  }
+
+  /** In-place iterative radix-2 Cooley–Tukey FFT (the textbook public
+    * algorithm; length must be a power of two — FpFrame is). */
+  private[graft] def fft(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    // bit-reversal permutation
+    var j = 0
+    var i = 1
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2 * math.Pi / len
+      val wr = math.cos(ang); val wi = math.sin(ang)
+      var blk = 0
+      while (blk < n) {
+        var cr = 1.0; var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val ur = re(blk + k); val ui = im(blk + k)
+          val vr = re(blk + k + len / 2) * cr - im(blk + k + len / 2) * ci
+          val vi = re(blk + k + len / 2) * ci + im(blk + k + len / 2) * cr
+          re(blk + k) = ur + vr; im(blk + k) = ui + vi
+          re(blk + k + len / 2) = ur - vr; im(blk + k + len / 2) = ui - vi
+          val ncr = cr * wr - ci * wi; ci = cr * wi + ci * wr; cr = ncr
+          k += 1
+        }
+        blk += len
+      }
+      len <<= 1
+    }
+  }
 }

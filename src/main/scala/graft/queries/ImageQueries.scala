@@ -72,7 +72,87 @@ object ImageQueries {
     buf.toByteArray
   }
 
+  /** Deterministic synthetic clip for q144 (the audio twin of
+    * [[syntheticImage]], same density lesson): 3 s at 8 kHz mono
+    * 16-bit, four segments of twelve summed sinusoids, each tone
+    * amplitude-modulated at 1–6 Hz so band energies move continuously
+    * (a stationary mixture leaves the Haitsma–Kalker
+    * difference-derivative at quantization ties, and clips much
+    * shorter than ~20 frames leave the quarter-majority bits weakly
+    * pooled — both lessons measured). Tones synthesize by phasor
+    * RECURRENCE (two multiply-adds per tone per sample, no
+    * trigonometry in the hot loop), so a 50k-doc render stays
+    * bench-friendly. `scale` varies only amplitude — the invariance
+    * the planted duplicates exercise. */
+  private[graft] def syntheticWav(seed: Long, scale: Double): Array[Byte] = {
+    val rate = 8000; val n = 24000; val tones = 12
+    val rnd = new scala.util.Random(seed)
+    val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2).put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(1)
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(n * 2)
+    val segLen = n / 4
+    var seg = 0
+    while (seg < 4) {
+      // per tone: carrier phasor (rotated by 2πf/rate per sample) and
+      // envelope phasor (2πfm/rate) — sin = imaginary part
+      val amp = new Array[Double](tones)
+      val cr = new Array[Double](tones); val ci = new Array[Double](tones)
+      val rotR = new Array[Double](tones); val rotI = new Array[Double](tones)
+      val er = new Array[Double](tones); val ei = new Array[Double](tones)
+      val erotR = new Array[Double](tones); val erotI = new Array[Double](tones)
+      var k = 0
+      while (k < tones) {
+        val f = 320.0 * math.pow(7.0, rnd.nextDouble())
+        amp(k) = 0.2 + 0.8 * rnd.nextDouble()
+        val fm = 1.0 + 5.0 * rnd.nextDouble()
+        val ph = 2 * math.Pi * rnd.nextDouble()
+        cr(k) = 1.0; ci(k) = 0.0
+        rotR(k) = math.cos(2 * math.Pi * f / rate); rotI(k) = math.sin(2 * math.Pi * f / rate)
+        er(k) = math.cos(ph); ei(k) = math.sin(ph)
+        erotR(k) = math.cos(2 * math.Pi * fm / rate); erotI(k) = math.sin(2 * math.Pi * fm / rate)
+        k += 1
+      }
+      var i = 0
+      while (i < segLen) {
+        var v = 0.0
+        k = 0
+        while (k < tones) {
+          v += amp(k) * (0.55 + 0.45 * ei(k)) * ci(k)
+          val ncr = cr(k) * rotR(k) - ci(k) * rotI(k)
+          ci(k) = cr(k) * rotI(k) + ci(k) * rotR(k); cr(k) = ncr
+          val ner = er(k) * erotR(k) - ei(k) * erotI(k)
+          ei(k) = er(k) * erotI(k) + ei(k) * erotR(k); er(k) = ner
+          k += 1
+        }
+        bb.putShort((math.max(-1.0, math.min(1.0, v / 6.0 * scale)) * 32767).toShort)
+        i += 1
+      }
+      seg += 1
+    }
+    bb.array()
+  }
+
   val queries: Map[String, Q] = Map(
+    // Acoustic near-dup (rows-only ⊘, the q134 stance): every doc
+    // renders a seeded modulated tone mixture; every 50th doc
+    // re-renders its PREDECESSOR's mixture at half amplitude — a
+    // planted duplicate under exactly the transformation the
+    // fingerprint is invariant to. AudioSpec pins recovery/rejection.
+    "q144_audio_neardup" -> ((s, d) => {
+      import s.implicits._
+      val clips = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val dup = id % 50 == 49
+          val seed = if (dup) id - 1 else id
+          (s"clip$id", syntheticWav(seed, scale = if (dup) 0.45 else 0.9))
+        }
+        .toDF("path", "content")
+      graft.multimodal.Audio.nearDuplicates(clips, maxDist = 7)
+    }),
+
     "q134_phash_neardup" -> ((s, d) => {
       import s.implicits._
       val imgs = Tables.documents(s, d).select(col("doc_id")).as[Long]

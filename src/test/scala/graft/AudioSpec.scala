@@ -83,4 +83,83 @@ class AudioSpec extends SparkSpec {
     assert(samplesAt(out("a.wav"), 60, 1).head == 777)
     assert(out("b.wav").toSeq == wav.toSeq, "no segments → payload unchanged")
   }
+
+  /** Seeded tone-mixture clip: 3 s at 8 kHz mono 16-bit, four 0.75 s
+    * segments of SIXTEEN summed sinusoids each, frequencies log-drawn
+    * across the fingerprint's band range — a spectrally DENSE signal
+    * whose structure changes over time, so every band carries real
+    * energy and the difference-derivative bits are decisions, not
+    * tie-break noise (the same density lesson as the image fixture's
+    * cosine fields). `scale` only changes amplitude (the invariance
+    * planted duplicates exercise). */
+  private def toneWav(seed: Long, scale: Double): Array[Byte] = {
+    val rate = 8000; val n = 24000
+    val rnd = new scala.util.Random(seed)
+    // every tone carries its own slow amplitude modulation (1–6 Hz) so
+    // band energies move CONTINUOUSLY frame to frame — the
+    // difference-derivative bit is a decision at every frame, as in
+    // real audio, not only at segment boundaries (a stationary mixture
+    // leaves the derivative at quantization-noise ties)
+    val segs = Array.fill(4)(Array.fill(16)((
+      320.0 * math.pow(7.0, rnd.nextDouble()),
+      0.2 + 0.8 * rnd.nextDouble(),
+      1.0 + 5.0 * rnd.nextDouble(),
+      2 * math.Pi * rnd.nextDouble())))
+    val samples = Array.tabulate(n) { i =>
+      val t = i.toDouble / rate
+      val seg = segs(math.min(3, i / (n / 4)))
+      val v = seg.map { case (f, a, fm, ph) =>
+        a * (0.55 + 0.45 * math.sin(2 * math.Pi * fm * t + ph)) *
+          math.sin(2 * math.Pi * f * t)
+      }.sum / 8.0
+      (math.max(-1.0, math.min(1.0, v * scale)) * 32767).toShort
+    }
+    val bb = ByteBuffer.allocate(44 + n * 2).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2).put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(1)
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(n * 2)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  test("acoustic fingerprint: amplitude-invariant, distinct clips far apart, degenerate inputs error-tag") {
+    def fp(b: Array[Byte]) = Audio.fingerprint64(b).toOption.get
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // amplitude scaling (with its 16-bit requantization) stays within
+    // the near-dup radius; distinct seeds land far outside it
+    for (seed <- 1L to 5L) {
+      val d = ham(fp(toneWav(seed, 0.9)), fp(toneWav(seed, 0.4)))
+      assert(d <= 7, s"seed=$seed scaled-dup distance $d")
+    }
+    for (s1 <- 1L to 4L; s2 <- (s1 + 1) to 5L) {
+      val d = ham(fp(toneWav(s1, 0.9)), fp(toneWav(s2, 0.9)))
+      assert(d > 12, s"seeds=($s1,$s2) unrelated distance $d")
+    }
+    // degenerate inputs are tagged, not zero-fingerprinted
+    assert(Audio.fingerprint64(Array[Byte](0x49, 0x44, 0x33, 0)).isLeft)
+    assert(Audio.fingerprint64(makeWav(8000, 1, 3000)).isLeft) // < 5 frames
+  }
+
+  test("audio nearDuplicates recovers planted scaled copies, rejects the rest, drops error rows") {
+    import spark.implicits._
+    val clips = (1L to 10L).flatMap { s =>
+      Seq(s"clip$s.wav" -> toneWav(s, 0.9)) ++
+        (if (s % 3 == 0) Seq(s"clip${s}_dup.wav" -> toneWav(s, 0.45)) else Nil)
+    } :+ ("broken.mp3" -> Array[Byte](0x49, 0x44, 0x33, 0))
+    val pairs = Audio.nearDuplicates(clips.toDF("path", "content"), maxDist = 7)
+      .collect().map(r => Set(r.getString(0), r.getString(1)))
+    val expected = Seq(3L, 6L, 9L).map(s => Set(s"clip$s.wav", s"clip${s}_dup.wav"))
+    assert(pairs.toSet == expected.toSet, s"pairs: ${pairs.toSeq}")
+  }
+
+  test("q144 fixture: every planted half-amplitude duplicate recovered, nothing else") {
+    val out = graft.queries.ImageQueries.queries("q144_audio_neardup")(spark, sfDir)
+      .collect().map(r => (r.getString(0).drop(4).toLong, r.getString(1).drop(4).toLong))
+    val expected = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter("doc_id % 50 = 49").count()
+    assert(out.length.toLong == expected, s"pairs: ${out.length} vs planted $expected")
+    assert(out.forall { case (a, b) =>
+      (a - b).abs == 1 && a.max(b) % 50 == 49 }, s"non-planted pair in ${out.toSeq}")
+  }
 }
