@@ -88,7 +88,14 @@ object GrowthBench {
     "q140_bpe_train" -> (10.0, "BPE train: one corpus word-count pass + vocabulary-bounded merge loop (vocab grows 30k->50k at 10x docs): token-linear; budget = token ratio"),
     "q142_epoch_mix" -> (6.0, "epoch mix: |targets|-bounded count pass + narrow epoch explode; output rows fixed by the TOKEN BUDGET (epochs shrink as the corpus grows), so only the scan scales"),
     "q143_sample_exact" -> (6.0, "exact stratified sample: WindowGroupLimit caps map output at max(k) per stratum, shuffle moves O(partitions*k); only the scan scales"),
-    "q144_audio_neardup" -> (6.0, "acoustic near-dup: per-clip render+FFT map tasks (clip-linear), banding shuffles (id, long) only — the q93/q134 shape"),
+    // q144 budget DERIVATION (the q117/q122 pattern): the fixture
+    // renders one fixed-length clip per doc, so clips — the unit of
+    // render+FFT work, which dominates — grow exactly 10.0× at 10×
+    // docs and the model bound for this per-file map path IS the clip
+    // ratio; banding moves (id, long) only. Measured 5.07× on the
+    // first gated run (partial parallel saturation); an empirical 6.0
+    // would be a thin 18% margin below the model bound for no reason.
+    "q144_audio_neardup" -> (10.0, "acoustic near-dup: per-clip render+FFT map tasks; budget = clip ratio 10.0x (clips/doc fixed); banding shuffles (id, long) only — the q93/q134 shape"),
     "q141_bpe_encode" -> (10.0, "BPE encode: train + per-DISTINCT-word greedy encode + word-keyed occurrence join + per-doc agg: token-linear; budget = token ratio"),
     "g135_quality_score_docs" -> (10.0, "fixed-model scoring: narrow shuffle-free per-token fold; budget = token ratio (training is the bounded offline step, not gated)"),
     "g136_semantic_neardup_docs" -> (8.0, "within-cell LSH pairs on (cluster,band,sig) keys: signature-linear like g116; cell assignment deterministic (k-means fit is the bounded offline model-build)"))
