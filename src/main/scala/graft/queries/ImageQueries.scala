@@ -143,7 +143,16 @@ object ImageQueries {
     // fingerprint is invariant to. AudioSpec pins recovery/rejection.
     "q144_audio_neardup" -> ((s, d) => {
       import s.implicits._
-      val clips = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      // Repartition the 8-byte id frame BEFORE the render map: the
+      // per-row cost (24k-sample render + 22 FFTs ≈ ms) dwarfs the
+      // scan, and parallelism of a narrow map = input splits — a
+      // single-row-group parquet file gives ONE split, serializing
+      // the whole render on one core (measured 11.7 s → ~1.2 s at
+      // sf0.1). Explicit numPartitions so AQE cannot coalesce the
+      // tiny-by-bytes shuffle back to one partition. Ids move, clip
+      // payloads never do — the render stays map-local.
+      val clips = Tables.documents(s, d).select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism).as[Long]
         .map { id =>
           val dup = id % 50 == 49
           val seed = if (dup) id - 1 else id
@@ -155,7 +164,10 @@ object ImageQueries {
 
     "q134_phash_neardup" -> ((s, d) => {
       import s.implicits._
-      val imgs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      // Same split-vs-compute mismatch as q144 (see above): spread
+      // the id frame across cores before the per-row image render.
+      val imgs = Tables.documents(s, d).select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism).as[Long]
         .map { id =>
           val dup = id % 50 == 49
           val seed = if (dup) id - 1 else id
