@@ -19,9 +19,16 @@ object Curator {
 
   /** Knuth multiplicative hash → [0, 1). Pure 64-bit integer
     * arithmetic, reproducible in any engine (the portable alternative
-    * to xxhash64 for cross-engine checks). Keys must be integral. */
+    * to xxhash64 for cross-engine checks). Keys must be integral.
+    * pmod, not %: Spark's % preserves the dividend's sign, so a
+    * negative key (or a product wrapped past 2⁶³ — keys ≥ ~3.47e9
+    * with seed 42) would yield a NEGATIVE fraction that every
+    * `frac < p` consumer silently over-accepts. The DuckDB oracle
+    * replays the formula with plain % over non-negative fixture keys,
+    * where pmod and % coincide — an oracle over signed keys must spell
+    * it `((x % m) + m) % m`. */
   def portableFraction(key: Column, seed: Long): Column =
-    ((key + seed) * lit(2654435761L) % lit(4294967296L)) / lit(4294967296.0)
+    pmod((key + seed) * lit(2654435761L), lit(4294967296L)) / lit(4294967296.0)
 
   /** xxhash64-based fraction — the Spark-native default (codegen'd,
     * works for any key type). */

@@ -204,8 +204,13 @@ object Bpe {
   /** Greedy BPE encoding of one word: repeatedly merge the
     * lowest-rank adjacent pair present (all its occurrences at once,
     * left-to-right), until no learned pair remains — the standard
-    * apply algorithm, which reproduces training's final symbol
-    * sequence for every word the table was trained on. */
+    * GPT-2-style apply algorithm. Equal to training's one-pass-per-rank
+    * replay except in one corner: when distinct decompositions create
+    * the same token string (e.g. merges (a,bc) and (ab,c) both
+    * yielding "abc"), a higher-rank merge can recreate an occurrence
+    * of a lower-rank pair, which greedy re-merges while replay does
+    * not. Such duplicate-token merge tables are possible and accepted
+    * — greedy apply is the deployed convention. */
   def encodeWord(word: String, ranks: Map[(String, String), Int]): Seq[String] = {
     var syms: Array[String] = word.iterator.map(_.toString).toArray
     var done = syms.length < 2
