@@ -96,6 +96,11 @@ object GrowthBench {
     // first gated run (partial parallel saturation); an empirical 6.0
     // would be a thin 18% margin below the model bound for no reason.
     "q144_audio_neardup" -> (10.0, "acoustic near-dup: per-clip render+FFT map tasks; budget = clip ratio 10.0x (clips/doc fixed); banding shuffles (id, long) only — the q93/q134 shape"),
+    // q145 budget: same derivation as q144 — one fixed-size clip per
+    // doc, 4 frames each, so render+pHash work (the dominant term)
+    // grows exactly 10.0× at 10× docs; the aligned banding moves
+    // (id, idx, hash) rows only, never frames or payloads.
+    "q145_video_neardup" -> (10.0, "video frame-fingerprint near-dup: per-clip container parse + 4 render/pHash map tasks; budget = clip ratio 10.0x (frames/clip fixed); aligned banding shuffles (id, idx, hash) only — the q144 shape"),
     "q141_bpe_encode" -> (10.0, "BPE encode: train + per-DISTINCT-word greedy encode + word-keyed occurrence join + per-doc agg: token-linear; budget = token ratio"),
     "g135_quality_score_docs" -> (10.0, "fixed-model scoring: narrow shuffle-free per-token fold; budget = token ratio (training is the bounded offline step, not gated)"),
     "g136_semantic_neardup_docs" -> (8.0, "within-cell LSH pairs on (cluster,band,sig) keys: signature-linear like g116; cell assignment deterministic (k-means fit is the bounded offline model-build)"))

@@ -181,4 +181,127 @@ object Video {
     lit(0).as("width"),
     lit(0).as("height"),
     lit("stub").as("format"))
+
+  // ---- frame-level perceptual signatures (the video member of the
+  // dedup family: text q92/q93, image q134, audio q144, video here) ----
+
+  /** Deterministic 64-bit frame-hash stand-in, the scalar sibling of
+    * [[decodeFrameStub]]: first 8 bytes of md5(payload ‖ ts_ms). Equal
+    * payloads hash equal at every timestamp (exact-duplicate clips
+    * match end-to-end through [[nearDuplicates]]), unrelated payloads
+    * land ~32 Hamming bits apart — the mid-Hamming-space property the
+    * banding relies on. A codec decoder replaces this behind the SAME
+    * `(payload, tsMs) → Either[error, hash64]` seam (decode the frame
+    * at ts, then [[Image.pHash64]]), and nothing downstream changes —
+    * VideoSpec and the q145 fixture drive that seam with a REAL
+    * render→encode→decode→pHash decoder to prove it. */
+  def stubFrameHash(payload: Array[Byte], tsMs: Long): Either[String, Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(payload)
+    md.update(ByteBuffer.allocate(8).putLong(tsMs).array())
+    Right(ByteBuffer.wrap(md.digest()).getLong(0))
+  }
+
+  /** Per-clip frame signature rows: parse the container for duration,
+    * take `n` mid-interval timestamps (the [[frameSamplePlan]] grid),
+    * and hash each sampled frame through the `frameHash` seam — ALL
+    * inside one `flatMap` task per clip, so the payload bytes never
+    * leave the scan task and what flows downstream is (id, sample_idx,
+    * frame_hash) — 24-byte rows, a billion clips ⇒ n·10⁹ longs, not
+    * pixels. Non-MP4 / zero-duration payloads yield one error-tagged
+    * row (sample_idx −1), per-frame decode failures error-tag that
+    * frame only — the error-rows-never-dropped contract.
+    * → (pathCol, sample_idx, frame_hash, error). */
+  def frameSignatures(
+      binary: DataFrame, n: Int,
+      frameHash: (Array[Byte], Long) => Either[String, Long] = stubFrameHash,
+      pathCol: String = "path", payloadCol: String = "content"): DataFrame = {
+    require(n > 0, "sample count must be positive")
+    val spark = binary.sparkSession
+    import spark.implicits._
+    binary.select(col(pathCol).cast("string"), col(payloadCol))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        parseMp4(bytes) match {
+          case Left(err) => Seq((path, -1, 0L, err))
+          case Right(m) if m.durationSec <= 0 =>
+            Seq((path, -1, 0L, "zero duration — nothing to sample"))
+          case Right(m) =>
+            (0 until n).map { i =>
+              val tsMs = math.round((i + 0.5) * m.durationSec * 1000.0 / n)
+              frameHash(bytes, tsMs) match {
+                case Right(h)  => (path, i, h, null: String)
+                case Left(err) => (path, i, 0L, err)
+              }
+            }
+        }
+      }
+      .toDF(pathCol, "sample_idx", "frame_hash", "error")
+  }
+
+  /** Near-duplicate clip pairs from frame signatures: per-frame
+    * Hamming banding with the q93/q134 8×8-bit pigeonhole (exact for
+    * frame distance ≤ `maxDist` ≤ 7), but keyed on (sample_idx, band,
+    * sig) — TEMPORAL ALIGNMENT is in the shuffle key, so frame i only
+    * ever meets frame i and a clip sharing scenes at a time OFFSET
+    * does not pair (the published frame-fingerprint video-copy
+    * detection shape: align first, then match). Clips pair when at
+    * least ⌈minMatchFrac·nFrames⌉ aligned frames match — robust to a
+    * minority of frames falling on cuts/transitions.
+    *
+    * Scale shape: the band explode and join move (id, idx, hash) rows
+    * only; the per-band join key (idx, band, sig) keeps candidate
+    * groups frame-local, and the final per-pair count is a groupBy on
+    * already-verified pairs. No all-pairs comparison anywhere; pixels
+    * and payloads never shuffle. Same localCheckpoint rationale as
+    * `simhashNearPairs`: the signature lineage feeds both sides of a
+    * broadcast-vs-shuffle self-join ReusedExchange cannot collapse.
+    * → (id_1, id_2, frames_matched, avg_distance). */
+  def nearDuplicatesBySignatures(
+      frameSigs: DataFrame, nFrames: Int, maxDist: Int = 7,
+      minMatchFrac: Double = 0.75, idCol: String = "path"): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 7,
+      s"maxDist must be in [0, 7] (8-band pigeonhole exactness bound), got $maxDist")
+    require(minMatchFrac > 0 && minMatchFrac <= 1,
+      s"minMatchFrac must be in (0, 1], got $minMatchFrac")
+    val bands = 8
+    val bandMask = (1L << 8) - 1L
+    val sigs = frameSigs.filter(col("error").isNull)
+      .select(col(idCol).as("id"), col("sample_idx").as("idx"),
+        col("frame_hash").as("fh"))
+      .localCheckpoint(true)
+    val banded = sigs.select(col("id"), col("idx"), col("fh"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("fh"), b * 8).bitwiseAND(bandMask).as("sig"))): _*)).as("_b"))
+      .select(col("id"), col("idx"), col("fh"),
+        col("_b.band").as("band"), col("_b.sig").as("sig"))
+    banded.toDF("id_1", "idx", "fh_1", "band", "sig")
+      .join(banded.toDF("id_2", "idx", "fh_2", "band", "sig"), Seq("idx", "band", "sig"))
+      .filter(col("id_1") < col("id_2"))
+      .select("id_1", "id_2", "idx", "fh_1", "fh_2")
+      .distinct()
+      .withColumn("distance",
+        graft.dedup.TextDedup.hammingDistance(col("fh_1"), col("fh_2")))
+      .filter(col("distance") <= maxDist)
+      .groupBy("id_1", "id_2")
+      .agg(count(lit(1)).as("frames_matched"),
+        avg("distance").as("avg_distance"))
+      .filter(col("frames_matched") >= math.ceil(minMatchFrac * nFrames).toLong)
+  }
+
+  /** Perceptual near-duplicate clip pairs over a binary video corpus:
+    * [[frameSignatures]] (container parse + `nFrames` sampled frame
+    * hashes per clip, one task per file) composed with
+    * [[nearDuplicatesBySignatures]] (temporally-aligned Hamming
+    * banding). `frameHash` is the codec seam — default
+    * [[stubFrameHash]]; a real pipeline passes decode-then-pHash. */
+  def nearDuplicates(
+      binary: DataFrame, nFrames: Int = 8, maxDist: Int = 7,
+      minMatchFrac: Double = 0.75,
+      frameHash: (Array[Byte], Long) => Either[String, Long] = stubFrameHash,
+      pathCol: String = "path", payloadCol: String = "content"): DataFrame =
+    nearDuplicatesBySignatures(
+      frameSignatures(binary, nFrames, frameHash, pathCol, payloadCol),
+      nFrames, maxDist, minMatchFrac, idCol = pathCol)
 }

@@ -135,6 +135,58 @@ object ImageQueries {
     bb.array()
   }
 
+  /** Deterministic synthetic MP4 for q145 (the video member of the
+    * fixture family): a structurally-correct ISO-BMFF container —
+    * ftyp + moov(mvhd 4 s @ timescale 1000, one 'vide' trak) — so
+    * [[graft.multimodal.Video.parseMp4]] reads REAL box grammar, plus
+    * a 'free' box carrying (sceneSeed, renderSize, jpegFlag): the
+    * scene parameters a codec would recover from mdat, which this
+    * container cannot hold (no codec in either environment — the
+    * documented stub boundary; everything around it is real). */
+  private[graft] def syntheticMp4(seed: Long, size: Int, jpeg: Boolean): Array[Byte] = {
+    def u32(v: Long) = java.nio.ByteBuffer.allocate(4).putInt(v.toInt).array()
+    def box(tpe: String, p: Array[Byte]) =
+      java.nio.ByteBuffer.allocate(8 + p.length)
+        .putInt(8 + p.length).put(tpe.getBytes("US-ASCII")).put(p).array()
+    def fullBox(tpe: String, p: Array[Byte]) = box(tpe, Array[Byte](0, 0, 0, 0) ++ p)
+    val free = box("free", java.nio.ByteBuffer.allocate(13)
+      .putLong(seed).putInt(size).put((if (jpeg) 1 else 0).toByte).array())
+    val mvhd = fullBox("mvhd",
+      u32(0) ++ u32(0) ++ u32(1000) ++ u32(4000) ++ Array.fill[Byte](80)(0))
+    val tkhd = fullBox("tkhd", u32(0) ++ u32(0) ++ u32(1) ++ u32(0) ++ u32(0) ++
+      Array.fill[Byte](52)(0) ++ u32(size.toLong << 16) ++ u32(size.toLong << 16))
+    val hdlr = fullBox("hdlr", u32(0) ++ "vide".getBytes("US-ASCII") ++ Array.fill[Byte](12)(0))
+    val trak = box("trak", tkhd ++ box("mdia", hdlr))
+    box("ftyp", "isom".getBytes("US-ASCII") ++ u32(512)) ++ free ++
+      box("moov", mvhd ++ trak)
+  }
+
+  /** The q145 frame decoder behind [[graft.multimodal.Video]]'s
+    * `(payload, tsMs) → Either[error, hash64]` seam — REAL except the
+    * codec step: read the scene parameters from the container's free
+    * box, render the 1-scene-per-second [[syntheticImage]] at the
+    * clip's own resolution/encoding, then decode those bytes back
+    * through `javax.imageio` and pHash — so re-encoded (jpeg) and
+    * rescaled duplicate CLIPS exercise exactly the codec invariance
+    * q134 proves for still images, frame by frame. */
+  private[graft] def videoFrameDecoder(payload: Array[Byte], tsMs: Long): Either[String, Long] = {
+    val bb = java.nio.ByteBuffer.wrap(payload)
+    var off = 0
+    while (off + 8 <= payload.length) {
+      val sz = bb.getInt(off)
+      if (new String(payload, off + 4, 4, "US-ASCII") == "free") {
+        val seed = bb.getLong(off + 8)
+        val size = bb.getInt(off + 16)
+        val fmt = if (bb.get(off + 20) == 1) "jpg" else "png"
+        val scene = tsMs / 1000 // one scene per second
+        val frameBytes = syntheticImage(seed + 1000003L * scene, size, fmt)
+        return Image.decode(frameBytes).map { case (_, img) => Image.pHash64(img) }
+      }
+      off += math.max(8, sz)
+    }
+    Left("no free box in fixture mp4")
+  }
+
   val queries: Map[String, Q] = Map(
     // Acoustic near-dup (rows-only ⊘, the q134 stance): every doc
     // renders a seeded modulated tone mixture; every 50th doc
@@ -160,6 +212,28 @@ object ImageQueries {
         }
         .toDF("path", "content")
       graft.multimodal.Audio.nearDuplicates(clips, maxDist = 7)
+    }),
+
+    // Video near-dup (rows-only ⊘, the q134/q144 stance): every doc
+    // gets a 4-scene synthetic clip; every 50th doc re-renders its
+    // PREDECESSOR's scene sequence at a different resolution with
+    // jpeg (lossy) frames — a planted duplicate under exactly the
+    // transformations frame-level pHash sees through. VideoSpec pins
+    // recovery, rejection, and that time-OFFSET scene sharing does
+    // NOT pair (alignment lives in the shuffle key).
+    "q145_video_neardup" -> ((s, d) => {
+      import s.implicits._
+      // Same split-vs-compute mismatch as q144 (see above).
+      val clips = Tables.documents(s, d).select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism).as[Long]
+        .map { id =>
+          val dup = id % 50 == 49
+          val seed = if (dup) id - 1 else id
+          (s"vid$id", syntheticMp4(seed, size = if (dup) 48 else 32, jpeg = dup))
+        }
+        .toDF("path", "content")
+      graft.multimodal.Video.nearDuplicates(clips, nFrames = 4, maxDist = 7,
+        minMatchFrac = 0.75, frameHash = videoFrameDecoder _)
     }),
 
     "q134_phash_neardup" -> ((s, d) => {

@@ -121,4 +121,66 @@ class VideoSpec extends SparkSpec {
       .select(col("frame.frame_hash") === col("frame2.frame_hash")).head.getBoolean(0)
     assert(!other) // different ts → different frame
   }
+
+  // ---- frame signatures + near-dup (the video dedup member) ----
+
+  test("frameSignatures emits n hash rows per valid clip, one error row per bad payload") {
+    val df = Seq(("a.mp4", sampleMp4), ("bad.bin", "garbage".getBytes))
+      .toDF("path", "content")
+    val rows = Video.frameSignatures(df, n = 4).orderBy("path", "sample_idx").collect()
+    assert(rows.length == 5)
+    val good = rows.filter(_.getString(0) == "a.mp4")
+    assert(good.map(_.getInt(1)).toSeq == Seq(0, 1, 2, 3))
+    assert(good.forall(_.getAs[String]("error") == null))
+    // stub seam: equal payloads hash equal per timestamp, distinct across
+    assert(good.map(_.getLong(2)).distinct.length == 4)
+    val bad = rows.filter(_.getString(0) == "bad.bin")
+    assert(bad.length == 1 && bad(0).getInt(1) == -1 && bad(0).getAs[String]("error") != null)
+  }
+
+  test("nearDuplicates (stub seam): exact-duplicate payloads match at every frame, distance 0") {
+    val df = Seq(
+      ("a.mp4", sampleMp4),
+      ("a_copy.mp4", sampleMp4),
+      ("other.mp4", sampleMp4 ++ box("free", Array[Byte](9)))) // different bytes
+      .toDF("path", "content")
+    val pairs = Video.nearDuplicates(df, nFrames = 4).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getString(0) == "a.mp4" && pairs(0).getString(1) == "a_copy.mp4")
+    assert(pairs(0).getLong(2) == 4 && pairs(0).getDouble(3) == 0.0)
+  }
+
+  test("q145 decoder seam: rescaled+re-encoded duplicate clips recovered, unrelated and time-offset clips rejected") {
+    import graft.queries.ImageQueries.{syntheticMp4, videoFrameDecoder}
+    // a: 32px png scenes from seed 7; aDup: the SAME scene sequence at
+    // 48px jpeg — the planted q145 transformation. bOffset: seed 7 +
+    // 1000003, i.e. a's scene k+1 at index k — three of four scene
+    // IMAGES shared with a, but none at an aligned index. c: unrelated.
+    val df = Seq(
+      ("a", syntheticMp4(7L, 32, jpeg = false)),
+      ("aDup", syntheticMp4(7L, 48, jpeg = true)),
+      ("bOffset", syntheticMp4(7L + 1000003L, 32, jpeg = false)),
+      ("c", syntheticMp4(999L, 32, jpeg = false)))
+      .toDF("path", "content")
+    val pairs = Video.nearDuplicates(df, nFrames = 4, maxDist = 7,
+      minMatchFrac = 0.75, frameHash = videoFrameDecoder _)
+      .collect()
+    assert(pairs.length == 1, s"expected only the planted pair, got ${pairs.toSeq}")
+    assert(pairs(0).getString(0) == "a" && pairs(0).getString(1) == "aDup")
+    assert(pairs(0).getLong(2) >= 3) // ≥ ceil(0.75·4) aligned frames within 7 bits
+  }
+
+  test("nearDuplicatesBySignatures verifies Hamming exactly: a one-frame match does not pair at minMatchFrac 0.75") {
+    // clips sharing exactly one aligned frame hash: below the 3-of-4 gate
+    val sigs = Seq(
+      ("x", 0, 0x1234L, null: String), ("x", 1, 0xAAAAL, null: String),
+      ("x", 2, 0xBBBBL, null: String), ("x", 3, 0xCCCCL, null: String),
+      ("y", 0, 0x1234L, null: String), ("y", 1, 0x5555L, null: String),
+      ("y", 2, 0x6666L, null: String), ("y", 3, 0x7777L, null: String))
+      .toDF("path", "sample_idx", "frame_hash", "error")
+    assert(Video.nearDuplicatesBySignatures(sigs, nFrames = 4).count() == 0)
+    // at minMatchFrac 0.25 the same one-frame overlap DOES pair
+    val loose = Video.nearDuplicatesBySignatures(sigs, nFrames = 4, minMatchFrac = 0.25).collect()
+    assert(loose.length == 1 && loose(0).getLong(2) == 1)
+  }
 }
