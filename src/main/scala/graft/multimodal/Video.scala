@@ -240,32 +240,43 @@ object Video {
   }
 
   /** Near-duplicate clip pairs from frame signatures: per-frame
-    * Hamming banding with the q93/q134 8×8-bit pigeonhole (exact for
-    * frame distance ≤ `maxDist` ≤ 7), but keyed on (sample_idx, band,
-    * sig) — TEMPORAL ALIGNMENT is in the shuffle key, so frame i only
-    * ever meets frame i and a clip sharing scenes at a time OFFSET
-    * does not pair (the published frame-fingerprint video-copy
-    * detection shape: align first, then match). Clips pair when at
-    * least ⌈minMatchFrac·nFrames⌉ aligned frames match — robust to a
-    * minority of frames falling on cuts/transitions.
+    * Hamming banding with the pigeonhole split (`bands` bands of
+    * 64/`bands` bits — exact for frame distance ≤ `bands` − 1), keyed
+    * on (sample_idx, band, sig) — TEMPORAL ALIGNMENT is in the shuffle
+    * key, so frame i only ever meets frame i and a clip sharing scenes
+    * at a time OFFSET does not pair (the published frame-fingerprint
+    * video-copy detection shape: align first, then match). Clips pair
+    * when at least ⌈minMatchFrac·nFrames⌉ aligned frames match —
+    * robust to a minority of frames falling on cuts/transitions.
+    *
+    * BAND WIDTH IS THE SCALE DIAL, the same trade text simhash makes
+    * (q93): an 8-bit band has 256 values, so candidate groups — and
+    * the band self-join's output — grow QUADRATICALLY once the corpus
+    * outgrows bands·256·nFrames rows (measured: the growth gate blew
+    * 12.8× > 10× at 50k clips on 8-bit bands). The default 4×16-bit
+    * split (exact for d ≤ 3, 65536-value bands) keeps collision
+    * groups near-singleton to millions of frames per sample slot;
+    * callers needing the published pHash radius d ≤ 7 on a bounded
+    * corpus pass bands = 8 explicitly and accept the collision cost.
     *
     * Scale shape: the band explode and join move (id, idx, hash) rows
-    * only; the per-band join key (idx, band, sig) keeps candidate
-    * groups frame-local, and the final per-pair count is a groupBy on
-    * already-verified pairs. No all-pairs comparison anywhere; pixels
-    * and payloads never shuffle. Same localCheckpoint rationale as
+    * only; Hamming verification runs BEFORE the pair-distinct, so
+    * band-duplicate candidates die in the codegen'd filter instead of
+    * feeding a shuffle. No all-pairs comparison anywhere; pixels and
+    * payloads never shuffle. Same localCheckpoint rationale as
     * `simhashNearPairs`: the signature lineage feeds both sides of a
     * broadcast-vs-shuffle self-join ReusedExchange cannot collapse.
     * → (id_1, id_2, frames_matched, avg_distance). */
   def nearDuplicatesBySignatures(
-      frameSigs: DataFrame, nFrames: Int, maxDist: Int = 7,
-      minMatchFrac: Double = 0.75, idCol: String = "path"): DataFrame = {
-    require(maxDist >= 0 && maxDist <= 7,
-      s"maxDist must be in [0, 7] (8-band pigeonhole exactness bound), got $maxDist")
+      frameSigs: DataFrame, nFrames: Int, maxDist: Int = 3,
+      minMatchFrac: Double = 0.75, bands: Int = 4, idCol: String = "path"): DataFrame = {
+    require(bands > 0 && 64 % bands == 0, s"bands must divide 64, got $bands")
+    require(maxDist >= 0 && maxDist <= bands - 1,
+      s"maxDist must be in [0, ${bands - 1}] ($bands-band pigeonhole exactness bound), got $maxDist")
     require(minMatchFrac > 0 && minMatchFrac <= 1,
       s"minMatchFrac must be in (0, 1], got $minMatchFrac")
-    val bands = 8
-    val bandMask = (1L << 8) - 1L
+    val bandBits = 64 / bands
+    val bandMask = if (bandBits == 64) -1L else (1L << bandBits) - 1L
     val sigs = frameSigs.filter(col("error").isNull)
       .select(col(idCol).as("id"), col("sample_idx").as("idx"),
         col("frame_hash").as("fh"))
@@ -273,17 +284,17 @@ object Video {
     val banded = sigs.select(col("id"), col("idx"), col("fh"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("fh"), b * 8).bitwiseAND(bandMask).as("sig"))): _*)).as("_b"))
+          shiftright(col("fh"), b * bandBits).bitwiseAND(bandMask).as("sig"))): _*)).as("_b"))
       .select(col("id"), col("idx"), col("fh"),
         col("_b.band").as("band"), col("_b.sig").as("sig"))
     banded.toDF("id_1", "idx", "fh_1", "band", "sig")
       .join(banded.toDF("id_2", "idx", "fh_2", "band", "sig"), Seq("idx", "band", "sig"))
       .filter(col("id_1") < col("id_2"))
-      .select("id_1", "id_2", "idx", "fh_1", "fh_2")
-      .distinct()
       .withColumn("distance",
         graft.dedup.TextDedup.hammingDistance(col("fh_1"), col("fh_2")))
       .filter(col("distance") <= maxDist)
+      .select("id_1", "id_2", "idx", "distance")
+      .distinct()
       .groupBy("id_1", "id_2")
       .agg(count(lit(1)).as("frames_matched"),
         avg("distance").as("avg_distance"))
@@ -297,11 +308,11 @@ object Video {
     * banding). `frameHash` is the codec seam — default
     * [[stubFrameHash]]; a real pipeline passes decode-then-pHash. */
   def nearDuplicates(
-      binary: DataFrame, nFrames: Int = 8, maxDist: Int = 7,
-      minMatchFrac: Double = 0.75,
+      binary: DataFrame, nFrames: Int = 8, maxDist: Int = 3,
+      minMatchFrac: Double = 0.75, bands: Int = 4,
       frameHash: (Array[Byte], Long) => Either[String, Long] = stubFrameHash,
       pathCol: String = "path", payloadCol: String = "content"): DataFrame =
     nearDuplicatesBySignatures(
       frameSignatures(binary, nFrames, frameHash, pathCol, payloadCol),
-      nFrames, maxDist, minMatchFrac, idCol = pathCol)
+      nFrames, maxDist, minMatchFrac, bands, idCol = pathCol)
 }

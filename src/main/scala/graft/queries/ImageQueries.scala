@@ -10,12 +10,14 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.multimodal.Image
 
-/** Perceptual image near-dup (q134) — rows-only ⊘: the pHash DCT is
-  * Spark-computed over JVM-decoded pixels and not replayable in SQL,
-  * so correctness lives in ImageSpec (planted rescaled/re-encoded
-  * duplicates recovered, unrelated images rejected); this row exists
-  * so the production plan and timing are artifact facts per round,
-  * the q96/q116a pattern.
+/** The multimodal near-dup fixture queries — image pHash (q134),
+  * acoustic fingerprint (q144), video frame-fingerprint (q145) — all
+  * rows-only ⊘: the perceptual transforms are Spark-computed over
+  * JVM-decoded payloads and not replayable in SQL, so correctness
+  * lives in ImageSpec/AudioSpec/VideoSpec (planted transformed
+  * duplicates recovered, unrelated rejected); the rows exist so the
+  * production plans and timings are artifact facts per round, the
+  * q96/q116a pattern.
   *
   * The corpus carries no image column, so the query manufactures one
   * deterministically from doc ids (the q117/q118 fixture discipline):
@@ -232,7 +234,12 @@ object ImageQueries {
           (s"vid$id", syntheticMp4(seed, size = if (dup) 48 else 32, jpeg = dup))
         }
         .toDF("path", "content")
-      graft.multimodal.Video.nearDuplicates(clips, nFrames = 4, maxDist = 7,
+      // d ≤ 3 on 4×16-bit bands — the corpus-scale pigeonhole (q93's
+      // trade): planted frame dups land ≤ 2 bits, and 65536-value
+      // bands keep collision groups near-singleton as the corpus
+      // grows (8-bit bands measurably went quadratic at 50k clips —
+      // the growth gate caught 12.8× > 10×).
+      graft.multimodal.Video.nearDuplicates(clips, nFrames = 4, maxDist = 3,
         minMatchFrac = 0.75, frameHash = videoFrameDecoder _)
     }),
 

@@ -162,7 +162,7 @@ class VideoSpec extends SparkSpec {
       ("bOffset", syntheticMp4(7L + 1000003L, 32, jpeg = false)),
       ("c", syntheticMp4(999L, 32, jpeg = false)))
       .toDF("path", "content")
-    val pairs = Video.nearDuplicates(df, nFrames = 4, maxDist = 7,
+    val pairs = Video.nearDuplicates(df, nFrames = 4, maxDist = 3,
       minMatchFrac = 0.75, frameHash = videoFrameDecoder _)
       .collect()
     assert(pairs.length == 1, s"expected only the planted pair, got ${pairs.toSeq}")
@@ -182,5 +182,19 @@ class VideoSpec extends SparkSpec {
     // at minMatchFrac 0.25 the same one-frame overlap DOES pair
     val loose = Video.nearDuplicatesBySignatures(sigs, nFrames = 4, minMatchFrac = 0.25).collect()
     assert(loose.length == 1 && loose(0).getLong(2) == 1)
+  }
+
+  test("band width is the radius dial: d=5 frames pair at 8x8-bit bands, not at the default 4x16") {
+    // every frame of y is x's frame with 5 bits flipped (distance 5):
+    // beyond the default d<=3 exactness radius, inside bands=8/d<=7
+    val flip5 = (h: Long) => h ^ 0x1F00L
+    val base = Seq(0x0123456789ABCDEFL, 0x0F0F0F0F0F0F0F0FL, 0x00FF00FF00FF00FFL, 0x7777777777777777L)
+    val sigs = (base.zipWithIndex.map { case (h, i) => ("x", i, h, null: String) } ++
+      base.zipWithIndex.map { case (h, i) => ("y", i, flip5(h), null: String) })
+      .toDF("path", "sample_idx", "frame_hash", "error")
+    assert(Video.nearDuplicatesBySignatures(sigs, nFrames = 4).count() == 0)
+    val wide = Video.nearDuplicatesBySignatures(sigs, nFrames = 4,
+      maxDist = 7, bands = 8).collect()
+    assert(wide.length == 1 && wide(0).getLong(2) == 4 && wide(0).getDouble(3) == 5.0)
   }
 }
