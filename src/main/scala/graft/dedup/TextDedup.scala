@@ -1049,4 +1049,58 @@ object TextDedup {
       .filter(col("distance") <= maxDist)
       .select("id_1", "id_2", "distance")
   }
+
+  /** Incremental Hamming near-dup: probe a NEW batch of 64-bit
+    * fingerprints against an EXISTING signed corpus — the
+    * [[incrementalNearDups]] daily-crawl contract carried to the
+    * whole fingerprint family, text simhash (q93) and the perceptual
+    * hashes alike (image pHash q134, acoustic q144, video frames
+    * q145 all emit (id, simhash)-shaped rows): re-fingerprinting
+    * 100 TB of history per batch is the thing to avoid, and a
+    * fingerprint store — 16 bytes/row, a
+    * [[graft.sources.VersionedTable]] with one appended version per
+    * batch — is all the history the probe needs.
+    *
+    * The band join is ASYMMETRIC: only the batch's band rows probe
+    * the corpus's, so old×old pairs are never generated and work
+    * scales with |batch| · collision rate, not |corpus|². A
+    * re-crawled id (present in both frames) contributes its NEW
+    * fingerprint only — the stale store row is anti-joined out
+    * against the broadcast batch ids before the union, the
+    * [[incrementalNearDups]] staleness rule. Hamming verifies before
+    * the pair-distinct (the q145 lesson: band-duplicate candidates
+    * die in the codegen'd filter, not in a shuffle). Exactness is the
+    * pigeonhole bound: d ≤ `bands` − 1 for every pair involving ≥ 1
+    * batch document. → (id_1, id_2, distance), id_1 < id_2. */
+  def simhashNearPairsIncremental(
+      newSigs0: DataFrame, oldSigs: DataFrame,
+      maxDist: Int = 3, bands: Int = 4): DataFrame = {
+    require(bands > 0 && 64 % bands == 0, s"bands must divide 64, got $bands")
+    require(maxDist >= 0 && maxDist <= bands - 1,
+      s"maxDist must be in [0, ${bands - 1}] ($bands-band pigeonhole exactness bound), got $maxDist")
+    val bandBits = 64 / bands
+    val bandMask = if (bandBits == 64) -1L else (1L << bandBits) - 1L
+    // The batch is SMALL by the incremental contract and feeds three
+    // consumers (the anti-join build side, its own band rows, the
+    // union) — materialize once; oldSigs stays lazy, by the same
+    // contract a persisted prunable table.
+    val newSigs = newSigs0.select(col("id"), col("simhash")).localCheckpoint(true)
+    val oldOnly = oldSigs.select(col("id"), col("simhash"))
+      .join(broadcast(newSigs.select("id")), Seq("id"), "left_anti")
+    val all = oldOnly.unionByName(newSigs)
+    def banded(df: DataFrame, idAs: String, shAs: String): DataFrame =
+      df.select(col("id").as(idAs), col("simhash").as(shAs),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), b * bandBits).bitwiseAND(bandMask).as("sig"))): _*)).as("_b"))
+        .select(col(idAs), col(shAs), col("_b.band").as("band"), col("_b.sig").as("sig"))
+    banded(newSigs, "_ida", "_sha")
+      .join(banded(all, "_idb", "_shb"), Seq("band", "sig"))
+      .filter(col("_ida") =!= col("_idb"))
+      .withColumn("distance", hammingDistance(col("_sha"), col("_shb")))
+      .filter(col("distance") <= maxDist)
+      .select(least(col("_ida"), col("_idb")).as("id_1"),
+        greatest(col("_ida"), col("_idb")).as("id_2"), col("distance"))
+      .distinct()
+  }
 }

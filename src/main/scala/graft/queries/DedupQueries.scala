@@ -130,6 +130,26 @@ object DedupQueries {
         oldSigs, n = N, k = K, bands = Bands, threshold = 0.5)
     }),
 
+    // the daily-crawl shape for the FINGERPRINT family (q93/q134/
+    // q144/q145 all emit (id, simhash) rows): every 10th doc plays
+    // the incoming batch, the rest the signed corpus — only its
+    // 16-byte/row fingerprint store exists, the incremental trade;
+    // the asymmetric band probe never generates old×old pairs, and
+    // every output pair involves ≥ 1 batch doc. Full hash gate: the
+    // simhash is the portable md5 bit replay, so DuckDB rebuilds the
+    // fingerprints and replays the probe condition exactly.
+    "q146_incremental_fingerprint" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      def sigs(part: DataFrame) =
+        TextDedup.simhash64(TextDedup.tokenSets(part, "doc_id", "text"))
+      // the persisted-store stand-in, materialized once (the q123
+      // fixture discipline)
+      val oldSigs = sigs(docs.filter(col("doc_id") % 10 =!= 0)).localCheckpoint(true)
+      TextDedup.simhashNearPairsIncremental(
+        sigs(docs.filter(col("doc_id") % 10 === 0)), oldSigs, maxDist = 3)
+        .select(col("id_1"), col("id_2"), col("distance").cast("long").as("distance"))
+    }),
+
     // URL-level dedup (RefinedWeb/CCNet keep-one-per-canonical-URL):
     // five crawl spellings of the same page — case-varied host, www,
     // default port, tracking params, reordered query, fragment,
@@ -417,6 +437,13 @@ object DedupQueries {
         WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3"""
   }
 
+  /** q146 oracle: the q93 fingerprint replay with the incremental
+    * probe condition — only pairs involving ≥ 1 batch doc (doc_id %
+    * 10 = 0) survive; old×old pairs are excluded exactly as the
+    * asymmetric band join never generates them. */
+  private val q146Sql =
+    q93Sql + " AND (a.id % 10 = 0 OR b.id % 10 = 0)"
+
   /** q121 oracle: identical 13-gram construction, eval-side distinct,
     * overlap counts left-joined so clean documents keep their 0. */
   private val q121Sql = {
@@ -523,6 +550,7 @@ object DedupQueries {
     "q138_split_leakage" -> q138Sql,
     "q139_cluster_split" -> q139Sql,
     "q93_dedup_simhash" -> q93Sql,
+    "q146_incremental_fingerprint" -> q146Sql,
     "q94_dedup_ngram" -> jaccardSql(shSql, "sh", 0.5),
     "q125_dedup_prefix" -> jaccardSql(shSql, "sh", 0.8),
     "q114_dedup_clusters" -> q114Sql,

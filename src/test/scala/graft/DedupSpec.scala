@@ -305,6 +305,36 @@ class DedupSpec extends SparkSpec {
     assert(rows.contains((2L, 10L)))
   }
 
+  test("simhashNearPairsIncremental: equals the batch-involving subset of full pairs at sf0.001") {
+    val sigs = TextDedup.simhash64(
+      TextDedup.tokenSets(Tables.documents(spark, sfDir), "doc_id", "text"))
+      .localCheckpoint(true)
+    val full = TextDedup.simhashNearPairs(sigs, maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val expected = full.filter { case (a, b, _) => a % 10 == 0 || b % 10 == 0 }
+    val got = TextDedup.simhashNearPairsIncremental(
+      sigs.filter(col("id") % 10 === 0), sigs.filter(col("id") % 10 =!= 0), maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(expected.nonEmpty, "fixture should contain batch-involving near-dups")
+    assert(got == expected,
+      s"incremental != batch-subset of full: extra=${got -- expected} missing=${expected -- got}")
+  }
+
+  test("simhashNearPairsIncremental: new fingerprint wins, old×old pairs never emitted") {
+    import spark.implicits._
+    // store: 1 (stale, identical to 2), 2, 3; 2–3 are ONE bit apart —
+    // an old×old near pair the asymmetric probe must never emit. The
+    // batch re-signs 1 far from everything and adds 4 near 2 and 3.
+    val oldSigs = Seq((1L, 0xFFL), (2L, 0xFFL), (3L, 0xFEL)).toDF("id", "simhash")
+    val batch = Seq((1L, 0xAA00AA00AA00AA00L), (4L, 0xFDL)).toDF("id", "simhash")
+    val got = TextDedup.simhashNearPairsIncremental(batch, oldSigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((2L, 4L, 1), (3L, 4L, 2)),
+      s"expected exactly the batch-vs-corpus pairs, got $got")
+    // (1,2) d=0 and (1,4) d=1 under the STALE signature — both absent;
+    // (2,3) d=1 is old×old — absent; and no duplicate (id_1,id_2) keys.
+  }
+
   test("boilerplateLines: a doc with no non-empty lines appears with 0 lines, passes") {
     import spark.implicits._
     val corpus = Seq(
