@@ -214,6 +214,22 @@ object Audio {
     graft.dedup.TextDedup.simhashNearPairs(sigs, maxDist, bands = 8)
   }
 
+  /** Incremental acoustic near-dup: fingerprint the NEW batch only
+    * and probe a persisted (id, simhash) store — the daily-crawl
+    * contract ([[graft.dedup.TextDedup.simhashNearPairsIncremental]]):
+    * history's samples are never re-decoded, old×old pairs never
+    * generated, a re-crawled id's new fingerprint wins. Persist this
+    * batch's `acousticFingerprint` output as the next store version.
+    * → (id_1, id_2, distance). */
+  def nearDuplicatesIncremental(
+      newBinary: DataFrame, oldSigs: DataFrame, maxDist: Int = 7, bands: Int = 8,
+      pathCol: String = "path", payloadCol: String = "content"): DataFrame = {
+    val sigs = acousticFingerprint(newBinary, pathCol, payloadCol)
+      .filter(col("error").isNull)
+      .select(col(pathCol).as("id"), col("afp").as("simhash"))
+    graft.dedup.TextDedup.simhashNearPairsIncremental(sigs, oldSigs, maxDist, bands)
+  }
+
   private[graft] def fingerprint64(bytes: Array[Byte]): Either[String, Long] =
     parseWav(bytes).flatMap { w =>
       if (w.bitsPerSample != 16 && w.bitsPerSample != 8)

@@ -163,6 +163,22 @@ object Image {
     graft.dedup.TextDedup.simhashNearPairs(sigs, maxDist, bands = 8)
   }
 
+  /** Incremental perceptual near-dup: [[pHash]] the NEW batch only and
+    * probe a persisted (id, simhash) fingerprint store — the
+    * daily-crawl contract ([[graft.dedup.TextDedup.simhashNearPairsIncremental]]):
+    * history's pixels are never re-decoded, old×old pairs never
+    * generated, a re-crawled id's new hash wins. Persist this batch's
+    * `pHash` output as the next store version. Same band/radius dial
+    * as [[nearDuplicates]]. → (id_1, id_2, distance). */
+  def nearDuplicatesIncremental(
+      newBinary: DataFrame, oldSigs: DataFrame, maxDist: Int = 7, bands: Int = 8,
+      pathCol: String = "path", payloadCol: String = "content"): DataFrame = {
+    val sigs = pHash(newBinary, pathCol, payloadCol)
+      .filter(col("error").isNull)
+      .select(col(pathCol).as("id"), col("phash").as("simhash"))
+    graft.dedup.TextDedup.simhashNearPairsIncremental(sigs, oldSigs, maxDist, bands)
+  }
+
   // ---- byte-level decode (runs inside executor tasks) ----
 
   /** → Right((formatName, image)) or Left(error). */

@@ -315,4 +315,67 @@ object Video {
     nearDuplicatesBySignatures(
       frameSignatures(binary, nFrames, frameHash, pathCol, payloadCol),
       nFrames, maxDist, minMatchFrac, bands, idCol = pathCol)
+
+  /** Incremental video near-dup over frame signatures: a NEW batch's
+    * (id, sample_idx, frame_hash) rows probe a persisted frame-
+    * signature store — the daily-crawl contract
+    * ([[graft.dedup.TextDedup.simhashNearPairsIncremental]]) lifted
+    * to the temporally-aligned shape: the asymmetric band join keys
+    * on (sample_idx, band, sig), so old×old clip pairs are never
+    * generated and history's frames are never re-decoded; a
+    * re-crawled id's new signature rows replace ALL its store rows
+    * (anti-join on the broadcast batch ids). The per-pair
+    * ⌈minMatchFrac·nFrames⌉ gate then runs on batch-involving pairs
+    * only. Persist this batch's [[frameSignatures]] output as the
+    * next store version. → (id_1, id_2, frames_matched, avg_distance). */
+  def nearDuplicatesBySignaturesIncremental(
+      newFrameSigs: DataFrame, oldFrameSigs: DataFrame, nFrames: Int,
+      maxDist: Int = 3, minMatchFrac: Double = 0.75, bands: Int = 4,
+      idCol: String = "path"): DataFrame = {
+    require(bands > 0 && 64 % bands == 0, s"bands must divide 64, got $bands")
+    require(maxDist >= 0 && maxDist <= bands - 1,
+      s"maxDist must be in [0, ${bands - 1}] ($bands-band pigeonhole exactness bound), got $maxDist")
+    require(minMatchFrac > 0 && minMatchFrac <= 1,
+      s"minMatchFrac must be in (0, 1], got $minMatchFrac")
+    val bandBits = 64 / bands
+    val bandMask = if (bandBits == 64) -1L else (1L << bandBits) - 1L
+    def clean(df: DataFrame) = df.filter(col("error").isNull)
+      .select(col(idCol).as("id"), col("sample_idx").as("idx"), col("frame_hash").as("fh"))
+    val newSigs = clean(newFrameSigs).localCheckpoint(true)
+    val oldOnly = clean(oldFrameSigs)
+      .join(broadcast(newSigs.select("id").distinct()), Seq("id"), "left_anti")
+    val all = oldOnly.unionByName(newSigs)
+    def banded(df: DataFrame, idAs: String, fhAs: String): DataFrame =
+      df.select(col("id").as(idAs), col("idx"), col("fh").as(fhAs),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("fh"), b * bandBits).bitwiseAND(bandMask).as("sig"))): _*)).as("_b"))
+        .select(col(idAs), col("idx"), col(fhAs),
+          col("_b.band").as("band"), col("_b.sig").as("sig"))
+    banded(newSigs, "_ida", "_fha")
+      .join(banded(all, "_idb", "_fhb"), Seq("idx", "band", "sig"))
+      .filter(col("_ida") =!= col("_idb"))
+      .withColumn("distance",
+        graft.dedup.TextDedup.hammingDistance(col("_fha"), col("_fhb")))
+      .filter(col("distance") <= maxDist)
+      .select(least(col("_ida"), col("_idb")).as("id_1"),
+        greatest(col("_ida"), col("_idb")).as("id_2"), col("idx"), col("distance"))
+      .distinct()
+      .groupBy("id_1", "id_2")
+      .agg(count(lit(1)).as("frames_matched"),
+        avg("distance").as("avg_distance"))
+      .filter(col("frames_matched") >= math.ceil(minMatchFrac * nFrames).toLong)
+  }
+
+  /** Incremental video near-dup over binary payloads: [[frameSignatures]]
+    * on the NEW batch only, probed against the persisted store via
+    * [[nearDuplicatesBySignaturesIncremental]]. */
+  def nearDuplicatesIncremental(
+      newBinary: DataFrame, oldFrameSigs: DataFrame, nFrames: Int = 8,
+      maxDist: Int = 3, minMatchFrac: Double = 0.75, bands: Int = 4,
+      frameHash: (Array[Byte], Long) => Either[String, Long] = stubFrameHash,
+      pathCol: String = "path", payloadCol: String = "content"): DataFrame =
+    nearDuplicatesBySignaturesIncremental(
+      frameSignatures(newBinary, nFrames, frameHash, pathCol, payloadCol),
+      oldFrameSigs, nFrames, maxDist, minMatchFrac, bands, idCol = pathCol)
 }

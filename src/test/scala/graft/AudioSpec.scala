@@ -162,4 +162,25 @@ class AudioSpec extends SparkSpec {
     assert(out.forall { case (a, b) =>
       (a - b).abs == 1 && a.max(b) % 50 == 49 }, s"non-planted pair in ${out.toSeq}")
   }
+
+  test("nearDuplicatesIncremental: batch probes the fingerprint store; old×old and stale rows excluded") {
+    import spark.implicits._
+    // store: fingerprints of clips 1-10 plus an old half-amplitude dup
+    // of clip 3 (an old×old near pair that must not resurface)
+    val storeClips = (1L to 10L).map(s => s"clip$s.wav" -> toneWav(s, 0.9)) :+
+      ("clip3_old.wav" -> toneWav(3L, 0.45))
+    val store = Audio.acousticFingerprint(storeClips.toDF("path", "content"))
+      .filter(col("error").isNull)
+      .select(col("path").as("id"), col("afp").as("simhash"))
+      .localCheckpoint(true)
+    // batch: a rescaled copy of clip 7, one fresh clip, one broken file
+    val batch = Seq(
+      "new7.wav" -> toneWav(7L, 0.5),
+      "fresh.wav" -> toneWav(99L, 0.9),
+      "broken.mp3" -> Array[Byte](0x49, 0x44, 0x33, 0)).toDF("path", "content")
+    val pairs = Audio.nearDuplicatesIncremental(batch, store, maxDist = 7)
+      .collect().map(r => Set(r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(Set("clip7.wav", "new7.wav")),
+      s"expected only the batch-vs-store pair (no clip3 old×old), got $pairs")
+  }
 }

@@ -5,6 +5,8 @@ import java.io.ByteArrayOutputStream
 
 import javax.imageio.ImageIO
 
+import org.apache.spark.sql.functions.col
+
 import graft.multimodal.Image
 
 /** Image decode/features/thumbnail over JDK-encoded fixture images. */
@@ -99,5 +101,27 @@ class ImageSpec extends SparkSpec {
       .toSet
     assert(pairs == Set(
       Set("img0", "dup0"), Set("img5", "dup5"), Set("img9", "dup9")), pairs)
+  }
+
+  test("nearDuplicatesIncremental: batch probes the store, old pixels never re-decoded, old×old excluded") {
+    import spark.implicits._
+    import graft.queries.ImageQueries.syntheticImage
+    // the persisted store: hashes of 20 originals PLUS an old near-dup
+    // pair (img0b ~ img0) that must NOT resurface — old×old
+    val storeImgs = (0 until 20).map(i => (s"img$i", syntheticImage(i, 32, "png"))) :+
+      ("img0b", syntheticImage(0, 40, "png"))
+    val store = Image.pHash(spark.createDataFrame(storeImgs).toDF("path", "content"))
+      .filter(col("error").isNull)
+      .select(col("path").as("id"), col("phash").as("simhash"))
+      .localCheckpoint(true)
+    // the batch: one re-encoded dup of img5, one fresh picture, junk
+    val batch = spark.createDataFrame(Seq(
+      ("new5", syntheticImage(5, 48, "jpg")),
+      ("fresh", syntheticImage(777, 32, "png")),
+      ("junk", Array[Byte](1, 2, 3)))).toDF("path", "content")
+    val pairs = Image.nearDuplicatesIncremental(batch, store, maxDist = 7)
+      .collect().map(r => Set(r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(Set("img5", "new5")),
+      s"expected only the batch-vs-store pair (no img0~img0b old×old), got $pairs")
   }
 }

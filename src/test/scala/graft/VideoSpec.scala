@@ -197,4 +197,30 @@ class VideoSpec extends SparkSpec {
       maxDist = 7, bands = 8).collect()
     assert(wide.length == 1 && wide(0).getLong(2) == 4 && wide(0).getDouble(3) == 5.0)
   }
+
+  test("nearDuplicatesIncremental: batch probes the frame store; re-crawled id's new frames win, old×old excluded") {
+    import graft.queries.ImageQueries.{syntheticMp4, videoFrameDecoder}
+    // store: frame signatures of clips a/b/c plus aOld — an old
+    // rescaled dup of a (old×old, must never resurface)
+    val store = Video.frameSignatures(Seq(
+      ("a", syntheticMp4(7L, 32, jpeg = false)),
+      ("aOld", syntheticMp4(7L, 48, jpeg = true)),
+      ("b", syntheticMp4(50L, 32, jpeg = false)),
+      ("c", syntheticMp4(60L, 32, jpeg = false)))
+      .toDF("path", "content"), n = 4, videoFrameDecoder _)
+      .localCheckpoint(true)
+    // batch: clip b RE-CRAWLED with entirely new scenes (its stale
+    // store frames must not pair), plus a jpeg re-render of c
+    val batch = Seq(
+      ("b", syntheticMp4(1234L, 32, jpeg = false)),
+      ("cDup", syntheticMp4(60L, 48, jpeg = true)))
+      .toDF("path", "content")
+    val pairs = Video.nearDuplicatesIncremental(batch, store, nFrames = 4,
+      frameHash = videoFrameDecoder _)
+      .collect().map(r => Set(r.getString(0), r.getString(1))).toSet
+    // NOT present: (a, aOld) old×old, and any pair with b — its stale
+    // frames are gone and its new scenes match nothing
+    assert(pairs == Set(Set("c", "cDup")),
+      s"expected only the batch-vs-store pair, got $pairs")
+  }
 }
