@@ -114,6 +114,15 @@ object GrowthBench {
     // regression the gate exists for overshoots by 28%+.
     "q145_video_neardup" -> (10.5, "video frame-fingerprint near-dup: per-clip container parse + 4 render/pHash map tasks; clip-linear, measured 9.90x AT the 10x clip-ratio bound (compute-saturated both sizes, overhead ~14ms); budget = bound x 1.05 noise allowance; aligned 4x16-bit banding shuffles (id, idx, hash) only — 16-bit keys keep band collisions subdominant (8-bit measurably went quadratic, 12.8x)"),
     "q141_bpe_encode" -> (10.0, "BPE encode: train + per-DISTINCT-word greedy encode + word-keyed occurrence join + per-doc agg: token-linear; budget = token ratio"),
+    // q147/q148 budgets (the q122 derivation): chars/doc is near-flat
+    // across the corpora (+2.5%), so page bytes — the unit of both
+    // the WARC record parse and the block-algebra extraction — grow
+    // 10.26× at 10× docs; the model bound IS the char ratio. q147's
+    // file count also grows exactly 10× (20 records/file fixed), and
+    // its groupByKey is the fixture RENDER, not the operator (the
+    // parse itself is per-file flatMap, shuffle-free).
+    "q147_warc_extract" -> (10.3, "WARC parse + extract: per-file record walk, byte-linear; budget = measured char ratio 10.26x (chars/doc flat); render groupByKey is fixture-side"),
+    "q148_main_content" -> (10.3, "block-level boilerplate removal: one narrow projection, byte-linear in page chars; budget = measured char ratio 10.26x (chars/doc flat)"),
     "g135_quality_score_docs" -> (10.0, "fixed-model scoring: narrow shuffle-free per-token fold; budget = token ratio (training is the bounded offline step, not gated)"),
     "g136_semantic_neardup_docs" -> (8.0, "within-cell LSH pairs on (cluster,band,sig) keys: signature-linear like g116; cell assignment deterministic (k-means fit is the bounded offline model-build)"))
 

@@ -21,8 +21,8 @@ object SparkEntry {
     GoldQueries.queries ++ SilverQueries.queries ++ Scd2Queries.queries ++
       ValidationQueries.queries ++ QualityQueries.queries ++ ExtractionQueries.queries ++
       RedactionQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++
-      TextQueries.queries ++ ImageQueries.queries ++ TimeQueries.queries ++
-      TimeQueries.rollingAndPivot ++ TimeQueries.rangeJoinQueries
+      TextQueries.queries ++ ImageQueries.queries ++ WebQueries.queries ++
+      TimeQueries.queries ++ TimeQueries.rollingAndPivot ++ TimeQueries.rangeJoinQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,6 +30,6 @@ object SparkEntry {
     GoldQueries.oracles ++ SilverQueries.oracles ++ Scd2Queries.oracles ++
       ValidationQueries.oracles ++ QualityQueries.oracles ++ ExtractionQueries.oracles ++
       RedactionQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles ++
-      TextQueries.oracles ++ ImageQueries.oracles ++ TimeQueries.oracles ++
-      TimeQueries.rollingAndPivotOracles ++ TimeQueries.rangeJoinOracles
+      TextQueries.oracles ++ ImageQueries.oracles ++ WebQueries.oracles ++
+      TimeQueries.oracles ++ TimeQueries.rollingAndPivotOracles ++ TimeQueries.rangeJoinOracles
 }

@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.multimodal.DocumentExtract
+import graft.sources.Warc
+import graft.text.Boilerplate
+
+/** The crawl front-door queries: WARC ingestion (q147, rows-only ⊘ —
+  * a byte-level container parse, the Excel/Audio/Video stance) and
+  * block-level boilerplate removal (q148, full DuckDB oracle — the
+  * extraction rule is pure column algebra, so the oracle re-derives
+  * it expression-for-expression).
+  *
+  * The corpus carries no crawl dump, so the queries manufacture one
+  * deterministically (the q134/q144/q145 fixture discipline): q148
+  * wraps every document in a page skeleton whose chrome — nav, a
+  * sponsored-links row, a tag cloud, a footer — is exactly the
+  * boilerplate the block classifier exists to drop, built from
+  * `concat` so DuckDB replays the construction too; q147 packs 20
+  * such pages per WARC file (response records behind real HTTP
+  * messages, warcinfo/request records to skip, gzipped files on odd
+  * file ids exercising the Common Crawl member layout, a trailing
+  * garbage member on every 5th file exercising the error contract).
+  */
+object WebQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The q147 page body: a compact version of the q148 skeleton. */
+  private def pageHtml(id: Long, text: String): String =
+    s"""<html><head><title>Doc $id</title></head><body><nav><a href="/">Home</a> <a href="/about">About</a></nav><p>$text</p><footer>(c) 2024 Example Corp - <a href="/tos">Terms</a></footer></body></html>"""
+
+  private val Crlf = "\r\n"
+
+  private def warcRecord(tpe: String, extra: Seq[(String, String)], block: Array[Byte]): Array[Byte] = {
+    val hdr = (Seq("WARC-Type" -> tpe) ++ extra ++
+      Seq("Content-Length" -> block.length.toString))
+      .map { case (k, v) => s"$k: $v" }.mkString(Crlf)
+    (s"WARC/1.1$Crlf$hdr$Crlf$Crlf").getBytes("UTF-8") ++ block ++
+      (Crlf + Crlf).getBytes("UTF-8")
+  }
+
+  private def httpBlock(status: String, contentType: String, body: Array[Byte]): Array[Byte] =
+    (s"HTTP/1.1 $status${Crlf}Content-Type: $contentType${Crlf}Content-Length: ${body.length}$Crlf$Crlf")
+      .getBytes("UTF-8") ++ body
+
+  /** One WARC file over `docs` (already sorted by id): a warcinfo
+    * record, one response per doc (404s and a plain-text page planted
+    * on id residues), then — on every 5th file — a garbage tail that
+    * must surface as exactly one error row. Odd file ids gzip each
+    * record as its own member (the Common Crawl layout). */
+  private[graft] def buildWarcFile(fileId: Long, docs: Seq[(Long, String)]): Array[Byte] = {
+    val info = warcRecord("warcinfo",
+      Seq("WARC-Record-ID" -> s"<urn:uuid:info$fileId>",
+        "WARC-Date" -> "2024-01-01T00:00:00Z"),
+      s"software: graft-fixture$Crlf".getBytes("UTF-8"))
+    val responses = docs.map { case (id, text) =>
+      val (status, ctype, body) =
+        if (id % 13 == 0) ("404 Not Found", "text/html", "<html><body><p>gone</p></body></html>".getBytes("UTF-8"))
+        else if (id % 11 == 0) ("200 OK", "text/plain; charset=utf-8", text.getBytes("UTF-8"))
+        else ("200 OK", "text/html; charset=utf-8", pageHtml(id, text).getBytes("UTF-8"))
+      warcRecord("response",
+        Seq("WARC-Record-ID" -> s"<urn:uuid:doc$id>",
+          "WARC-Date" -> "2024-01-01T00:00:00Z",
+          "WARC-Target-URI" -> s"https://example.com/doc$id",
+          "Content-Type" -> "application/http; msgtype=response"),
+        httpBlock(status, ctype, body))
+    }
+    val request = warcRecord("request",
+      Seq("WARC-Record-ID" -> s"<urn:uuid:req$fileId>",
+        "WARC-Date" -> "2024-01-01T00:00:00Z"),
+      s"GET / HTTP/1.1$Crlf$Crlf".getBytes("UTF-8"))
+    val all = Seq(info) ++ responses ++ Seq(request)
+    val gz = fileId % 2 == 1
+    val tail: Array[Byte] =
+      if (fileId % 5 != 0) Array.emptyByteArray
+      else if (gz) Warc.gzipMember("GARBAGE-NOT-A-RECORD".getBytes("UTF-8"))
+      else "GARBAGE-NOT-A-RECORD".getBytes("UTF-8")
+    val recs = if (gz) all.map(Warc.gzipMember) else all
+    recs.foldLeft(Array.emptyByteArray)(_ ++ _) ++ tail
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Crawl ingestion end-to-end (rows-only ⊘): render a WARC fleet
+    // from the corpus, parse every record, keep responses, and run
+    // main-content extraction over the html bodies — the full
+    // dump → clean-text front door. Per-file flatMap tasks; bodies
+    // never shuffle (the groupByKey below is the fixture RENDER, not
+    // the operator). WarcSpec pins the parse grammar; expected rows =
+    // one per doc plus one error row per 5th file.
+    "q147_warc_extract" -> ((s, d) => {
+      import s.implicits._
+      val files = Tables.documents(s, d)
+        .select(expr("doc_id div 20").as("file_id"), col("doc_id"), col("text"))
+        .as[(Long, Long, String)]
+        .groupByKey(_._1)
+        .mapGroups { (fid, it) =>
+          val docs = it.map { case (_, id, text) => (id, text) }.toSeq.sortBy(_._1)
+          val name = f"crawl$fid%05d.warc" + (if (fid % 2 == 1) ".gz" else "")
+          (name, buildWarcFile(fid, docs))
+        }
+        .toDF("path", "content")
+      Warc.responses(files)
+        .select(col("path"), col("record_id"), col("target_uri"), col("status"),
+          col("content_type"), col("body_len"),
+          when(col("content_type").startsWith("text/html"),
+            length(Boilerplate.mainText(col("body"))).cast("long"))
+            .otherwise(lit(null).cast("long")).as("main_len"),
+          col("error"))
+    }),
+
+    // Block-level boilerplate removal (full DuckDB oracle): every doc
+    // becomes a page whose chrome is boilerplate by construction —
+    // nav and sponsored rows are link-dense, the tag cloud is short,
+    // the footer is link-dense AND stopword-free — while the document
+    // text and a quote paragraph are the content blocks. One narrow
+    // projection, no shuffle (golden-plan-pinned).
+    "q148_main_content" -> ((s, d) => {
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id"), lit("</title></head><body>"),
+        lit("<nav><a href=\"/\">Home</a> <a href=\"/c"), col("doc_id") % 7,
+        lit("\">Cat "), col("doc_id") % 7, lit("</a> <a href=\"/about\">About</a></nav>"),
+        lit("<div>Sponsored: <a href=\"/buy\">Buy now</a> <a href=\"/deal\">Hot deal</a> <a href=\"/win\">Win big</a></div>"),
+        lit("<p>"), col("text"), lit("</p>"),
+        lit("<blockquote>Readers said that it was one of the better pages about topic "),
+        col("doc_id") % 7, lit(" and that the site is worth a second look.</blockquote>"),
+        lit("<div>tag"), col("doc_id") % 5, lit(" tag"), col("doc_id") % 11, lit("</div>"),
+        lit("<footer>Copyright 2024 Example Corp - <a href=\"/tos\">Terms of use</a> <a href=\"/privacy\">Privacy</a></footer>"),
+        lit("</body></html>"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), html.as("_html"))
+        .select(col("doc_id"),
+          DocumentExtract.htmlTitle(col("_html")).as("title"),
+          Boilerplate.blockStats(col("_html")).as("_st"))
+        .select(col("doc_id"), col("title"),
+          array_join(
+            transform(filter(col("_st"), s => s.getField("content")),
+              s => s.getField("text")), " ").as("main_text"),
+          size(col("_st")).cast("long").as("n_blocks"),
+          size(filter(col("_st"), s => s.getField("content"))).cast("long").as("n_content"),
+          aggregate(filter(col("_st"), s => s.getField("content")), lit(0L),
+            (a, s) => a + s.getField("len")).as("main_len"),
+          aggregate(filter(col("_st"), s => !s.getField("content")), lit(0L),
+            (a, s) => a + s.getField("len")).as("boiler_len"))
+    }))
+
+  /** The q148 oracle re-derives the page construction AND the block
+    * algebra: same split pattern, same strip/collapse chain, same
+    * density arithmetic (single IEEE divisions), same fold sums. */
+  private val q148Sql =
+    """WITH h AS (
+         SELECT doc_id,
+           '<html><head><title>Doc ' || doc_id || '</title></head><body>'
+           || '<nav><a href="/">Home</a> <a href="/c' || (doc_id % 7) || '">Cat ' || (doc_id % 7) || '</a> <a href="/about">About</a></nav>'
+           || '<div>Sponsored: <a href="/buy">Buy now</a> <a href="/deal">Hot deal</a> <a href="/win">Win big</a></div>'
+           || '<p>' || text || '</p>'
+           || '<blockquote>Readers said that it was one of the better pages about topic ' || (doc_id % 7) || ' and that the site is worth a second look.</blockquote>'
+           || '<div>tag' || (doc_id % 5) || ' tag' || (doc_id % 11) || '</div>'
+           || '<footer>Copyright 2024 Example Corp - <a href="/tos">Terms of use</a> <a href="/privacy">Privacy</a></footer>'
+           || '</body></html>' AS html
+         FROM documents),
+       s0 AS (
+         SELECT doc_id, html,
+           list_transform(
+             string_split_regex(html, '(?i)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr|td|th|blockquote|pre|section|article|header|footer|nav|aside|main|form|figure|figcaption|br)(?:\s[^>]*)?/?>'),
+             b -> struct_pack(
+               txt := trim(regexp_replace(regexp_replace(b, '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')),
+               link := CAST(coalesce(list_sum(list_transform(
+                 regexp_extract_all(b, '(?is)<a\b[^>]*>(.*?)</a>', 1),
+                 a -> length(trim(regexp_replace(regexp_replace(a, '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g'))))), 0) AS BIGINT))) AS s0
+         FROM h),
+       s1 AS (
+         SELECT doc_id, html,
+           list_filter(
+             list_transform(s0, s -> struct_pack(
+               txt := s.txt,
+               len := CAST(length(s.txt) AS BIGINT),
+               link := s.link,
+               nstop := CAST(len(list_filter(
+                 list_filter(string_split_regex(lower(s.txt), '[^a-z0-9]+'), t -> t <> ''),
+                 t -> list_contains(['the','a','an','and','of','to','in','is','that','it'], t))) AS BIGINT),
+               ntok := CAST(len(list_filter(string_split_regex(lower(s.txt), '[^a-z0-9]+'), t -> t <> '')) AS BIGINT))),
+             s -> s.len > 0) AS st
+         FROM s0),
+       s2 AS (
+         SELECT doc_id, html,
+           list_transform(st, s -> struct_pack(
+             txt := s.txt, len := s.len,
+             content := s.len >= 40
+               AND (CASE WHEN s.len > 0 THEN CAST(s.link AS DOUBLE) / CAST(s.len AS DOUBLE) ELSE 1.0 END) <= 0.25
+               AND (CASE WHEN s.ntok > 0 THEN CAST(s.nstop AS DOUBLE) / CAST(s.ntok AS DOUBLE) ELSE 0.0 END) >= 0.05)) AS st
+         FROM s1)
+       SELECT doc_id,
+         trim(regexp_replace(regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1), '\s+', ' ', 'g')) AS title,
+         array_to_string(list_transform(list_filter(st, s -> s.content), s -> s.txt), ' ') AS main_text,
+         CAST(len(st) AS BIGINT) AS n_blocks,
+         CAST(len(list_filter(st, s -> s.content)) AS BIGINT) AS n_content,
+         CAST(coalesce(list_sum(list_transform(list_filter(st, s -> s.content), s -> s.len)), 0) AS BIGINT) AS main_len,
+         CAST(coalesce(list_sum(list_transform(list_filter(st, s -> NOT s.content), s -> s.len)), 0) AS BIGINT) AS boiler_len
+       FROM s2"""
+
+  val oracles: Map[String, String] = Map("q148_main_content" -> q148Sql)
+}

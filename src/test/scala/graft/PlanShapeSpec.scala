@@ -233,7 +233,15 @@ class PlanShapeSpec extends SparkSpec {
     // Join/Exchange here is the 100 TB regression
     "q142_epoch_mix" -> PlanGolden.Shape(
       "Project>Filter>Generate>Project>Filter>LogicalRelation",
-      77))
+      77),
+    // boilerplate removal: three narrow projections over one scan —
+    // NO Exchange, Join, Generate, or Aggregate anywhere (the whole
+    // extraction is higher-order array algebra per row); any of those
+    // appearing is the 100 TB regression (an explode-based rewrite
+    // would shuffle page text)
+    "q148_main_content" -> PlanGolden.Shape(
+      "Project>Project>Project>LogicalRelation",
+      452))
 
   test("golden snapshots: operator skeleton exact, expression forest within 1.5x") {
     val failures = golden.toSeq.sortBy(_._1).flatMap { case (name, expected) =>
