@@ -396,6 +396,58 @@ object TextDedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .drop("_content_hash")
 
+  /** Paragraph-level exact dedup — C4 §3.1's duplicate-span rule at
+    * Dolma's paragraph granularity (Raffel et al. 2020; Soldaini et
+    * al. 2024): of every paragraph occurring anywhere in the corpus,
+    * keep only the FIRST occurrence (corpus order = (id, position)),
+    * drop the rest, and reassemble each document from its surviving
+    * paragraphs in position order. The sub-document sibling of
+    * [[exactDedup]]: whole-document hashing cannot see the shared
+    * footer glued to otherwise-unique pages; this drops exactly the
+    * shared spans and keeps the unique prose. A document whose every
+    * paragraph is claimed elsewhere disappears — fully-boilerplate
+    * documents ARE duplicates (documented contract).
+    *
+    * Scale shape — two paragraph-linear shuffles, both structurally
+    * skew-proof at the 100 TB hot-footer extreme:
+    *   1. `posexplode` is a narrow Generate;
+    *   2. the keeper table is `groupBy(para).agg(min(struct(id,pos)))`
+    *      — a hash aggregate whose MAP-SIDE PARTIALS collapse a
+    *      paragraph that appears in every document before anything
+    *      crosses the exchange (the q90 groupBy argument);
+    *   3. kept rows come from an equi-join on (para, id, pos) — the
+    *      key contains the row-unique (id, pos), so a hot paragraph's
+    *      occurrences hash-spread uniformly across reducers
+    *      (hotColdJoin's promise, obtained structurally from the key
+    *      shape instead of a two-plan union);
+    *   4. reassembly is one `groupBy(id)` with an in-row
+    *      `array_sort` — no window, no global sort.
+    * → (idCol, clean_text, n_paragraphs, n_kept). */
+  def dedupParagraphs(
+      df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\\n+"): DataFrame = {
+    val paras = filter(split(col(textCol), sep), p => p =!= "")
+    val exploded = df
+      .select(col(idCol).as("id"), size(paras).as("_n_par"),
+        posexplode(paras).as(Seq("pos", "para")))
+    val keepers = exploded
+      .groupBy(col("para"))
+      .agg(min(struct(col("id"), col("pos"))).as("_k"))
+      .select(col("para").as("_kpara"), col("_k.id").as("_kid"), col("_k.pos").as("_kpos"))
+    exploded
+      .join(keepers,
+        exploded("para") === col("_kpara") &&
+          exploded("id") === col("_kid") && exploded("pos") === col("_kpos"))
+      .groupBy(col("id"))
+      .agg(
+        concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+            s => s.getField("para"))).as("clean_text"),
+        max(col("_n_par")).cast("long").as("n_paragraphs"),
+        count(lit(1)).as("n_kept"))
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Exact set-Jaccard pairs ≥ threshold, threshold ∈ (0, 1]. Adaptive:
     * a cheap probe counts the distinct-item vocabulary, and when it fits
     * in 64 bits every set collapses to ONE long bitmask

@@ -37,6 +37,24 @@ object DedupQueries {
       TextDedup.jaccardPairs(
         TextDedup.tokenSets(Tables.documents(s, d), "doc_id", "text"), 0.95)),
 
+    // Paragraph-level exact dedup (C4's duplicate-span rule at Dolma's
+    // paragraph granularity): the corpus text becomes 8-word
+    // paragraphs (the q118 sentence-break trick), then every doc gets
+    // the SAME two footer paragraphs plus a per-source promo line —
+    // shared spans whole-document hashing (q90) cannot see. Expected:
+    // each doc keeps its unique prose; the footers survive only in
+    // doc 0 and the promo lines once per source.
+    "q149_paragraph_dedup" -> ((s, d) => {
+      val sent = regexp_replace(col("text"), "((\\S+\\s+){7}\\S+)\\s+", "$1\n")
+      val mt = concat(sent,
+        lit("\nfollow us on social media for more updates"),
+        lit("\ncopyright example corp all rights reserved"),
+        lit("\nmore stories from source "), col("source"))
+      TextDedup.dedupParagraphs(
+        Tables.documents(s, d).select(col("doc_id"), mt.as("text")),
+        "doc_id", "text")
+    }),
+
     "q92_dedup_minhash" -> ((s, d) =>
       TextDedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
         n = N, k = K, bands = Bands, threshold = 0.5)),
@@ -546,6 +564,33 @@ object DedupQueries {
          SELECT min(doc_id) AS doc_id, count(*) AS n_copies
          FROM all_docs GROUP BY md5(text)""",
     "q91_dedup_jaccard" -> jaccardSql(tokSql, "tok", 0.95),
+    // q149: replay the paragraph construction, the (id, pos)-first
+    // keeper rule, and the position-ordered reassembly exactly.
+    "q149_paragraph_dedup" ->
+      """WITH m AS (
+           SELECT doc_id,
+             regexp_replace(text, '((\S+\s+){7}\S+)\s+', '\1' || chr(10), 'g')
+               || chr(10) || 'follow us on social media for more updates'
+               || chr(10) || 'copyright example corp all rights reserved'
+               || chr(10) || 'more stories from source ' || source AS mt
+           FROM documents),
+         p0 AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(mt, '\n+'), p -> p <> '') AS paras
+           FROM m),
+         p AS (
+           SELECT doc_id, len(paras) AS n_par,
+             CAST(i AS BIGINT) AS pos, paras[i + 1] AS para
+           FROM p0, unnest(range(0, len(paras))) AS t(i)),
+         k AS (
+           SELECT doc_id, n_par, pos, para,
+             row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+           FROM p)
+         SELECT doc_id,
+           string_agg(para, chr(10) ORDER BY pos) AS clean_text,
+           CAST(max(n_par) AS BIGINT) AS n_paragraphs,
+           CAST(count(*) AS BIGINT) AS n_kept
+         FROM k WHERE rn = 1 GROUP BY doc_id""",
     "q92_dedup_minhash" -> q92Sql,
     "q138_split_leakage" -> q138Sql,
     "q139_cluster_split" -> q139Sql,

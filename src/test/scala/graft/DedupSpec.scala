@@ -535,4 +535,30 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("dedupParagraphs: first occurrence wins, order preserved, fully-duplicate docs vanish") {
+    import spark.implicits._
+    val corpus = Seq(
+      1L -> "alpha prose one\nshared footer text\nalpha prose two",
+      2L -> "beta prose one\nshared footer text", // footer claimed by doc 1
+      3L -> "shared footer text", // ALL paragraphs claimed → doc vanishes
+      // within-doc duplicate: second copy drops, first stays in place
+      4L -> "gamma prose\ngamma prose\ngamma tail")
+      .toDF("doc_id", "text")
+    val out = TextDedup.dedupParagraphs(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 4L)) // doc 3 vanished
+    assert(out(1L) == (("alpha prose one\nshared footer text\nalpha prose two", 3L, 3L)))
+    assert(out(2L) == (("beta prose one", 2L, 1L)))
+    assert(out(4L) == (("gamma prose\ngamma tail", 3L, 2L)))
+  }
+
+  test("dedupParagraphs: blank-line separators collapse and empty paragraphs never count") {
+    import spark.implicits._
+    val corpus = Seq(5L -> "\n\nlead para\n\n\ntail para\n\n").toDF("doc_id", "text")
+    val out = TextDedup.dedupParagraphs(corpus, "doc_id", "text").collect().head
+    assert(out.getString(1) == "lead para\ntail para")
+    assert(out.getLong(2) == 2L && out.getLong(3) == 2L)
+  }
 }

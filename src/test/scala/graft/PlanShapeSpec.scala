@@ -241,7 +241,16 @@ class PlanShapeSpec extends SparkSpec {
     // would shuffle page text)
     "q148_main_content" -> PlanGolden.Shape(
       "Project>Project>Project>LogicalRelation",
-      452))
+      452),
+    // paragraph dedup: keeper Aggregate (map-side partials collapse
+    // hot paragraphs) feeding ONE equi-join back onto the explode —
+    // the join key contains row-unique (id, pos) so no hot-key
+    // reducer, and reassembly is the outer Aggregate (array_sort in
+    // row), NO window/sort; a Window or second Join appearing is the
+    // 100 TB regression
+    "q149_paragraph_dedup" -> PlanGolden.Shape(
+      "Aggregate>Project>Join>Project>Generate>Project>Filter>LogicalRelation>Project>Filter>Aggregate>Project>Generate>Project>LogicalRelation",
+      167))
 
   test("golden snapshots: operator skeleton exact, expression forest within 1.5x") {
     val failures = golden.toSeq.sortBy(_._1).flatMap { case (name, expected) =>
