@@ -448,6 +448,71 @@ object TextDedup {
       .withColumnRenamed("id", idCol)
   }
 
+  /** The persisted paragraph store for [[dedupParagraphsIncremental]]:
+    * one row per distinct paragraph ever kept, as a portable 60-bit
+    * [[gramId]] hash — 8 bytes/row, so a trillion-paragraph corpus
+    * store is ~8 TB of bucketable longs, never the text itself. */
+  def paragraphStore(
+      df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\\n+"): DataFrame =
+    df.select(explode(filter(split(col(textCol), sep), p => p =!= "")).as("_p"))
+      .select(gramId(col("_p")).as("para_hash"))
+      .distinct()
+
+  /** [[dedupParagraphs]] under the daily-crawl contract (the q123/q146
+    * incremental discipline): a NEW batch deduplicates against the
+    * persisted corpus paragraph store ([[paragraphStore]] — hashes
+    * only, history's text is never re-read) and against itself
+    * (first (id, position) occurrence within the batch wins), then
+    * each batch document is reassembled from its surviving paragraphs
+    * in position order. Documents whose every paragraph is already
+    * claimed vanish, exactly as in the full-corpus pass. Membership
+    * is by 60-bit hash (collision odds negligible past 10^9 distinct
+    * paragraphs — [[gramId]]); append the kept hashes to the store
+    * after the batch commits.
+    *
+    * Scale shape — work ∝ batch, never ∝ corpus:
+    *   1. batch explode is a narrow Generate;
+    *   2. the within-batch keeper `groupBy(hash)` collapses a hot
+    *      paragraph in its MAP-SIDE PARTIALS (one row per distinct
+    *      batch paragraph survives);
+    *   3. the store anti-join runs on that collapsed leg — one probe
+    *      row per DISTINCT batch paragraph, so a footer occurring in
+    *      every batch document costs one store lookup, and a
+    *      hash-bucketed store makes its side of the exchange free;
+    *   4. kept rows rejoin the explode on (hash, id, pos) — the
+    *      row-unique suffix hash-spreads hot paragraphs across
+    *      reducers (q149's argument);
+    *   5. reassembly is one `groupBy(id)` with an in-row `array_sort`.
+    * → (idCol, clean_text, n_paragraphs, n_kept). */
+  def dedupParagraphsIncremental(
+      batch: DataFrame, store: DataFrame, idCol: String, textCol: String,
+      sep: String = "\\n+"): DataFrame = {
+    val paras = filter(split(col(textCol), sep), p => p =!= "")
+    val exploded = batch
+      .select(col(idCol).as("id"), size(paras).as("_n_par"),
+        posexplode(paras).as(Seq("pos", "para")))
+      .withColumn("_h", gramId(col("para")))
+    val keepers = exploded
+      .groupBy(col("_h"))
+      .agg(min(struct(col("id"), col("pos"))).as("_k"))
+      .select(col("_h").as("_kh"), col("_k.id").as("_kid"), col("_k.pos").as("_kpos"))
+    val freshKeepers = keepers.join(
+      store.select(col("para_hash")), col("_kh") === col("para_hash"), "left_anti")
+    exploded
+      .join(freshKeepers,
+        exploded("_h") === col("_kh") &&
+          exploded("id") === col("_kid") && exploded("pos") === col("_kpos"))
+      .groupBy(col("id"))
+      .agg(
+        concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+            s => s.getField("para"))).as("clean_text"),
+        max(col("_n_par")).cast("long").as("n_paragraphs"),
+        count(lit(1)).as("n_kept"))
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Exact set-Jaccard pairs ≥ threshold, threshold ∈ (0, 1]. Adaptive:
     * a cheap probe counts the distinct-item vocabulary, and when it fits
     * in 64 bits every set collapses to ONE long bitmask

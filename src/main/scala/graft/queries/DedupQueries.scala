@@ -55,6 +55,25 @@ object DedupQueries {
         "doc_id", "text")
     }),
 
+    // q149 under the daily-crawl contract: history (doc_id % 10 != 0)
+    // is only present as its paragraph-hash store; the batch (every
+    // 10th doc) drops the universal footers and per-source promo lines
+    // (all claimed by history) plus anything claimed within the batch,
+    // keeps its unique prose. Work ∝ batch — history text never read.
+    "q150_incremental_paragraphs" -> ((s, d) => {
+      val sent = regexp_replace(col("text"), "((\\S+\\s+){7}\\S+)\\s+", "$1\n")
+      val mt = concat(sent,
+        lit("\nfollow us on social media for more updates"),
+        lit("\ncopyright example corp all rights reserved"),
+        lit("\nmore stories from source "), col("source"))
+      val docs = Tables.documents(s, d).select(col("doc_id"), mt.as("text"))
+      val store = TextDedup.paragraphStore(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+        .localCheckpoint(true)
+      TextDedup.dedupParagraphsIncremental(
+        docs.filter(col("doc_id") % 10 === 0), store, "doc_id", "text")
+    }),
+
     "q92_dedup_minhash" -> ((s, d) =>
       TextDedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
         n = N, k = K, bands = Bands, threshold = 0.5)),
@@ -586,6 +605,39 @@ object DedupQueries {
            SELECT doc_id, n_par, pos, para,
              row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
            FROM p)
+         SELECT doc_id,
+           string_agg(para, chr(10) ORDER BY pos) AS clean_text,
+           CAST(max(n_par) AS BIGINT) AS n_paragraphs,
+           CAST(count(*) AS BIGINT) AS n_kept
+         FROM k WHERE rn = 1 GROUP BY doc_id""",
+    // q150: q149's construction, membership by the portable 60-bit
+    // md5 hash exactly as Spark (store = history's distinct hashes),
+    // then the within-batch first-wins rule and ordered reassembly.
+    "q150_incremental_paragraphs" ->
+      """WITH m AS (
+           SELECT doc_id,
+             regexp_replace(text, '((\S+\s+){7}\S+)\s+', '\1' || chr(10), 'g')
+               || chr(10) || 'follow us on social media for more updates'
+               || chr(10) || 'copyright example corp all rights reserved'
+               || chr(10) || 'more stories from source ' || source AS mt
+           FROM documents),
+         p0 AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(mt, '\n+'), p -> p <> '') AS paras
+           FROM m),
+         p AS (
+           SELECT doc_id, len(paras) AS n_par,
+             CAST(i AS BIGINT) AS pos, paras[i + 1] AS para,
+             CAST(concat('0x', substr(md5(paras[i + 1]), 1, 15)) AS BIGINT) AS ph
+           FROM p0, unnest(range(0, len(paras))) AS t(i)),
+         store AS (SELECT DISTINCT ph FROM p WHERE doc_id % 10 <> 0),
+         f AS (
+           SELECT * FROM p WHERE doc_id % 10 = 0
+             AND ph NOT IN (SELECT ph FROM store)),
+         k AS (
+           SELECT doc_id, n_par, pos, para,
+             row_number() OVER (PARTITION BY ph ORDER BY doc_id, pos) AS rn
+           FROM f)
          SELECT doc_id,
            string_agg(para, chr(10) ORDER BY pos) AS clean_text,
            CAST(max(n_par) AS BIGINT) AS n_paragraphs,

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.graph.LinkGraph
 import graft.multimodal.DocumentExtract
 import graft.sources.Warc
 import graft.text.Boilerplate
@@ -145,6 +146,23 @@ object WebQueries {
             (a, s) => a + s.getField("len")).as("main_len"),
           aggregate(filter(col("_st"), s => !s.getField("content")), lit(0L),
             (a, s) => a + s.getField("len")).as("boiler_len"))
+    }),
+
+    // Link-graph PageRank (full DuckDB oracle — exact on the integer
+    // grid): the crawl-prioritization step between ingestion and
+    // curation. The corpus carries no hyperlinks, so the query builds
+    // a deterministic webgraph over the documents: page i links to
+    // pages (31·i + 7j) mod N for j = 1..(i mod 3)+1 — out-degrees 1-3,
+    // in-degree skew by construction. 3 damped iterations; the oracle
+    // unrolls them CTE-for-CTE.
+    "q151_pagerank" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count() // bounded scalar read (fixture needs the modulus)
+      val edges = docs
+        .select(col("doc_id").as("src"),
+          explode(sequence(lit(1L), col("doc_id") % 3 + 1)).as("j"))
+        .select(col("src"), ((col("src") * 31 + col("j") * 7) % n).as("dst"))
+      LinkGraph.pageRank(docs, "doc_id", edges, "src", "dst", iters = 3)
     }))
 
   /** The q148 oracle re-derives the page construction AND the block
@@ -202,5 +220,42 @@ object WebQueries {
          CAST(coalesce(list_sum(list_transform(list_filter(st, s -> NOT s.content), s -> s.len)), 0) AS BIGINT) AS boiler_len
        FROM s2"""
 
-  val oracles: Map[String, String] = Map("q148_main_content" -> q148Sql)
+  /** The q151 oracle: same fixture graph, same integer grid, the 3
+    * iterations unrolled — every division integral (`//` floors,
+    * Spark `div` truncates; all operands non-negative so they agree),
+    * every sum BIGINT (associative-exact, so shuffle order cannot
+    * change a digit). */
+  private val q151Sql =
+    """WITH nn AS (SELECT count(*) AS n FROM documents),
+       nodes AS (SELECT doc_id AS v FROM documents),
+       e AS (
+         SELECT doc_id AS src,
+           (doc_id * 31 + 7 * j) % (SELECT n FROM nn) AS dst
+         FROM documents, unnest(range(1, doc_id % 3 + 2)) AS t(j)),
+       deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+       ed AS (SELECT e.src, e.dst, deg.d FROM e JOIN deg USING (src)),
+       r0 AS (SELECT v, (SELECT 1000000000000 // n FROM nn) AS r FROM nodes),
+       c1 AS (SELECT ed.dst AS v, CAST(sum(r0.r // ed.d) AS BIGINT) AS i
+              FROM ed JOIN r0 ON r0.v = ed.src GROUP BY ed.dst),
+       r1 AS (SELECT n.v,
+                (SELECT ((100 - 85) * (1000000000000 // n)) // 100 FROM nn)
+                  + (85 * coalesce(c1.i, 0)) // 100 AS r
+              FROM nodes n LEFT JOIN c1 ON c1.v = n.v),
+       c2 AS (SELECT ed.dst AS v, CAST(sum(r1.r // ed.d) AS BIGINT) AS i
+              FROM ed JOIN r1 ON r1.v = ed.src GROUP BY ed.dst),
+       r2 AS (SELECT n.v,
+                (SELECT ((100 - 85) * (1000000000000 // n)) // 100 FROM nn)
+                  + (85 * coalesce(c2.i, 0)) // 100 AS r
+              FROM nodes n LEFT JOIN c2 ON c2.v = n.v),
+       c3 AS (SELECT ed.dst AS v, CAST(sum(r2.r // ed.d) AS BIGINT) AS i
+              FROM ed JOIN r2 ON r2.v = ed.src GROUP BY ed.dst),
+       r3 AS (SELECT n.v,
+                (SELECT ((100 - 85) * (1000000000000 // n)) // 100 FROM nn)
+                  + (85 * coalesce(c3.i, 0)) // 100 AS r
+              FROM nodes n LEFT JOIN c3 ON c3.v = n.v)
+       SELECT v AS doc_id, CAST(r AS BIGINT) AS rank_micro FROM r3"""
+
+  val oracles: Map[String, String] = Map(
+    "q148_main_content" -> q148Sql,
+    "q151_pagerank" -> q151Sql)
 }

@@ -554,6 +554,37 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) == (("gamma prose\ngamma tail", 3L, 2L)))
   }
 
+  test("dedupParagraphsIncremental: store claims win, batch first-wins, claimed-everywhere docs vanish") {
+    import spark.implicits._
+    val history = Seq(0L -> "shared footer text\nold prose").toDF("doc_id", "text")
+    val store = TextDedup.paragraphStore(history, "doc_id", "text")
+    val batch = Seq(
+      10L -> "alpha prose\nshared footer text\nbatch promo line",
+      20L -> "beta prose\nbatch promo line", // promo claimed by doc 10
+      30L -> "shared footer text") // everything claimed by the store → vanishes
+      .toDF("doc_id", "text")
+    val out = TextDedup.dedupParagraphsIncremental(batch, store, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet == Set(10L, 20L))
+    assert(out(10L) == (("alpha prose\nbatch promo line", 3L, 2L)))
+    assert(out(20L) == (("beta prose", 2L, 1L)))
+  }
+
+  test("dedupParagraphsIncremental: empty store reduces to the full-corpus rule on the batch") {
+    import spark.implicits._
+    val batch = Seq(
+      1L -> "alpha prose\nshared footer",
+      2L -> "beta prose\nshared footer").toDF("doc_id", "text")
+    val store = TextDedup.paragraphStore(batch.limit(0), "doc_id", "text")
+    val viaIncremental = TextDedup.dedupParagraphsIncremental(batch, store, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val viaFull = TextDedup.dedupParagraphs(batch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(viaIncremental == viaFull)
+    assert(viaIncremental.map(_._1) == Set(1L, 2L))
+  }
+
   test("dedupParagraphs: blank-line separators collapse and empty paragraphs never count") {
     import spark.implicits._
     val corpus = Seq(5L -> "\n\nlead para\n\n\ntail para\n\n").toDF("doc_id", "text")
