@@ -51,7 +51,9 @@ object LinkGraph {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampingPct >= 0 && dampingPct <= 100, s"dampingPct in [0,100], got $dampingPct")
     val n = nodes.select(col(idCol)).distinct().count()
-    require(n > 0, "pageRank needs at least one node")
+    // empty graph → empty ranks (schema preserved), not a crash
+    if (n == 0)
+      return nodes.select(col(idCol)).withColumn("rank_micro", lit(0L))
     val r0 = scale / n
     val teleport = (100L - dampingPct) * r0 / 100L
     val deg = edges.groupBy(col(srcCol).as("_src")).agg(count(lit(1)).as("_deg"))
