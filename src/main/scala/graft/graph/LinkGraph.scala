@@ -77,4 +77,121 @@ object LinkGraph {
     }
     ranks.select(col("_v").as(idCol), col("_r").as("rank_micro"))
   }
+
+  /** Exact bounded-radius harmonic centrality: H_R(v) = Σ 1/d(u,v)
+    * over nodes u with a directed path to v of shortest length
+    * d(u,v) ≤ `radius` (Boldi & Vigna 2014 "Axioms for centrality" —
+    * Common Crawl publishes host-level harmonic centrality beside
+    * PageRank from the same webgraph releases). Returned on the
+    * fixed-point grid as `harmonic_micro` = Σ scale div d — BIGINT
+    * sums of integral divisions, bit-identical across engines and
+    * shuffle orders, so a DuckDB oracle can unroll the frontier
+    * expansion CTE-for-CTE.
+    *
+    * Scale shape: breadth-first frontier expansion on minimal-distance
+    * (u, v) pairs — per radius step one src-keyed join (frontier ×
+    * edges), one distinct, and one anti-join against the accumulated
+    * reach set. Row count is bounded by Σ_u |ball_R(u)| ≈ N·d̄^R —
+    * linear in nodes for the bounded out-degrees and small radii a
+    * crawl-frontier ranking uses. Each frontier step is materialized
+    * via localCheckpoint (the GraphX/Pregel iteration discipline):
+    * without it the self-referential anti-join lineage re-derives
+    * every earlier frontier per step — exponential recompute in the
+    * radius — and the optimizer's anti-join pushdown placement
+    * becomes environment-sensitive. For unbounded radius at webgraph
+    * scale the published answer is HyperBall ([[harmonicApprox]]):
+    * the pair set collapses to one mergeable HLL sketch per node.
+    * Self-loops are excluded (d(u,u) = 0 by convention, never summed).
+    */
+  def harmonicCentrality(
+      nodes: DataFrame, idCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String,
+      radius: Int = 3, scale: Long = 1000000L): DataFrame = {
+    require(radius >= 1, s"radius must be >= 1, got $radius")
+    val e = edges
+      .select(col(srcCol).as("_s"), col(dstCol).as("_t"))
+      .filter(col("_s") =!= col("_t")).distinct()
+      .localCheckpoint(true)
+    var reach = e.select(col("_s").as("_u"), col("_t").as("_v"))
+      .withColumn("_d", lit(1))
+      .localCheckpoint(true)
+    var frontier = reach
+    var r = 2
+    while (r <= radius) {
+      val next = frontier.join(e, frontier("_v") === e("_s"))
+        .select(col("_u"), col("_t").as("_v"))
+        .filter(col("_u") =!= col("_v"))
+        .distinct()
+        .join(reach.select(col("_u").as("_pu"), col("_v").as("_pv")),
+          col("_u") === col("_pu") && col("_v") === col("_pv"), "left_anti")
+        .withColumn("_d", lit(r))
+        .localCheckpoint(true)
+      reach = reach.unionByName(next)
+      frontier = next
+      r += 1
+    }
+    nodes.select(col(idCol).as("_n"))
+      .join(
+        reach.groupBy(col("_v"))
+          .agg(sum(expr(s"${scale}L div _d")).as("_h")),
+        col("_n") === col("_v"), "left")
+      .select(col("_n").as(idCol),
+        coalesce(col("_h"), lit(0L)).as("harmonic_micro"))
+  }
+
+  /** HyperBall harmonic centrality (Boldi & Vigna 2013): the
+    * webgraph-scale path [[harmonicCentrality]]'s exact pair set
+    * cannot take — per node ONE mergeable HLL sketch of its reverse
+    * ball (the nodes that reach it), grown per radius step by
+    * unioning each in-neighbor's previous ball, so state is
+    * N × O(2^lgK) bytes regardless of ball size and the per-step
+    * work is one src-keyed join + one map-side-mergeable
+    * `hll_union_agg` groupBy on dst — the same two-shuffle shape as
+    * a [[pageRank]] iteration. H(v) accumulates Σ_r (|B_r| −
+    * |B_{r-1}|)/r from the sketch estimates. Spark's DataSketches
+    * HLL functions (`hll_sketch_agg`/`hll_union_agg`/
+    * `hll_sketch_estimate`) are deterministic (bucket-max registers —
+    * order-independent), and in the sketch's sparse regime (ball
+    * sizes ≪ 2^lgK) the estimates are EXACT, which is what
+    * LinkGraphSpec pins against [[harmonicCentrality]]. Returns
+    * (idCol, harmonic: double).
+    */
+  def harmonicApprox(
+      nodes: DataFrame, idCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String,
+      radius: Int = 3, lgK: Int = 12): DataFrame = {
+    require(radius >= 1, s"radius must be >= 1, got $radius")
+    val e = edges
+      .select(col(srcCol).as("_s"), col(dstCol).as("_t"))
+      .filter(col("_s") =!= col("_t")).distinct()
+    // B_0(v) = {v}; carry (ball sketch, accumulated harmonic, |B_{r-1}|).
+    // Each step is localCheckpoint-materialized (the Pregel iteration
+    // discipline): `state` feeds THREE plan branches per step, so an
+    // unbroken lineage re-derives it 3^r times by radius r.
+    var state = nodes.select(col(idCol).as("_v"))
+      .groupBy(col("_v"))
+      .agg(hll_sketch_agg(col("_v"), lit(lgK)).as("_sk"))
+      .withColumn("_h", lit(0.0))
+      .withColumn("_prev", hll_sketch_estimate(col("_sk")).cast("double"))
+      .localCheckpoint(true)
+    var r = 1
+    while (r <= radius) {
+      // B_r(v) = B_{r-1}(v) ∪ ⋃_{u→v} B_{r-1}(u)
+      val viaEdges = e.join(state, col("_s") === col("_v"))
+        .select(col("_t").as("_w"), col("_sk"))
+      val grown = state.select(col("_v").as("_w"), col("_sk"))
+        .unionByName(viaEdges)
+        .groupBy(col("_w"))
+        .agg(hll_union_agg(col("_sk"), lit(true)).as("_nsk"))
+      state = state.drop("_sk")
+        .join(grown, col("_v") === col("_w"))
+        .withColumn("_est", hll_sketch_estimate(col("_nsk")).cast("double"))
+        .select(col("_v"), col("_nsk").as("_sk"),
+          (col("_h") + (col("_est") - col("_prev")) / lit(r.toDouble)).as("_h"),
+          col("_est").as("_prev"))
+        .localCheckpoint(true)
+      r += 1
+    }
+    state.select(col("_v").as(idCol), col("_h").as("harmonic"))
+  }
 }

@@ -158,12 +158,40 @@ object WebQueries {
     "q151_pagerank" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"))
       val n = docs.count() // bounded scalar read (fixture needs the modulus)
-      val edges = docs
-        .select(col("doc_id").as("src"),
-          explode(sequence(lit(1L), col("doc_id") % 3 + 1)).as("j"))
-        .select(col("src"), ((col("src") * 31 + col("j") * 7) % n).as("dst"))
-      LinkGraph.pageRank(docs, "doc_id", edges, "src", "dst", iters = 3)
+      LinkGraph.pageRank(docs, "doc_id", webgraph(docs, n), "src", "dst",
+        iters = 3)
+    }),
+
+    // Exact bounded-radius harmonic centrality (full DuckDB oracle —
+    // integer grid): PageRank's published sibling in the Common Crawl
+    // webgraph releases, over the same fixture graph. Radius 3; the
+    // oracle unrolls the frontier expansion CTE-for-CTE.
+    "q152_harmonic" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      LinkGraph.harmonicCentrality(docs, "doc_id", webgraph(docs, n),
+        "src", "dst", radius = 3)
+    }),
+
+    // HyperBall harmonic (rows-only ⊘ — DataSketches HLL is not
+    // DuckDB-replayable): the webgraph-scale path, one mergeable
+    // sketch per node instead of the exact pair set. LinkGraphSpec
+    // pins its sparse-regime estimates exactly equal to q152's exact
+    // values on this very fixture shape.
+    "q152a_harmonic_hyperball" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      LinkGraph.harmonicApprox(docs, "doc_id", webgraph(docs, n),
+        "src", "dst", radius = 3)
     }))
+
+  /** The deterministic fixture webgraph q151/q152 rank (the corpus
+    * carries no hyperlinks): page i → (31·i + 7·j) mod N for
+    * j = 1..(i mod 3)+1 — out-degrees 1-3, skewed in-degrees. */
+  private def webgraph(docs: DataFrame, n: Long): DataFrame = docs
+    .select(col("doc_id").as("src"),
+      explode(sequence(lit(1L), col("doc_id") % 3 + 1)).as("j"))
+    .select(col("src"), ((col("src") * 31 + col("j") * 7) % n).as("dst"))
 
   /** The q148 oracle re-derives the page construction AND the block
     * algebra: same split pattern, same strip/collapse chain, same
@@ -255,7 +283,39 @@ object WebQueries {
               FROM nodes n LEFT JOIN c3 ON c3.v = n.v)
        SELECT v AS doc_id, CAST(r AS BIGINT) AS rank_micro FROM r3"""
 
+  /** The q152 oracle: same fixture graph, self-loops dropped, the
+    * radius-3 frontier expansion unrolled — f_r holds the (u, v)
+    * pairs FIRST reached at distance r (DISTINCT per step, anti-joined
+    * against every earlier step), and every 1/d term is the integral
+    * `scale // d`, so BIGINT sums match Spark digit-for-digit. */
+  private val q152Sql =
+    """WITH nn AS (SELECT count(*) AS n FROM documents),
+       e0 AS (
+         SELECT doc_id AS src,
+           (doc_id * 31 + 7 * j) % (SELECT n FROM nn) AS dst
+         FROM documents, unnest(range(1, doc_id % 3 + 2)) AS t(j)),
+       e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+       f1 AS (SELECT src AS u, dst AS v, 1 AS d FROM e),
+       f2 AS (
+         SELECT DISTINCT a.u, e.dst AS v, 2 AS d
+         FROM f1 a JOIN e ON e.src = a.v
+         WHERE a.u <> e.dst
+           AND NOT EXISTS (SELECT 1 FROM f1 p WHERE p.u = a.u AND p.v = e.dst)),
+       f3 AS (
+         SELECT DISTINCT a.u, e.dst AS v, 3 AS d
+         FROM f2 a JOIN e ON e.src = a.v
+         WHERE a.u <> e.dst
+           AND NOT EXISTS (SELECT 1 FROM f1 p WHERE p.u = a.u AND p.v = e.dst)
+           AND NOT EXISTS (SELECT 1 FROM f2 p WHERE p.u = a.u AND p.v = e.dst)),
+       allr AS (
+         SELECT * FROM f1 UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3),
+       h AS (SELECT v, CAST(sum(1000000 // d) AS BIGINT) AS hm
+             FROM allr GROUP BY v)
+       SELECT doc_id, CAST(coalesce(hm, 0) AS BIGINT) AS harmonic_micro
+       FROM documents LEFT JOIN h ON h.v = doc_id"""
+
   val oracles: Map[String, String] = Map(
     "q148_main_content" -> q148Sql,
-    "q151_pagerank" -> q151Sql)
+    "q151_pagerank" -> q151Sql,
+    "q152_harmonic" -> q152Sql)
 }

@@ -47,4 +47,50 @@ class LinkGraphSpec extends SparkSpec {
     // < 1 unit per division, a handful of divisions per iteration
     assert(total <= 1000L && total > 950L)
   }
+
+  private def harmonic(nodes: Seq[Long], edges: Seq[(Long, Long)],
+      radius: Int, scale: Long = 1000L): Map[Long, Long] = {
+    import spark.implicits._
+    LinkGraph.harmonicCentrality(
+      nodes.toDF("id"), "id", edges.toDF("src", "dst"), "src", "dst",
+      radius = radius, scale = scale)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  // tri-graph distances: d(1,0)=2 d(2,0)=1 | d(0,1)=1 d(2,1)=2 | d(0,2)=d(1,2)=1
+  test("harmonicCentrality: hand-computed radius-3 values on the 3-node graph") {
+    assert(harmonic(Seq(0L, 1L, 2L), triEdges, radius = 3) ==
+      Map(0L -> 1500L, 1L -> 1500L, 2L -> 2000L))
+  }
+
+  test("harmonicCentrality: radius 1 truncates to direct in-links; isolated node scores 0") {
+    assert(harmonic(Seq(0L, 1L, 2L), triEdges, radius = 1) ==
+      Map(0L -> 1000L, 1L -> 1000L, 2L -> 2000L))
+    // node 3 has no in-links within any radius
+    assert(harmonic(Seq(0L, 1L, 2L, 3L), triEdges, radius = 3)(3L) == 0L)
+  }
+
+  test("harmonicCentrality: self-loops and duplicate edges never contribute") {
+    val noisy = triEdges ++ Seq(0L -> 0L, 0L -> 1L, 2L -> 2L)
+    assert(harmonic(Seq(0L, 1L, 2L), noisy, radius = 3) ==
+      harmonic(Seq(0L, 1L, 2L), triEdges, radius = 3))
+  }
+
+  test("harmonicApprox: HyperBall sparse-regime estimates equal the exact grid") {
+    import spark.implicits._
+    // the q151/q152 fixture shape at N=20: i -> (31i + 7j) mod 20
+    val n = 20L
+    val nodes = (0L until n)
+    val edges = nodes.flatMap(i => (1L to (i % 3 + 1)).map(j => i -> ((i * 31 + 7 * j) % n)))
+    val exact = harmonic(nodes, edges, radius = 3, scale = 1000000L)
+    val approx = LinkGraph.harmonicApprox(
+      nodes.toDF("id"), "id", edges.toDF("src", "dst"), "src", "dst", radius = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    // sparse-regime sketches are exact, so the only gap is the exact
+    // side's integer grid (1/3 → 0.333333): < 1 micro-unit per pair
+    for ((v, h) <- approx)
+      assert(math.abs(h - exact(v) / 1e6) < 1e-4,
+        s"node $v: hyperball $h vs exact ${exact(v) / 1e6}")
+  }
 }

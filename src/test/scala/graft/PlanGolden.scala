@@ -43,7 +43,8 @@ object PlanGolden {
     "q128_trim_contamination", "q129_lm_perplexity", "q130_dsir_select",
     "q131_tfidf_keywords", "q133_bigram_perplexity",
     "q140a_bpe_pair_counts", "q141_bpe_encode", "q142_epoch_mix", "q148_main_content",
-    "q149_paragraph_dedup", "q150_incremental_paragraphs", "q151_pagerank")
+    "q149_paragraph_dedup", "q150_incremental_paragraphs", "q151_pagerank",
+    "q152_harmonic")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSpec.session

@@ -250,7 +250,16 @@ class PlanShapeSpec extends SparkSpec {
     // 100 TB regression
     "q149_paragraph_dedup" -> PlanGolden.Shape(
       "Aggregate>Project>Join>Project>Generate>Project>Filter>LogicalRelation>Project>Filter>Aggregate>Project>Generate>Project>LogicalRelation",
-      167))
+      167),
+    "q150_incremental_paragraphs" -> PlanGolden.Shape(
+      "Aggregate>Project>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Join>Project>Filter>Aggregate>Project>Filter>Generate>Project>Filter>LogicalRelation>Filter>LogicalRDD",
+      237),
+    "q151_pagerank" -> PlanGolden.Shape(
+      "Project>Join>Project>LogicalRelation>Aggregate>Project>Join>Project>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Aggregate>Project>Generate>Project>Filter>LogicalRelation>Project>Join>Project>Filter>LogicalRelation>Aggregate>Project>Join>Project>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Aggregate>Project>Generate>Project>Filter>LogicalRelation>Project>Join>Project>Filter>LogicalRelation>Aggregate>Project>Join>Project>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Aggregate>Project>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRelation",
+      332),
+    "q152_harmonic" -> PlanGolden.Shape(
+      "Project>Join>Project>LogicalRelation>Aggregate>Union>Project>LogicalRDD>Project>LogicalRDD>Project>LogicalRDD",
+      40))
 
   test("golden snapshots: operator skeleton exact, expression forest within 1.5x") {
     val failures = golden.toSeq.sortBy(_._1).flatMap { case (name, expected) =>
