@@ -128,6 +128,7 @@ object GrowthBench {
     "q151_pagerank" -> (6.0, "3 PageRank iterations: per iter one src-keyed join + one map-side-partial dst sum over edges that scale 1x with docs (out-degree fixed 1-3); rank rows are 16 bytes; budget = the empirical 6.0 parallel-saturation allowance for linear join chains"),
     "q152_harmonic" -> (6.0, "radius-3 frontier expansion: per step one src-keyed join + distinct + anti-join over minimal-distance pairs bounded by N*deg^R with deg<=3 fixed — node-linear; budget = the 6.0 linear-join-chain allowance"),
     "q152a_harmonic_hyperball" -> (6.0, "HyperBall: one HLL sketch per node, per radius one src-keyed join + map-side-mergeable hll_union_agg groupBy — node-linear regardless of ball size; budget = the 6.0 linear-join-chain allowance"),
+    "g153_bloom_guard_docs" -> (6.0, "Bloom seen-URL guard: corpus-linear bit-store build (one explode + bit_or groupBy bounded by filter size) + batch-linear probe + anti-join over survivors only; budget = the 6.0 linear allowance"),
     "g135_quality_score_docs" -> (10.0, "fixed-model scoring: narrow shuffle-free per-token fold; budget = token ratio (training is the bounded offline step, not gated)"),
     "g136_semantic_neardup_docs" -> (8.0, "within-cell LSH pairs on (cluster,band,sig) keys: signature-linear like g116; cell assignment deterministic (k-means fit is the bounded offline model-build)"))
 
@@ -206,6 +207,27 @@ object GrowthBench {
       val weights = Array.tabulate(dim)(i => ((i * 2654435761L % 1001L) - 500L) / 500.0)
       val model = graft.text.QualityFilter.Model(weights, -0.1, dim)
       graft.text.QualityFilter.score(Tables.documents(s, d), "doc_id", "text", model)
+    }),
+    // The Bloom seen-URL guard (q153's production composition) on
+    // documents: URLs are a pure function of doc_id (one distinct URL
+    // per doc, so the bit-store build is corpus-linear and the load
+    // factor tracks corpus size), store = doc_id % 10 != 0, batch =
+    // a re-crawl of every 5th doc — half of it already stored, half
+    // genuinely new. bloomGuardedNew equals the exact anti-join BY
+    // CONSTRUCTION (no false negatives; false positives confirmed
+    // exactly) — GrowthVariantSpec pins that equality, so the gate
+    // times a query whose answer is exact.
+    "g153_bloom_guard_docs" -> ((s, d) => {
+      import graft.dedup.BloomStore
+      def urls(df: DataFrame) = df.select(
+        concat(lit("https://example.com/page/"), col("doc_id")).as("url"))
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val storeUrls = urls(docs.filter(col("doc_id") % 10 =!= 0))
+      val store = BloomStore.build(storeUrls, "url",
+        nBuckets = 256, wordsPerBucket = 64, numHashes = 7)
+      BloomStore.bloomGuardedNew(store, storeUrls,
+        urls(docs.filter(col("doc_id") % 5 === 0)), "url",
+        nBuckets = 256, wordsPerBucket = 64, numHashes = 7)
     }),
     "g124_url_dedup_docs" -> ((s, d) => {
       val k = col("doc_id")

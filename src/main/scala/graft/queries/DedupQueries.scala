@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.dedup.TextDedup
+import graft.dedup.{BloomStore, TextDedup}
 
 /** Dedup-family queries (q90–q94, q114) + DuckDB oracles.
   *
@@ -209,6 +209,27 @@ object DedupQueries {
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_variants"))
     }),
 
+    // Bloom-filter seen-URL store (the Mercator/Dolma crawler
+    // membership test): build the bit store from the "already crawled"
+    // URLs (custkey % 3 != 0), probe the next batch (% 2 == 0) —
+    // possibly_seen=false is definitive, true is probabilistic. The
+    // filter is sized DOWN (16 buckets × 4 words × 62 bits, ~42% load)
+    // so the fixture exercises real false positives; the DuckDB oracle
+    // replays the identical md5 double-hash bit arithmetic, so the
+    // probabilistic answer is still hash-exact.
+    "q153_bloom_url_seen" -> ((s, d) => {
+      val k = col("c_custkey")
+      val url = concat(lit("https://example"), (k % 500).cast("string"),
+        lit(".com/item/"), (k % 100).cast("string"))
+      val cust = Tables.customer(s, d).select(k.as("ck"), url.as("url"))
+      val store = BloomStore.build(cust.filter(col("ck") % 3 =!= 0), "url",
+        nBuckets = 16, wordsPerBucket = 4, numHashes = 5)
+      BloomStore.probe(store, cust.filter(col("ck") % 2 === 0), "url",
+        nBuckets = 16, wordsPerBucket = 4, numHashes = 5)
+        .select(col("url"), col("bucket").cast("long").as("bucket"),
+          col("possibly_seen"))
+    }),
+
     // Substring-level dedup (the suffix-array family, q126): duplicated
     // 8-gram span coverage per document. A 10-token universal footer is
     // planted on every doc — its 3 fully-interior grams occur in all
@@ -358,6 +379,45 @@ object DedupQueries {
            FROM pieces))
        SELECT url, min(doc_id) AS doc_id, count(*) AS n_variants
        FROM norm GROUP BY url"""
+
+  /** q153 oracle: the Bloom store replayed bit-for-bit — the same
+    * md5 double-hash (Kirsch-Mitzenmacher) positions, the same 62-bit
+    * words (DuckDB `<<` overflows at 63), the same bit_or fold and
+    * mask compare. A false positive is a property of the bit
+    * arithmetic, not of the engine, so even the probabilistic rows
+    * hash-match. */
+  private val q153Sql =
+    """WITH cust AS (
+         SELECT c_custkey AS ck,
+           'https://example' || CAST(c_custkey % 500 AS VARCHAR) ||
+             '.com/item/' || CAST(c_custkey % 100 AS VARCHAR) AS url
+         FROM customer),
+       sh AS (
+         SELECT url,
+           CAST(concat('0x', substr(md5('bloomA' || url), 1, 15)) AS BIGINT) AS h1,
+           CAST(concat('0x', substr(md5('bloomB' || url), 1, 15)) AS BIGINT) AS h2
+         FROM cust WHERE ck % 3 <> 0),
+       spos AS (
+         SELECT h1 % 16 AS bucket, (h1 + i * h2) % 248 AS p
+         FROM sh, unnest(range(0, 5)) AS t(i)),
+       store AS (
+         SELECT bucket, p // 62 AS word,
+           bit_or(1::BIGINT << CAST(p % 62 AS INT)) AS mask
+         FROM spos GROUP BY bucket, p // 62),
+       bh AS (
+         SELECT DISTINCT url,
+           CAST(concat('0x', substr(md5('bloomA' || url), 1, 15)) AS BIGINT) AS h1,
+           CAST(concat('0x', substr(md5('bloomB' || url), 1, 15)) AS BIGINT) AS h2
+         FROM cust WHERE ck % 2 = 0),
+       probes AS (
+         SELECT url, h1 % 16 AS bucket,
+           ((h1 + i * h2) % 248) // 62 AS word,
+           1::BIGINT << CAST(((h1 + i * h2) % 248) % 62 AS INT) AS m
+         FROM bh, unnest(range(0, 5)) AS t(i))
+       SELECT p.url, CAST(p.bucket AS BIGINT) AS bucket,
+         bool_and(s.mask IS NOT NULL AND (s.mask & p.m) = p.m) AS possibly_seen
+       FROM probes p LEFT JOIN store s ON s.bucket = p.bucket AND s.word = p.word
+       GROUP BY p.url, p.bucket"""
 
   /** q123 oracle: same signature replay as q92, then the ASYMMETRIC
     * band probe (new batch's bands against the full corpus's) and the
@@ -654,6 +714,7 @@ object DedupQueries {
     "q121_decontaminate" -> q121Sql,
     "q123_incremental_dedup" -> q123Sql,
     "q124_url_dedup" -> q124Sql,
+    "q153_bloom_url_seen" -> q153Sql,
     "q119_line_boilerplate" ->
       """WITH m AS (
            SELECT doc_id,

@@ -44,6 +44,16 @@ class GrowthVariantSpec extends SparkSpec {
         s"missing=${(planted -- pairs).take(3)} extra=${(pairs -- planted).take(3)}")
   }
 
+  test("g153 growth variant equals the exact anti-join (bloom guard is exact)") {
+    // store = doc_id % 10 != 0, batch = % 5 == 0 → new = ids ≡ 0 (mod 10)
+    val got = GrowthBench.variants("g153_bloom_guard_docs")(spark, corpusDir)
+      .collect().map(_.getString(0)).toSet
+    val expected = (0L until 1000L by 10L)
+      .map(i => s"https://example.com/page/$i").toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+  }
+
   test("g135 growth variant scores every document with varying scores") {
     val rows = GrowthBench.variants("g135_quality_score_docs")(spark, corpusDir)
       .select("id", "quality_score").collect()
