@@ -128,6 +128,8 @@ object GrowthBench {
     "q151_pagerank" -> (6.0, "3 PageRank iterations: per iter one src-keyed join + one map-side-partial dst sum over edges that scale 1x with docs (out-degree fixed 1-3); rank rows are 16 bytes; budget = the empirical 6.0 parallel-saturation allowance for linear join chains"),
     "q152_harmonic" -> (6.0, "radius-3 frontier expansion: per step one src-keyed join + distinct + anti-join over minimal-distance pairs bounded by N*deg^R with deg<=3 fixed — node-linear; budget = the 6.0 linear-join-chain allowance"),
     "q152a_harmonic_hyperball" -> (6.0, "HyperBall: one HLL sketch per node, per radius one src-keyed join + map-side-mergeable hll_union_agg groupBy — node-linear regardless of ball size; budget = the 6.0 linear-join-chain allowance"),
+    "q155_global_rank" -> (6.0, "global rank: two narrow shuffles (range + pid window) + bounded offset collect — row-linear with no single-partition funnel; budget = the 6.0 linear allowance"),
+    "q154_compress_ratio" -> (10.3, "deflate ratio: shuffle-free narrow projection, kernel work ∝ bytes; budget = measured char ratio 10.26x (chars/doc flat)"),
     "g153_bloom_guard_docs" -> (6.0, "Bloom seen-URL guard: corpus-linear bit-store build (one explode + bit_or groupBy bounded by filter size) + batch-linear probe + anti-join over survivors only; budget = the 6.0 linear allowance"),
     "g135_quality_score_docs" -> (10.0, "fixed-model scoring: narrow shuffle-free per-token fold; budget = token ratio (training is the bounded offline step, not gated)"),
     "g136_semantic_neardup_docs" -> (8.0, "within-cell LSH pairs on (cluster,band,sig) keys: signature-linear like g116; cell assignment deterministic (k-means fit is the bounded offline model-build)"))

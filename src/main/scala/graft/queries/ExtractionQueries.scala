@@ -92,6 +92,17 @@ object ExtractionQueries {
         Map("src0" -> 30L, "src1" -> 10L, "src2" -> 5L),
         seed = 42L, portable = true)),
 
+    // Scale-safe global ranking (curriculum ordering): rank every
+    // document by (n_chars desc, doc_id) WITHOUT the single-partition
+    // Window.orderBy anti-pattern — range partition + per-range
+    // row_number + bounded offset prefix-sum. Ranks are independent
+    // of where range boundaries fall (the order is strict), so the
+    // oracle is plain row_number over the total order.
+    "q155_global_rank" -> ((s, d) =>
+      Curator.globalRank(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        "doc_id", Seq(col("n_chars").desc), numRanges = 32)),
+
     // Multi-epoch oversampling: sources src0/src1/src2 at 60/30/10
     // weights against a fixed 60k-token budget. At sf0.01 this
     // exercises every branch — src0 hits the 16-epoch cap (part = 0),
@@ -178,6 +189,13 @@ object ExtractionQueries {
             FROM documents WHERE source IN ('src0', 'src1', 'src2'))
          SELECT doc_id, source FROM r
          WHERE rk <= 30 AND rk <= CASE source WHEN 'src0' THEN 30 WHEN 'src1' THEN 10 ELSE 5 END""",
+
+    // the two-pass range scheme yields exactly the total-order
+    // row_number (strict order ⇒ boundary-independent ranks)
+    "q155_global_rank" ->
+      """SELECT doc_id,
+           row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+         FROM documents""",
 
     // identical tokenize + per-source token sums; epochs computed with
     // the double arithmetic in epochMix's documented order

@@ -219,6 +219,16 @@ object TextQueries {
           col("total_chars"), col("vocab"), col("avg_doc_tokens"),
           col("type_token_ratio"))),
 
+    // Deflate-compression ratio (rows-only ⊘ — zlib is not DuckDB-
+    // replayable): the information-theoretic repetition/entropy
+    // signal via the native codegen'd DeflateRatio expression. A
+    // narrow shuffle-free projection; CompressSpec pins the semantic
+    // contract (repetition compresses, prose doesn't) and codegen.
+    "q154_compress_ratio" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        graft.functions.DeflateRatio.deflateRatio(col("text")).as("deflate_ratio"))),
+
     // The 100 TB production twin: HLL++ vocabulary, one shuffle fewer
     // (rows-only in the artifacts, like the q40a family).
     "q132a_corpus_stats_approx" -> ((s, d) =>

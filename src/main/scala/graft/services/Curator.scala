@@ -388,6 +388,61 @@ object Curator {
     * md5-derived 60-bit key (the q93 fingerprint scheme) so any engine
     * can replay the exact order (the DuckDB oracle does).
     * → input columns + (shard long, shard_pos long). */
+  /** Scale-safe GLOBAL ranking — curriculum ordering (score the
+    * corpus, train easy-to-hard), leaderboard exports, reproducible
+    * "take the global top fraction" cuts. The naive spelling,
+    * `row_number().over(Window.orderBy(...))`, funnels 100 TB through
+    * ONE partition; this is the two-pass range scheme instead (what
+    * RDD.zipWithIndex does, kept in DataFrame land):
+    *
+    *   1. rank over a NARROW (id, order-key) frame — the lean-payload
+    *      rule: pass a projection, not the full table, so document
+    *      text never rides a ranking shuffle (`orderCols` may carry
+    *      sort direction, e.g. `col("score").desc`);
+    *   2. `repartitionByRange` on the order keys (+ id as the strict
+    *      tiebreaker, so the total order — and therefore every rank —
+    *      is unique and boundary-placement-independent);
+    *   3. count rows per range partition (bounded driver read:
+    *      ≤ numRanges longs), prefix-sum into offsets;
+    *   4. broadcast-join the offsets and add the per-partition
+    *      `row_number` — the window partitions by partition id, so
+    *      its exchange moves narrow rows only and no partition sees
+    *      more than its range.
+    *
+    * AQE may coalesce adjacent ranges; adjacency preserves the global
+    * order, and ranks don't depend on where boundaries fall. Rank is
+    * 1-based, dense, and deterministic. → (idCol, rank: long);
+    * callers join the payload back by id. */
+  def globalRank(
+      df: DataFrame, idCol: String, orderCols: Seq[Column],
+      numRanges: Int = 0): DataFrame = {
+    require(orderCols.nonEmpty, "globalRank needs at least one order column")
+    require(numRanges >= 0 && numRanges <= (1 << 20),
+      s"numRanges must be in [0, 2^20], got $numRanges")
+    val spark = df.sparkSession
+    val n = if (numRanges > 0) numRanges
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val keys = orderCols :+ col(idCol)
+    val ranged = df
+      .repartitionByRange(n, keys: _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true) // counted once, ranked once — not two lineage replays
+    val counts = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) => (pid, acc + c) }
+      .init.zip(counts).map { case ((_, off), (pid, _)) => (pid, off) }
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("_pid", "_off")
+    import org.apache.spark.sql.expressions.Window
+    ranged
+      .join(broadcast(offDf), Seq("_pid"))
+      .withColumn("rank",
+        (col("_off") +
+          row_number().over(Window.partitionBy(col("_pid")).orderBy(keys: _*)))
+          .cast("long"))
+      .select(col(idCol), col("rank"))
+  }
+
   def shardCorpus(
       df: DataFrame,
       idCol: String,

@@ -326,4 +326,36 @@ class ExtractionSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Curator.epochMix(docs, col("id"), "src", "n_tokens", Map("s0" -> 1.0), 0L))
   }
+
+  test("globalRank equals the single-partition window on a strict order") {
+    import spark.implicits._
+    // duplicate scores everywhere: the id tiebreaker must resolve them
+    val df = (0L until 1000L).map(i => (i, (i * 7) % 50)).toDF("id", "score")
+    val got = Curator.globalRank(df, "id", Seq(col("score").desc), numRanges = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = df.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("id"))).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == want)
+    // ranks are a permutation of 1..n
+    assert(got.values.toSeq.sorted == (1L to 1000L))
+  }
+
+  test("globalRank: degenerate range counts and empty frames") {
+    import spark.implicits._
+    val df = (0L until 10L).map(i => (i, i)).toDF("id", "score")
+    // one range = the naive shape, still correct
+    val one = Curator.globalRank(df, "id", Seq(col("score")), numRanges = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == (0L until 10L).map(i => i -> (i + 1)).toMap)
+    // more ranges than rows
+    val many = Curator.globalRank(df, "id", Seq(col("score")), numRanges = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(many == one)
+    val empty = Curator.globalRank(
+      Seq.empty[(Long, Long)].toDF("id", "score"), "id", Seq(col("score")))
+    assert(empty.count() == 0 && empty.columns.sameElements(Array("id", "rank")))
+    intercept[IllegalArgumentException](Curator.globalRank(df, "id", Seq.empty))
+  }
 }
