@@ -131,6 +131,9 @@ object GrowthBench {
     "q155_global_rank" -> (6.0, "global rank: two narrow shuffles (range + pid window) + bounded offset collect — row-linear with no single-partition funnel; budget = the 6.0 linear allowance"),
     "q154_compress_ratio" -> (10.3, "deflate ratio: shuffle-free narrow projection, kernel work ∝ bytes; budget = measured char ratio 10.26x (chars/doc flat)"),
     "g153_bloom_guard_docs" -> (6.0, "Bloom seen-URL guard: corpus-linear bit-store build (one explode + bit_or groupBy bounded by filter size) + batch-linear probe + anti-join over survivors only; budget = the 6.0 linear allowance"),
+    "q156_bm25" -> (10.0, "BM25 retrieval: corpus-linear token scan, query-vocab-bounded tf groupBy (tokens filter to the probe vocabulary BEFORE the explode), broadcast df/stats, rank-limited top-k window; probe derivation adds one vocab-bounded count+rank; budget = token ratio (the q117 derivation: tokens/doc flat)"),
+    "q157_url_frontier_filter" -> (6.0, "URL frontier filter: narrow projection + one row_number window over a FIXED domain set (rows per domain grow 10x, domains do not); budget = the 6.0 linear allowance"),
+    "q158_triangles" -> (6.0, "triangle counting: degree-oriented wedge join over edges that scale 1x with docs (out-degree fixed 1-3, oriented out-degree bounded); per-node count groupBys are map-side-partial sums; budget = the 6.0 linear-join-chain allowance"),
     "g135_quality_score_docs" -> (10.0, "fixed-model scoring: narrow shuffle-free per-token fold; budget = token ratio (training is the bounded offline step, not gated)"),
     "g136_semantic_neardup_docs" -> (8.0, "within-cell LSH pairs on (cluster,band,sig) keys: signature-linear like g116; cell assignment deterministic (k-means fit is the bounded offline model-build)"))
 

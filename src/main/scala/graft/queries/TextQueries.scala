@@ -13,6 +13,19 @@ object TextQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // BM25 retrieval (full DuckDB oracle — micro-grid exact): three
+    // 4-term probe queries cut from the corpus' own frequency bands
+    // (ranks 11-14 / 21-24 / 31-34), scored over the whole corpus,
+    // top-10 per query. Corpus-linear scan, query-bounded shuffle:
+    // tokens filter to the query vocabulary BEFORE the explode, df
+    // and corpus stats ride broadcasts, top-k is a rank-limited
+    // window (WindowGroupLimit).
+    "q156_bm25" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.text.Retrieval.bm25TopK(docs, "doc_id", "text",
+        graft.text.Retrieval.frequencyProbeQueries(docs, "text"), topK = 10)
+    }),
+
     "q97_lang_id" -> ((s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"), col("lang"),
@@ -655,7 +668,58 @@ object TextQueries {
        pairs AS (SELECT substr(w, i, 1) AS l, substr(w, i + 1, 1) AS r, c FROM pos)
        SELECT l, r, CAST(sum(c) AS BIGINT) AS freq FROM pairs GROUP BY l, r"""
 
+  /** The q156 oracle replays the whole retrieval: same probe-query
+    * derivation (frequency bands over the same tokenizer), same
+    * micro-grid scoring formula TEXT-FOR-TEXT (both engines fold the
+    * constants in IEEE doubles, `ln` is the same correctly-rounded
+    * primitive — the qlog precedent), same (score desc, doc_id) tie
+    * order. */
+  private val q156Sql =
+    """WITH tk AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tks
+         FROM documents),
+       wc AS (
+         SELECT tok, count(*) AS c
+         FROM (SELECT unnest(tks) AS tok FROM tk) GROUP BY tok),
+       ranked AS (
+         SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS rk FROM wc),
+       qt AS (
+         SELECT CAST(rk // 10 AS BIGINT) AS qid, tok AS term
+         FROM ranked
+         WHERE rk >= 11 AND rk <= 34 AND rk % 10 >= 1 AND rk % 10 <= 4),
+       base AS (SELECT doc_id, CAST(len(tks) AS BIGINT) AS dl, tks FROM tk),
+       tfx AS (
+         SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+         FROM (SELECT doc_id, dl, unnest(tks) AS tok FROM base)
+         WHERE tok IN (SELECT term FROM qt)
+         GROUP BY doc_id, dl, tok),
+       dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tfx GROUP BY tok),
+       st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM base),
+       sc AS (
+         SELECT qt.qid, tfx.doc_id,
+           CAST(floor(
+             ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+             * (CAST(tf AS DOUBLE) * (1.2 + 1.0)
+                / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+                   / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+             * 1000000.0 + 0.5) AS BIGINT) AS term_micro
+         FROM tfx JOIN dfreq USING (tok) JOIN qt ON qt.term = tfx.tok CROSS JOIN st),
+       agg AS (
+         SELECT qid, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(term_micro) AS BIGINT) AS score_micro
+         FROM sc GROUP BY qid, doc_id),
+       rk2 AS (
+         SELECT qid,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rnk,
+           doc_id, n_terms, score_micro
+         FROM agg)
+       SELECT qid, rnk, doc_id, n_terms, score_micro,
+         CAST(score_micro AS DOUBLE) / 1000000.0 AS score
+       FROM rk2 WHERE rnk <= 10"""
+
   val oracles: Map[String, String] = Map(
+    "q156_bm25" -> q156Sql,
     "q140a_bpe_pair_counts" -> q140aSql,
     "q97_lang_id" -> q97Sql,
     "q98_text_quality" -> q98Sql,

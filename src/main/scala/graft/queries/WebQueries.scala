@@ -173,6 +173,60 @@ object WebQueries {
         "src", "dst", radius = 3)
     }),
 
+    // URL frontier filtering (full DuckDB oracle): the RefinedWeb/
+    // FineWeb pre-crawl hygiene pass — exact-domain blocklist, host
+    // word blocklist (the UT1-style adult/gambling lists), and a
+    // per-registered-domain document cap so no single site dominates
+    // the corpus (RefinedWeb keeps top-N per domain by quality).
+    // The corpus carries no URLs, so the query manufactures a crawl
+    // frontier deterministically (23 hosts, two planted-bad, the odd
+    // residues sharing one registered domain so the PLD grouping and
+    // the cap both bite). One narrow projection + ONE window per
+    // registered domain: blocked rows sort after eligible ones so
+    // their ranks never consume keep-slots, and the audit output
+    // carries every row with its verdict (the q31 stance — survivors
+    // AND evidence). At production scale the survivors-only variant
+    // filters `kept` and rides the WindowGroupLimit top-k pushdown;
+    // domain skew is bounded because rank slots beyond the cap are
+    // only ordered, never re-shuffled wide.
+    "q157_url_frontier_filter" -> ((s, d) => {
+      val idx = col("doc_id") % 23
+      val host = when(idx === 3, lit("best-casino-bonus.bet"))
+        .when(idx === 17, lit("adult-videos-hub.com"))
+        .when(idx % 2 === 0, concat(lit("site"), idx, lit(".com")))
+        .otherwise(concat(lit("blog"), idx, lit(".example.net")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), host.as("host"))
+        .select(col("doc_id"), col("n_chars"), col("host"),
+          concat(lit("https://"), col("host"), lit("/p/"), col("doc_id")).as("url"),
+          regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1).as("domain"))
+        .withColumn("block_reason",
+          when(col("domain").isin("best-casino-bonus.bet"), lit("domain_blocklist"))
+            .when(col("host").rlike("(casino|adult|porn|xxx|gambl)"), lit("word_blocklist"))
+            .otherwise(lit(null).cast("string")))
+        .withColumn("_bl", when(col("block_reason").isNull, 0).otherwise(1))
+        .withColumn("domain_rank",
+          row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("domain"))
+              .orderBy(col("_bl").asc, col("n_chars").desc, col("doc_id").asc))
+            .cast("long"))
+        .select(col("doc_id"), col("url"), col("host"), col("domain"),
+          col("block_reason"), col("domain_rank"),
+          (col("block_reason").isNull && col("domain_rank") <= 100).as("kept"))
+    }),
+
+    // Per-node triangle counts + local clustering coefficient (full
+    // DuckDB oracle): the webgraph STRUCTURE signal beside q151/q152's
+    // rank — link farms read as near-clique clustering, topical hubs
+    // as low-clustering stars. Degree-oriented wedge join (O(m^1.5)
+    // bound); the triangle set is orientation-independent, so the
+    // oracle replays it with the simple id-ordered triple join.
+    "q158_triangles" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      LinkGraph.triangleCounts(docs, "doc_id", webgraph(docs, n), "src", "dst")
+    }),
+
     // HyperBall harmonic (rows-only ⊘ — DataSketches HLL is not
     // DuckDB-replayable): the webgraph-scale path, one mergeable
     // sketch per node instead of the exact pair set. LinkGraphSpec
@@ -314,8 +368,79 @@ object WebQueries {
        SELECT doc_id, CAST(coalesce(hm, 0) AS BIGINT) AS harmonic_micro
        FROM documents LEFT JOIN h ON h.v = doc_id"""
 
+  /** The q157 oracle replays the frontier construction and the filter
+    * verdict column-for-column; the one window uses the same explicit
+    * blocked-last sort key, so ranks agree row-for-row. */
+  private val q157Sql =
+    """WITH f AS (
+         SELECT doc_id, n_chars,
+           CASE WHEN doc_id % 23 = 3 THEN 'best-casino-bonus.bet'
+                WHEN doc_id % 23 = 17 THEN 'adult-videos-hub.com'
+                WHEN (doc_id % 23) % 2 = 0 THEN 'site' || (doc_id % 23) || '.com'
+                ELSE 'blog' || (doc_id % 23) || '.example.net' END AS host
+         FROM documents),
+       g AS (
+         SELECT doc_id, n_chars, host,
+           'https://' || host || '/p/' || doc_id AS url,
+           regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
+         FROM f),
+       h AS (
+         SELECT *,
+           CASE WHEN domain IN ('best-casino-bonus.bet') THEN 'domain_blocklist'
+                WHEN regexp_matches(host, '(casino|adult|porn|xxx|gambl)') THEN 'word_blocklist'
+                ELSE NULL END AS block_reason
+         FROM g),
+       i AS (
+         SELECT *,
+           CAST(row_number() OVER (PARTITION BY domain
+             ORDER BY CASE WHEN block_reason IS NULL THEN 0 ELSE 1 END,
+                      n_chars DESC, doc_id) AS BIGINT) AS domain_rank
+         FROM h)
+       SELECT doc_id, url, host, domain, block_reason, domain_rank,
+         (block_reason IS NULL AND domain_rank <= 100) AS kept
+       FROM i"""
+
+  /** The q158 oracle: same fixture graph canonicalized the same way,
+    * triangles enumerated by the simple id-ordered triple join (the
+    * triangle SET is orientation-independent, so Spark's degree-
+    * oriented wedge plan lands on identical rows); the clustering
+    * coefficient is one IEEE division of exact BIGINTs. */
+  private val q158Sql =
+    """WITH nn AS (SELECT count(*) AS n FROM documents),
+       e0 AS (
+         SELECT doc_id AS src, (doc_id * 31 + 7 * j) % (SELECT n FROM nn) AS dst
+         FROM documents, unnest(range(1, doc_id % 3 + 2)) AS t(j)),
+       und AS (
+         SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         FROM e0 WHERE src <> dst),
+       tri AS (
+         SELECT e1.a AS u, e1.b AS v, e2.b AS w
+         FROM und e1
+         JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+         JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+       tpn AS (
+         SELECT v, CAST(count(*) AS BIGINT) AS t
+         FROM (SELECT u AS v FROM tri UNION ALL SELECT v FROM tri
+               UNION ALL SELECT w AS v FROM tri)
+         GROUP BY v),
+       deg AS (
+         SELECT v, CAST(count(*) AS BIGINT) AS d
+         FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+         GROUP BY v)
+       SELECT doc_id,
+         CAST(coalesce(d, 0) AS BIGINT) AS degree,
+         CAST(coalesce(t, 0) AS BIGINT) AS triangles,
+         CASE WHEN coalesce(d, 0) >= 2
+           THEN CAST(2 * coalesce(t, 0) AS DOUBLE) / CAST(d * (d - 1) AS DOUBLE)
+           ELSE 0.0 END AS clustering
+       FROM documents
+       LEFT JOIN deg ON deg.v = doc_id
+       LEFT JOIN tpn ON tpn.v = doc_id"""
+
   val oracles: Map[String, String] = Map(
     "q148_main_content" -> q148Sql,
     "q151_pagerank" -> q151Sql,
-    "q152_harmonic" -> q152Sql)
+    "q152_harmonic" -> q152Sql,
+    "q157_url_frontier_filter" -> q157Sql,
+    "q158_triangles" -> q158Sql)
 }

@@ -1,0 +1,114 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BM25 inverted retrieval over a document corpus — the ranking half
+  * of the data-curation loop: targeted corpus probes ("find the
+  * documents about X"), retrieval-based decontamination audits, and
+  * RAG source selection all reduce to scoring a small query set
+  * against a 100 TB corpus (Robertson & Zaragoza 2009, "The
+  * Probabilistic Relevance Framework: BM25 and Beyond").
+  *
+  * Scale shape — the query set is SMALL by definition, and everything
+  * pivots on that:
+  *   1. per-document token arrays are computed in the scan projection
+  *     (`dl` = full document length needs no shuffle);
+  *   2. tokens are filtered to the query vocabulary BEFORE the
+  *     explode, so the term-frequency groupBy aggregates only
+  *     query-term occurrences — corpus-linear scan, query-bounded
+  *     shuffle;
+  *   3. document frequencies of the (tiny) query vocabulary and the
+  *     two corpus scalars ride broadcast joins — no wide side ever
+  *     shuffles;
+  *   4. top-k per query is a rank-limited window (Spark's
+  *     WindowGroupLimit pushes `rnk <= k` into per-partition top-k
+  *     heaps, so only k rows per partition survive the exchange).
+  *
+  * All scoring lands on the fixed-point micro grid (the q129/qlog
+  * discipline): each per-term partial is quantized to a BIGINT of
+  * micro-units with `floor(x + 0.5)`, so the per-document sum is
+  * associative-exact — bit-identical across engines, partitionings
+  * and retries — and a DuckDB oracle can replay the formula
+  * text-for-text. The one float column (`score`) is a single IEEE
+  * division of exact integers, derived for API consumers.
+  */
+object Retrieval {
+
+  /** Deterministic probe queries derived from the corpus itself:
+    * rank tokens by global frequency (count desc, token asc) and cut
+    * three 4-term queries from the frequency bands 11–14, 21–24 and
+    * 31–34 — mid-head terms, frequent enough to match many documents
+    * but past the stopword crown. The global rank is a single-
+    * partition window over the TOKEN VOCABULARY, which is bounded
+    * (Heaps' law — the [[TextAnalysis.unigramLm]] broadcast argument),
+    * not over the corpus. → (qid, term)
+    */
+  def frequencyProbeQueries(docs: DataFrame, textCol: String): DataFrame = {
+    val cnts = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    cnts
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("cnt").desc, col("term").asc)))
+      .filter(col("rk") >= 11 && col("rk") <= 34 && col("rk") % 10 >= 1 && col("rk") % 10 <= 4)
+      .select(expr("CAST(rk div 10 AS BIGINT)").as("qid"), col("term"))
+  }
+
+  /** BM25 top-`k` documents per query. `queryTerms` is (qid, term) —
+    * one row per query term; duplicate terms within a query score
+    * once (the set semantics of the bag-of-words model). Defaults
+    * k1 = 1.2, b = 0.75 (the Robertson constants). The positive
+    * Lucene idf `ln(1 + (N − df + 0.5)/(df + 0.5))` is used so scores
+    * are monotone in rarity even for terms in over half the corpus.
+    *
+    * The query vocabulary is collected to the driver (BOUNDED: a
+    * query set is tens of terms) to push the term filter inside the
+    * scan projection — the corpus-side explode fans out only matching
+    * tokens. → (qid, rnk, doc_id, n_terms, score_micro, score)
+    */
+  def bm25TopK(
+      docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: DataFrame, topK: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    // bounded collect: the query vocabulary (tens of terms), never corpus data
+    val vocab = queryTerms.select(col("term")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val base = docs
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("_tk"))
+      .select(col("doc_id"), size(col("_tk")).cast("long").as("dl"),
+        filter(col("_tk"), t => t.isInCollection(vocab)).as("_qtk"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("_qtk")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    // the micro-grid per-term partial — textually mirrored in the oracle
+    val termMicro = expr(
+      s"""CAST(floor(
+            ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+            * (CAST(tf AS DOUBLE) * ($k1 + 1.0)
+               / (CAST(tf AS DOUBLE) + $k1 * (1.0 - $b + $b * CAST(dl AS DOUBLE)
+                  / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+            * 1000000.0 + 0.5) AS BIGINT)""")
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .join(broadcast(queryTerms.select(col("qid"), col("term")).distinct()), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("doc_id"), termMicro.as("term_micro"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("term_micro")).as("score_micro"))
+    scored
+      .withColumn("rnk",
+        row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("score_micro").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col("qid"), col("rnk"), col("doc_id"), col("n_terms"),
+        col("score_micro"),
+        expr("CAST(score_micro AS DOUBLE) / 1000000.0").as("score"))
+  }
+}

@@ -93,4 +93,47 @@ class LinkGraphSpec extends SparkSpec {
       assert(math.abs(h - exact(v) / 1e6) < 1e-4,
         s"node $v: hyperball $h vs exact ${exact(v) / 1e6}")
   }
+
+  private def triangles(nodes: Seq[Long], edges: Seq[(Long, Long)])
+      : Map[Long, (Long, Long, Double)] = {
+    import spark.implicits._
+    LinkGraph.triangleCounts(
+      nodes.toDF("id"), "id", edges.toDF("src", "dst"), "src", "dst")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+  }
+
+  test("triangleCounts: 4-clique — every node 3 triangles, clustering 1.0") {
+    val k4 = Seq(0L -> 1L, 0L -> 2L, 0L -> 3L, 1L -> 2L, 1L -> 3L, 2L -> 3L)
+    val got = triangles(Seq(0L, 1L, 2L, 3L), k4)
+    for (v <- 0L to 3L) assert(got(v) == ((3L, 3L, 1.0)), s"node $v: ${got(v)}")
+  }
+
+  test("triangleCounts: triangle + pendant + isolated node") {
+    // 0-1-2 triangle, 2-3 pendant, 4 isolated (in nodes, no edges)
+    val got = triangles(Seq(0L, 1L, 2L, 3L, 4L),
+      Seq(0L -> 1L, 1L -> 2L, 2L -> 0L, 2L -> 3L))
+    assert(got(0L) == ((2L, 1L, 1.0)))
+    assert(got(1L) == ((2L, 1L, 1.0)))
+    assert(got(2L) == ((3L, 1L, 2.0 / 6.0)))
+    assert(got(3L) == ((1L, 0L, 0.0)))
+    assert(got(4L) == ((0L, 0L, 0.0)))
+  }
+
+  test("triangleCounts: direction, duplicates and self-loops never change counts") {
+    val clean = Seq(0L -> 1L, 1L -> 2L, 2L -> 0L)
+    val noisy = clean ++ Seq(1L -> 0L, 0L -> 1L, 2L -> 2L, 0L -> 0L)
+    assert(triangles(Seq(0L, 1L, 2L), noisy) == triangles(Seq(0L, 1L, 2L), clean))
+  }
+
+  test("triangleCounts: degree-skewed star has zero triangles") {
+    // a hub with 6 spokes and no spoke-spoke edges: the wedge join must
+    // orient every edge AWAY from the spokes (degree order), so the hub
+    // generates no wedges and the count is 0 everywhere
+    val star = (1L to 6L).map(i => 0L -> i)
+    val got = triangles(0L to 6L, star)
+    assert(got(0L) == ((6L, 0L, 0.0)))
+    for (v <- 1L to 6L) assert(got(v) == ((1L, 0L, 0.0)))
+  }
 }

@@ -44,7 +44,7 @@ object PlanGolden {
     "q131_tfidf_keywords", "q133_bigram_perplexity",
     "q140a_bpe_pair_counts", "q141_bpe_encode", "q142_epoch_mix", "q148_main_content",
     "q149_paragraph_dedup", "q150_incremental_paragraphs", "q151_pagerank",
-    "q152_harmonic")
+    "q152_harmonic", "q156_bm25", "q157_url_frontier_filter", "q158_triangles")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSpec.session

@@ -20,7 +20,11 @@ class PlanShapeSpec extends SparkSpec {
   // division of labor as q91 vs q92.
   private val intentionalCross =
     Set("q41_outliers", "q41a_outliers_approx", "q60_qa_compare", "q95_knn_brute",
-      "q91_dedup_jaccard", "q116_embed_neardup")
+      "q91_dedup_jaccard", "q116_embed_neardup",
+      // q156: the SINGLE-ROW corpus-stats frame (n_docs, sum_dl)
+      // broadcast-crossed into the scored frame — 1 row by
+      // construction, never a data-sized cross
+      "q156_bm25")
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.map { case (name, fn) =>
@@ -259,7 +263,26 @@ class PlanShapeSpec extends SparkSpec {
       332),
     "q152_harmonic" -> PlanGolden.Shape(
       "Project>Join>Project>LogicalRelation>Aggregate>Union>Project>LogicalRDD>Project>LogicalRDD>Project>LogicalRDD",
-      40))
+      40),
+    // BM25: the WindowGroupLimit under the top-k Window IS the scale
+    // contract (per-partition top-k heaps before the exchange); the
+    // probe derivation's Sort+limit is the vocab-bounded rank; losing
+    // WindowGroupLimit or gaining a corpus-wide Join is the regression
+    "q156_bm25" -> PlanGolden.Shape(
+      "Project>Filter>Window>WindowGroupLimit>Aggregate>Project>Join>Project>Join>Project>Join>Aggregate>Generate>Project>Project>Filter>LogicalRelation>Aggregate>Aggregate>Generate>Project>Project>Filter>LogicalRelation>Project>Filter>Window>GlobalLimit>LocalLimit>Sort>Aggregate>Generate>Project>LogicalRelation>Aggregate>Project>LogicalRelation",
+      432),
+    // one narrow projection chain + ONE Window partitioned by domain;
+    // a second Window or a Join appearing is the regression
+    "q157_url_frontier_filter" -> PlanGolden.Shape(
+      "Project>Project>Window>Project>Project>Project>Project>LogicalRelation",
+      126),
+    // degree-oriented wedge: the canonical edge set and orientation are
+    // LogicalRDD checkpoints; exactly two wedge-side Joins + two
+    // left Joins onto nodes — a third wide Join (all-pairs) is the
+    // 100 TB regression
+    "q158_triangles" -> PlanGolden.Shape(
+      "Project>Join>Project>Join>Project>LogicalRelation>Aggregate>Filter>Generate>LogicalRDD>Aggregate>Filter>Generate>Project>Join>Project>Join>Filter>LogicalRDD>Filter>LogicalRDD>Filter>LogicalRDD",
+      133))
 
   test("golden snapshots: operator skeleton exact, expression forest within 1.5x") {
     val failures = golden.toSeq.sortBy(_._1).flatMap { case (name, expected) =>

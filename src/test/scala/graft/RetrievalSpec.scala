@@ -1,0 +1,86 @@
+package graft
+
+import graft.text.Retrieval
+
+/** Pins BM25 retrieval (text/Retrieval.scala): ranking semantics
+  * (tf monotonicity, length normalization, idf rarity weighting),
+  * the micro-grid score against a Scala-side replay of the formula,
+  * deterministic tie order, the top-k cap, and the frequency-band
+  * probe-query derivation. */
+class RetrievalSpec extends SparkSpec {
+
+  private def topk(docs: Seq[(Long, String)], terms: Seq[(Long, String)],
+      k: Int = 10): Seq[(Long, Long, Long, Long, Long)] = {
+    import spark.implicits._
+    Retrieval.bm25TopK(docs.toDF("doc_id", "text"), "doc_id", "text",
+      terms.toDF("qid", "term"), topK = k)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq.sortBy(t => (t._1, t._2))
+  }
+
+  test("bm25TopK: higher tf ranks first; non-matching docs never appear") {
+    val docs = Seq(
+      1L -> "apple apple apple banana",
+      2L -> "apple banana cherry date",
+      3L -> "banana cherry date fig")
+    val got = topk(docs, Seq(1L -> "apple"))
+    assert(got.map(t => (t._2, t._3)) == Seq((1L, 1L), (2L, 2L)), got.toString)
+  }
+
+  test("bm25TopK: length normalization — same tf, shorter doc wins") {
+    val docs = Seq(
+      1L -> "apple x0 x1 x2 x3 x4 x5 x6 x7 x8",
+      2L -> "apple y0")
+    val got = topk(docs, Seq(1L -> "apple"))
+    assert(got.map(t => (t._2, t._3)) == Seq((1L, 2L), (2L, 1L)), got.toString)
+  }
+
+  test("bm25TopK: rarer term outweighs common term at equal tf and dl") {
+    val docs = Seq(
+      1L -> "common rare pad0 pad1", // matches both
+      2L -> "common filler pad0 pad1", // matches the everywhere-term only
+      3L -> "rare filler pad0 pad1", // matches the rare term only
+      4L -> "common filler pad2 pad3")
+    val got = topk(docs, Seq(1L -> "common", 1L -> "rare"))
+    // doc 1 (both terms) first; doc 3 (rare only) above doc 2 (common only)
+    assert(got.head._3 == 1L && got.head._4 == 2L, got.toString)
+    val byDoc = got.map(t => t._3 -> t._2).toMap
+    assert(byDoc(3L) < byDoc(2L), got.toString)
+  }
+
+  test("bm25TopK: micro score equals a Scala replay of the formula; ties break by doc_id") {
+    val docs = Seq(
+      1L -> "apple banana",
+      2L -> "apple banana", // identical → identical score, id order
+      3L -> "cherry fig")
+    val got = topk(docs, Seq(7L -> "apple"))
+    val (nDocs, sumDl, df, tf, dl) = (3.0, 6.0, 2.0, 1.0, 2.0)
+    val expected = math.floor(
+      math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5)) *
+        (tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumDl / nDocs)))) *
+        1000000.0 + 0.5).toLong
+    assert(got == Seq((7L, 1L, 1L, 1L, expected), (7L, 2L, 2L, 1L, expected)), got.toString)
+  }
+
+  test("bm25TopK: top-k caps each query independently") {
+    val docs = (1L to 9L).map(i => i -> s"apple pad$i")
+    val got = topk(docs, Seq(1L -> "apple", 2L -> "pad3"), k = 3)
+    assert(got.count(_._1 == 1L) == 3)
+    assert(got.count(_._1 == 2L) == 1)
+  }
+
+  test("frequencyProbeQueries: cuts the 11-14/21-24/31-34 frequency bands") {
+    import spark.implicits._
+    // token w01 appears 40 times, w02 39, ... w40 once — rank r = token wr
+    val text = (1 to 40).map(r => (f"w$r%02d " * (41 - r)).trim).mkString(" ")
+    val got = Retrieval.frequencyProbeQueries(
+      Seq((1L, text)).toDF("doc_id", "text"), "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(got == Map(
+      1L -> Seq("w11", "w12", "w13", "w14"),
+      2L -> Seq("w21", "w22", "w23", "w24"),
+      3L -> Seq("w31", "w32", "w33", "w34")), got.toString)
+  }
+}
