@@ -134,6 +134,16 @@ object GrowthBench {
     "q156_bm25" -> (10.0, "BM25 retrieval: corpus-linear token scan, query-vocab-bounded tf groupBy (tokens filter to the probe vocabulary BEFORE the explode), broadcast df/stats, rank-limited top-k window; probe derivation adds one vocab-bounded count+rank; budget = token ratio (the q117 derivation: tokens/doc flat)"),
     "q157_url_frontier_filter" -> (6.0, "URL frontier filter: narrow projection + one row_number window over a FIXED domain set (rows per domain grow 10x, domains do not); budget = the 6.0 linear allowance"),
     "q158_triangles" -> (6.0, "triangle counting: degree-oriented wedge join over edges that scale 1x with docs (out-degree fixed 1-3, oriented out-degree bounded); per-node count groupBys are map-side-partial sums; budget = the 6.0 linear-join-chain allowance"),
+    "q159_anchor_text" -> (6.0, "anchor-text rollup: src-keyed anchor attach over edges that scale 1x with docs, one (dst,anchor) map-side-partial groupBy, total+rank windows over the same dst partitioning (WindowGroupLimit top-k); budget = the 6.0 linear-join-chain allowance"),
+    "q160_domain_stats" -> (6.0, "domain rollup: one narrow projection + one groupBy over a FIXED domain set (rows per domain grow 10x, domains do not; md5 proxy shuffles, not text); exact-distinct Expand is x3 rows, still row-linear; budget = the 6.0 linear allowance"),
+    "q161_lpa_communities" -> (6.0, "3 LPA sweeps: per sweep one src-keyed join + one (node,label) map-side-partial count groupBy + one argmax window over edges that scale 1x with docs; label rows are 16 bytes; budget = the 6.0 linear-join-chain allowance"),
+    "q162_pii_scrub" -> (10.3, "PII scrub: shuffle-free narrow projection, regex work ∝ chars; budget = measured char ratio 10.26x (chars/doc flat)"),
+    "q163_containment" -> (10.3, "containment pairs: shingle-linear df/prefix groupBys + prefix(rarest items)×index join (probe keys are low-df by construction, so candidate fan-out stays pair-bounded) + candidate-bounded verify; budget = measured char ratio 10.26x (shingles/doc ~ chars/doc, both flat)"),
+    "q164_robots" -> (6.0, "robots admission: bounded per-host parse windows + one host-keyed rules join (rules/host fixed) + per-URL argmax window over matched rows only; row-linear; budget = the 6.0 linear allowance"),
+    "q165_ccnet_buckets" -> (6.0, "CCNet percentile buckets: the q129 scoring shape (explode + vocab-bounded broadcast + one id groupBy) + lang attach + one percent_rank window per language partition; row-linear with a per-group sort; budget = the 6.0 linear allowance"),
+    "q166_inverted_index" -> (10.0, "inverted index: one token explode + (term,doc) map-side-partial groupBy + df/cf/rank windows sharing one term partitioning (WindowGroupLimit caps postings); token-linear; budget = token ratio (the q117 derivation: tokens/doc flat)"),
+    "q167_weighted_sample" -> (6.0, "A-Res weighted sample: narrow per-row draw/key projection + TakeOrdered top-k (per-partition heaps, k rows move); row-linear; budget = the 6.0 linear allowance"),
+    "q168_corpus_overlap" -> (6.0, "KMV corpus overlap: one distinct (group,hash) projection + per-group k-min window (WindowGroupLimit) + a pair stage bounded by groups^2*k; row-linear build, constant-size merge; budget = the 6.0 linear allowance"),
     "g135_quality_score_docs" -> (10.0, "fixed-model scoring: narrow shuffle-free per-token fold; budget = token ratio (training is the bounded offline step, not gated)"),
     "g136_semantic_neardup_docs" -> (8.0, "within-cell LSH pairs on (cluster,band,sig) keys: signature-linear like g116; cell assignment deterministic (k-means fit is the bounded offline model-build)"))
 

@@ -709,6 +709,68 @@ object TextDedup {
     verifyJaccard(cand, sets, threshold)
   }
 
+  /** Asymmetric containment pairs: ordered (id_a, id_b) with
+    * C(A→B) = |A∩B| / |A| ≥ `threshold` — "A is t-contained in B",
+    * Broder 1997's second resemblance measure and the right detector
+    * when one document EMBEDS another (quote farms, syndicated
+    * excerpts, boilerplate-wrapped reposts): symmetric Jaccard dives
+    * toward 0 as the container grows, containment stays 1. Exact —
+    * every qualifying ordered pair is emitted, both directions when
+    * both hold.
+    *
+    * Prefix filter, containment form: under the ascending-df total
+    * order, |A∩B| ≥ ⌈t·|A|⌉ forces A's first |A| − ⌈t·|A|⌉ + 1 rarest
+    * items to intersect B (else the overlap is ≤ ⌈t·|A|⌉ − 1) — so
+    * candidates are A-PREFIX × FULL-INDEX joins, the asymmetric twin
+    * of [[jaccardPairsPrefix]]'s prefix×prefix. The index side keeps
+    * every item, so the fan-out bound leans entirely on prefixes
+    * holding the RAREST items: the stopword head never probes. The
+    * one exact size prune is |B| ≥ t·|A| (no upper bound exists — a
+    * tweet can be contained in an encyclopedia; that asymmetry is the
+    * point). Shuffle shape: one groupBy(item) for df, the hot/cold
+    * attach ([[graft.ops.Skew.hotColdJoin]]), one groupBy(id) with a
+    * bounded per-set sort, the prefix×index join, then candidate-
+    * bounded verification that tracks side membership in the item
+    * groupBy (max-of-flag), so |A| needs no extra sizes join.
+    * → (id_a, id_b, containment)
+    */
+  def containmentPairs(
+      sets0: DataFrame, threshold: Double, hotItemMinDf: Long = 100000L): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"containmentPairs threshold must be in (0, 1], got $threshold")
+    // sets feeds freq, prefix-attach, index and verify — the
+    // jaccardPairsItemJoin checkpoint discipline.
+    val sets = sets0.localCheckpoint(true)
+    val freq = sets.groupBy("item").agg(count(lit(1)).as("_df"))
+    val prefixes = graft.ops.Skew.hotColdJoin(sets, freq, "item", "_df", hotItemMinDf)
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("_df"), col("item")))).as("_sorted"))
+      .select(col("id"), size(col("_sorted")).as("sz"), col("_sorted"))
+      .select(col("id"), col("sz"),
+        explode(slice(col("_sorted"), lit(1),
+          (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int"))("item")).as("item"))
+    val sizes = sets.groupBy("id").agg(count(lit(1)).as("_szb"))
+    val index = sets.join(sizes, "id") // sizes per id → auto-broadcast-able
+    val cand = prefixes.toDF("id_a", "sza", "item")
+      .join(index.toDF("id_b", "item", "szb"), "item")
+      .filter(col("id_a") =!= col("id_b") &&
+        col("szb") >= lit(threshold) * col("sza"))
+      .select("id_a", "id_b")
+      .distinct()
+    val members = cand.select(col("id_a"), col("id_b"),
+      explode(array(col("id_a"), col("id_b"))).as("id"))
+    members.join(sets, "id")
+      .groupBy("id_a", "id_b", "item")
+      .agg(count(lit(1)).as("_c"),
+        max(when(col("id") === col("id_a"), 1L).otherwise(0L)).as("_inA"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(col("_inA")).as("_sza"),
+        sum(when(col("_c") === 2, 1L).otherwise(0L)).as("_i"))
+      .withColumn("containment", col("_i").cast("double") / col("_sza"))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+  }
+
   /** Portable 32-bit item id: first 8 hex chars of md5. */
   def itemId(item: Column): Column = conv(substring(md5(item), 1, 8), 16, 10).cast("long")
 

@@ -1,6 +1,7 @@
 package graft.graph
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Link-graph analytics for crawl prioritization — the step between
@@ -205,6 +206,102 @@ object LinkGraph {
                 THEN CAST(2 * coalesce(_t, 0L) AS DOUBLE)
                      / CAST(_deg * (_deg - 1) AS DOUBLE)
                 ELSE 0.0 END""").as("clustering"))
+  }
+
+  /** Anchor-text aggregation: the text OTHER pages use to link to a
+    * target is a relevance/quality signal the target cannot write for
+    * itself (Craswell, Hawking & Robertson 2001 "Effective site
+    * finding using link anchor information"; the published
+    * anchor-text corpora — MS MARCO/ORCAS, Common Crawl host-level
+    * anchors — are exactly this rollup). Per target: every in-link's
+    * anchor string is normalized (whitespace-collapsed, lowercased;
+    * empty/null anchors dropped), counted, and the top `topK` anchors
+    * by (count desc, anchor asc) are kept with the target's total
+    * in-link count and each anchor's share of it.
+    *
+    * Scale shape: ONE hash groupBy on (dst, anchor) with map-side
+    * partials — a hub with 10^9 in-links sharing one anchor collapses
+    * to one partial per task — then the per-dst total and rank ride
+    * windows over the SAME dst partitioning (one exchange for both;
+    * `rnk <= topK` is a WindowGroupLimit per-partition top-k heap, so
+    * only k rows per target survive). Anchor strings are the only
+    * payload that shuffles; page bodies never enter.
+    * → (dstCol, anchor, cnt, rnk, in_links, share)
+    */
+  def anchorText(
+      edges: DataFrame, srcCol: String, dstCol: String, anchorCol: String,
+      topK: Int = 3): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val norm = lower(trim(regexp_replace(col(anchorCol), "\\s+", " ")))
+    val byDst = Window.partitionBy(col("_dst"))
+    edges
+      .select(col(dstCol).as("_dst"), norm.as("anchor"))
+      .filter(col("anchor").isNotNull && col("anchor") =!= "")
+      .groupBy(col("_dst"), col("anchor"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("in_links", sum(col("cnt")).over(byDst))
+      .withColumn("rnk",
+        row_number().over(byDst.orderBy(col("cnt").desc, col("anchor").asc))
+          .cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col("_dst").as(dstCol), col("anchor"), col("cnt"), col("rnk"),
+        col("in_links"),
+        (col("cnt").cast("double") / col("in_links")).as("share"))
+  }
+
+  /** Synchronous label propagation over the undirected simple graph
+    * induced by `edges` (Raghavan, Albert & Kumara 2007 "Near linear
+    * time algorithm to detect community structures in large-scale
+    * networks") — the community signal beside [[pageRank]]'s
+    * authority and [[triangleCounts]]'s local structure: mirror
+    * families, link rings and topic clusters converge onto shared
+    * labels within a few sweeps. Deterministic variant so an oracle
+    * can replay it: labels start as node ids; each sweep every node
+    * adopts the most frequent label among its NEIGHBORS, ties broken
+    * by the smallest label; isolated nodes keep their own. (The
+    * published algorithm breaks ties uniformly at random and updates
+    * asynchronously — determinism costs the oscillation guard, which
+    * bounded `iters` provides.)
+    *
+    * Scale shape: per sweep one src-keyed join (neighbor pairs ×
+    * 16-byte label rows — bucket the edge list by src in production
+    * and the edge side never re-exchanges), one (node, label) count
+    * groupBy with map-side partials, and one argmax window over the
+    * SAME node partitioning (WindowGroupLimit keeps one row per
+    * node). Label rows are two longs; payloads never enter the loop.
+    * `checkpointEvery` truncates lineage for deep sweep counts (the
+    * Pregel discipline; at the default 3 sweeps the tree is shallow).
+    * → (idCol, label)
+    */
+  def labelPropagation(
+      nodes: DataFrame, idCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3, checkpointEvery: Int = 0): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("_a"),
+        greatest(col(srcCol), col(dstCol)).as("_b"))
+      .filter(col("_a") =!= col("_b")).distinct()
+    val nbrs = und.select(col("_a").as("_u"), col("_b").as("_w"))
+      .unionByName(und.select(col("_b").as("_u"), col("_a").as("_w")))
+      .localCheckpoint(true) // read once per sweep; edges never re-derive
+    var labels = nodes.select(col(idCol).as("_v"), col(idCol).as("_l"))
+    var i = 1
+    while (i <= iters) {
+      val votes = nbrs.join(labels, col("_w") === col("_v"))
+        .groupBy(col("_u"), col("_l"))
+        .agg(count(lit(1)).as("_c"))
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy(col("_u")).orderBy(col("_c").desc, col("_l").asc)))
+        .filter(col("_rn") === 1)
+        .select(col("_u"), col("_l").as("_nl"))
+      labels = labels.join(votes, col("_v") === col("_u"), "left")
+        .select(col("_v"), coalesce(col("_nl"), col("_l")).as("_l"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+        labels = labels.localCheckpoint(true)
+      i += 1
+    }
+    labels.select(col("_v").as(idCol), col("_l").as("label"))
   }
 
   /** HyperBall harmonic centrality (Boldi & Vigna 2013): the

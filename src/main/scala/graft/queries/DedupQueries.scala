@@ -111,6 +111,21 @@ object DedupQueries {
       TextDedup.jaccardPairs(
         TextDedup.shingleSets(Tables.documents(s, d), "doc_id", "text", N), 0.5)),
 
+    // Asymmetric containment (full DuckDB oracle): excerpt/quote
+    // detection — snippet docs (first 30 words of every 11th document,
+    // id + 100000) have their 3-gram shingles fully contained in the
+    // base doc even though symmetric Jaccard is far below any useful
+    // threshold. The prefix×index candidate join replays exactly under
+    // the brute-force oracle because the filter chain is EXACT.
+    "q163_containment" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val snip = base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 30), " ").as("text"))
+      TextDedup.containmentPairs(
+        TextDedup.shingleSets(base.unionByName(snip), "doc_id", "text", N), 0.9)
+    }),
+
     // the PPJoin prefix path under the full hash gate: shingle vocab
     // is >64 and t = 0.8 ≥ the measured 0.7 crossover, so the adaptive
     // chooser routes HERE through jaccardPairsPrefix — the oracle is
@@ -643,6 +658,29 @@ object DedupQueries {
          SELECT min(doc_id) AS doc_id, count(*) AS n_copies
          FROM all_docs GROUP BY md5(text)""",
     "q91_dedup_jaccard" -> jaccardSql(tokSql, "tok", 0.95),
+    // q163: the brute-force ordered-pair containment replay over the
+    // snippet-extended corpus — C(A→B) = |A∩B|/|A| on 3-gram shingles.
+    "q163_containment" ->
+      s"""WITH docs AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000,
+              array_to_string(list_slice(string_split(text, ' '), 1, 30), ' ')
+            FROM documents WHERE doc_id % 11 = 0),
+          w AS (SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws
+                FROM docs),
+          sh AS (SELECT DISTINCT doc_id AS id,
+                        ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS item
+                 FROM w, unnest(range(1, len(ws) - 1)) AS t(i)
+                 WHERE len(ws) >= $N),
+          sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+          inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+                    FROM sh a JOIN sh b ON a.item = b.item AND a.id <> b.id
+                    GROUP BY 1, 2)
+          SELECT id_a, id_b, CAST(i AS DOUBLE) / sz.sz AS containment
+          FROM inter JOIN sz ON sz.id = id_a
+          WHERE CAST(i AS DOUBLE) / sz.sz >= 0.9""",
     // q149: replay the paragraph construction, the (id, pos)-first
     // keeper rule, and the position-ordered reassembly exactly.
     "q149_paragraph_dedup" ->

@@ -92,6 +92,16 @@ object ExtractionQueries {
         Map("src0" -> 30L, "src1" -> 10L, "src2" -> 5L),
         seed = 42L, portable = true)),
 
+    // Deterministic weighted sampling without replacement (A-Res,
+    // Efraimidis & Spirakis 2006): 50 documents, inclusion chance ∝
+    // n_chars, drawn by the seeded portable hash on the micro-nat log
+    // grid — the same sample in any engine or retry. The oracle
+    // replays draw, quantized ln, key division and the (key, id)
+    // top-k ordering.
+    "q167_weighted_sample" -> ((s, d) =>
+      Curator.weightedSample(Tables.documents(s, d), "doc_id", "n_chars",
+        k = 50, seed = 42L)),
+
     // Scale-safe global ranking (curriculum ordering): rank every
     // document by (n_chars desc, doc_id) WITHOUT the single-partition
     // Window.orderBy anti-pattern — range partition + per-range
@@ -189,6 +199,18 @@ object ExtractionQueries {
             FROM documents WHERE source IN ('src0', 'src1', 'src2'))
          SELECT doc_id, source FROM r
          WHERE rk <= 30 AND rk <= CASE source WHEN 'src0' THEN 30 WHEN 'src1' THEN 10 ELSE 5 END""",
+
+    // identical draw (the +1 keeps u in (0,1]), identical quantized
+    // ln and key arithmetic, identical top-k order
+    "q167_weighted_sample" ->
+      """WITH w AS (
+           SELECT *,
+             CAST(floor(ln((((doc_id + 42) * 2654435761) % 4294967296 + 1)
+               / 4294967296.0) * 1000000 + 0.5) AS BIGINT) AS lnu
+           FROM documents WHERE n_chars > 0)
+         SELECT doc_id, text, lang, source, n_chars,
+           CAST(lnu AS DOUBLE) / n_chars AS sample_key
+         FROM w ORDER BY sample_key DESC, doc_id LIMIT 50""",
 
     // the two-pass range scheme yields exactly the total-order
     // row_number (strict order ⇒ boundary-independent ranks)

@@ -26,6 +26,12 @@ object RedactionQueries {
     EntityPattern("phone", Seq("\\d{3}-\\d{3}-\\d{4}"), priority = 8),
     EntityPattern("ip_address", Seq("\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"), priority = 6))
 
+  /** The Dolma triple (email/phone/IP) for the q162 corpus scrub. */
+  private val scrubPatterns = Seq(
+    EntityPattern("email", Seq("[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"), priority = 10),
+    EntityPattern("phone", Seq("\\d{3}-\\d{3}-\\d{4}"), priority = 8),
+    EntityPattern("ip_address", Seq("\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"), priority = 6))
+
   private def piiText(s: SparkSession, d: String): DataFrame = {
     val k = col("c_custkey")
     val ks = k.cast("string")
@@ -81,6 +87,28 @@ object RedactionQueries {
       Qa.verifyEntityCounts(
         Redaction.entityCounts(before, "text", patterns),
         Redaction.entityCounts(after, "text", patterns))
+    }),
+
+    // Training-corpus PII scrub (full DuckDB oracle): the Dolma-pass
+    // shape over the documents table — emails, phones and IPs planted
+    // deterministically on residue classes, masked with entity tags,
+    // per-doc counts measured BEFORE replacement. A narrow map-only
+    // projection; the oracle replays plant, chain and counts.
+    "q162_pii_scrub" -> ((s, d) => {
+      val k = col("doc_id")
+      val planted = Tables.documents(s, d).select(
+        k.as("doc_id"),
+        concat(
+          col("text"),
+          when(k % 3 === 0, concat(lit(" contact user"), k.cast("string"),
+            lit("@mail.example.org"))).otherwise(""),
+          when(k % 5 === 0, concat(lit(" call 555-"),
+            lpad((k % 1000).cast("string"), 3, "0"), lit("-"),
+            lpad((k % 10000).cast("string"), 4, "0"))).otherwise(""),
+          when(k % 7 === 0, concat(lit(" from 192.168."),
+            (k % 256).cast("string"), lit("."), (k % 100).cast("string")))
+            .otherwise("")).as("text"))
+      Redaction.scrubTexts(planted, "doc_id", "text", scrubPatterns)
     }),
 
     "q60_qa_compare" -> ((s, d) => {
@@ -157,9 +185,35 @@ object RedactionQueries {
         ${rows.mkString("\nUNION ALL\n")}"""
   }
 
+  private val q162Sql = {
+    val chain = scrubPatterns.foldLeft("text") { (acc, p) =>
+      s"regexp_replace($acc, '${p.patterns.head}', '${p.tagText}', 'g')"
+    }
+    val counts = scrubPatterns.map { p =>
+      s"CAST(len(regexp_extract_all(text, '${p.patterns.head}')) AS BIGINT) AS n_${p.name}"
+    }.mkString(",\n           ")
+    val total = scrubPatterns.map(p => s"n_${p.name}").mkString(" + ")
+    s"""WITH pii AS (
+         SELECT doc_id, text
+           || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.org' ELSE '' END
+           || CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+           || CASE WHEN doc_id % 7 = 0 THEN ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+           AS text
+         FROM documents),
+       c AS (
+         SELECT doc_id, text,
+           $counts
+         FROM pii)
+       SELECT doc_id, $chain AS text,
+         n_email, n_phone, n_ip_address,
+         $total AS n_pii
+       FROM c"""
+  }
+
   val oracles: Map[String, String] = Map(
     "q50_redact" -> q50Sql,
     "q51_entity_counts" -> q51Sql,
     "q61_entity_verify" -> q61Sql,
-    "q60_qa_compare" -> q60Sql)
+    "q60_qa_compare" -> q60Sql,
+    "q162_pii_scrub" -> q162Sql)
 }

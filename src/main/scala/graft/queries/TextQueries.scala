@@ -26,6 +26,48 @@ object TextQueries {
         graft.text.Retrieval.frequencyProbeQueries(docs, "text"), topK = 10)
     }),
 
+    // CCNet-faithful per-language percentile buckets (full DuckDB
+    // oracle): the q129 scoring fixture (model from even ids, score
+    // odd ids) re-bucketed the way Wenzek et al. 2020 actually did it
+    // — thirds of each LANGUAGE's avg-NLL distribution via one
+    // percent_rank window per language. The exact/audit path;
+    // production freezes bounds once (calibrateBuckets) and buckets
+    // with a narrow comparison.
+    "q165_ccnet_buckets" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = TextAnalysis.unigramLm(docs.filter(col("doc_id") % 2 === 0), "text")
+      val scored = TextAnalysis.lmScore(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", model)
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          col("sum_nll_micro"), col("avg_nll_micro"))
+      TextAnalysis.bucketByPercentile(
+        scored.join(docs.select(col("doc_id"), col("lang")), "doc_id"),
+        "avg_nll_micro", Seq("lang"))
+    }),
+
+    // Impact-ordered capped inverted index (full DuckDB oracle):
+    // champion lists over the corpus — per term df/cf and the top-5
+    // postings by (tf desc, doc asc), long-format so the artifact is
+    // a joinable table. One (term, doc) groupBy; df/cf/rank share one
+    // term partitioning (WindowGroupLimit caps the posting heap).
+    "q166_inverted_index" -> ((s, d) =>
+      graft.text.Retrieval.invertedIndex(
+        Tables.documents(s, d), "doc_id", "text", maxPostings = 5)),
+
+    // Pairwise corpus-overlap estimation (full DuckDB oracle): KMV
+    // sketches over content hashes — how much do two sources share
+    // without joining them. A planted "mix" source (every 3rd doc's
+    // text) overlaps each real source; the 10 natural sources share
+    // nothing. All hash/integer arithmetic → the estimate replays
+    // bit-for-bit, unlike an HLL's.
+    "q168_corpus_overlap" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val frame = docs.select(col("source"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 3 === 0)
+          .select(lit("mix").as("source"), col("text")))
+      TextAnalysis.corpusOverlap(frame, "source", "text", k = 64)
+    }),
+
     "q97_lang_id" -> ((s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"), col("lang"),
@@ -528,6 +570,88 @@ object TextQueries {
                ELSE 'tail' END AS ppl_bucket
         FROM a"""
 
+  // q165: the q129 scoring CTEs + the lang attach + one percent_rank
+  // window per language; the bucket fracs render Scala's exact IEEE
+  // doubles (1.0/3 → 17 significant digits, round-trip-exact)
+  private val q165Sql = {
+    val head = (1.0 / 3).toString; val middle = (2.0 / 3).toString
+    s"""WITH $toksSql,
+        model AS (
+          SELECT token, count(*) AS cnt
+          FROM (SELECT unnest(tk) AS token FROM toks WHERE doc_id % 2 = 0)
+          GROUP BY token),
+        dval AS (SELECT coalesce(sum(cnt), 0) + count(*) + 1 AS d FROM model),
+        tok AS (SELECT doc_id, unnest(tk) AS token FROM toks WHERE doc_id % 2 = 1),
+        j AS (
+          SELECT doc_id,
+            ${qlogSql("SELECT d FROM dval")} - ${qlogSql("coalesce(cnt, 0) + 1")} AS nll
+          FROM tok LEFT JOIN model USING (token)),
+        a AS (
+          SELECT doc_id, count(*) AS n_tokens,
+            CAST(sum(nll) AS BIGINT) AS sum_nll_micro
+          FROM j GROUP BY doc_id),
+        l AS (
+          SELECT a.doc_id, a.n_tokens, a.sum_nll_micro,
+            a.sum_nll_micro * 1.0 / a.n_tokens AS avg_nll_micro, d.lang
+          FROM a JOIN documents d USING (doc_id)),
+        p AS (
+          SELECT *, percent_rank() OVER (PARTITION BY lang
+            ORDER BY avg_nll_micro) AS pct
+          FROM l)
+        SELECT doc_id, n_tokens, sum_nll_micro, avg_nll_micro, lang, pct,
+          CASE WHEN pct < $head THEN 'head'
+               WHEN pct < $middle THEN 'middle'
+               ELSE 'tail' END AS pct_bucket
+        FROM p"""
+  }
+
+  // q166: the champion-list replay — same (term, doc) groupBy, same
+  // three windows over the term partition
+  private val q166Sql =
+    s"""WITH $toksSql,
+        tok AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+        g AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+              FROM tok GROUP BY term, doc_id),
+        w AS (
+          SELECT term, doc_id, tf,
+            CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df,
+            CAST(sum(tf) OVER (PARTITION BY term) AS BIGINT) AS cf,
+            CAST(row_number() OVER (PARTITION BY term
+              ORDER BY tf DESC, doc_id ASC) AS BIGINT) AS rnk
+          FROM g)
+        SELECT term, df, cf, rnk, doc_id, tf FROM w WHERE rnk <= 5"""
+
+  // q168: identical 60-bit md5 hashes, per-group k-min windows, pair
+  // membership flags and union k-min — the whole estimator replays
+  private val q168Sql =
+    """WITH f AS (
+         SELECT source AS g, text FROM documents
+         UNION ALL
+         SELECT 'mix', text FROM documents WHERE doc_id % 3 = 0),
+       d AS (
+         SELECT DISTINCT g,
+           CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
+         FROM f),
+       sk AS (
+         SELECT g, h FROM (
+           SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+           FROM d) WHERE rn <= 64),
+       gs AS (SELECT DISTINCT g FROM sk),
+       p AS (SELECT a.g AS g1, b.g AS g2 FROM gs a JOIN gs b ON a.g < b.g),
+       m AS (
+         SELECT p.g1, p.g2, s.h,
+           max(CASE WHEN s.g = p.g1 THEN 1 ELSE 0 END) AS a,
+           max(CASE WHEN s.g = p.g2 THEN 1 ELSE 0 END) AS b
+         FROM p JOIN sk s ON s.g = p.g1 OR s.g = p.g2
+         GROUP BY p.g1, p.g2, s.h),
+       r AS (
+         SELECT *, row_number() OVER (PARTITION BY g1, g2 ORDER BY h) AS rn
+         FROM m)
+       SELECT g1, g2, CAST(count(*) AS BIGINT) AS k_used,
+         CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS jaccard_est
+       FROM r WHERE rn <= 64 GROUP BY g1, g2"""
+
   // q130: two models, merged per token; the per-token D-shift and the
   // top-25% cutoff replay the Scala constants exactly
   private val q130Sql =
@@ -732,6 +856,9 @@ object TextQueries {
     "q118_c4_filter" -> q118Sql,
     "q122_coverage" -> q122Sql,
     "q129_lm_perplexity" -> q129Sql,
+    "q165_ccnet_buckets" -> q165Sql,
+    "q166_inverted_index" -> q166Sql,
+    "q168_corpus_overlap" -> q168Sql,
     "q130_dsir_select" -> q130Sql,
     "q131_tfidf_keywords" -> q131Sql,
     "q132_corpus_stats" -> q132Sql,

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.crawl.{Domains, Robots}
 import graft.graph.LinkGraph
 import graft.multimodal.DocumentExtract
 import graft.sources.Warc
@@ -227,6 +228,93 @@ object WebQueries {
       LinkGraph.triangleCounts(docs, "doc_id", webgraph(docs, n), "src", "dst")
     }),
 
+    // Anchor-text aggregation (full DuckDB oracle): per target page,
+    // the top in-link anchors by frequency — the relevance signal a
+    // page cannot write for itself (MS MARCO/ORCAS, Common Crawl host
+    // anchors). The corpus carries no hyperlinks, so the fixture
+    // attaches an anchor to every webgraph edge: token (src mod 5)+1
+    // of the SOURCE document's text (a src-keyed broadcast-joinable
+    // lookup; null/short docs drop, both engines agree on
+    // out-of-bounds → NULL). One (dst, anchor) groupBy, then total +
+    // rank over the same dst partitioning.
+    "q159_anchor_text" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val n = docs.count()
+      val edges = webgraph(docs.select(col("doc_id")), n)
+        .join(docs.withColumnRenamed("doc_id", "_sd"), col("src") === col("_sd"))
+        .select(col("src"), col("dst"),
+          element_at(split(col("text"), " "), (col("src") % 5 + 1).cast("int"))
+            .as("anchor"))
+      LinkGraph.anchorText(edges, "src", "dst", "anchor", topK = 3)
+        .withColumnRenamed("dst", "doc_id")
+    }),
+
+    // Domain reputation rollup (full DuckDB oracle): the RefinedWeb/
+    // FineWeb domain-grain hygiene pass over the q157 host fixture,
+    // extended with a planted mirror farm (residue 9 hosts one
+    // constant text) so the duplicate-pressure verdict bites, beside
+    // the blocklisted casino domain. Exact COUNT(DISTINCT) columns on
+    // the oracle path; `approx = true` is the Expand-free 100 TB twin
+    // (the q40/q40a stance).
+    "q160_domain_stats" -> ((s, d) => {
+      val idx = col("doc_id") % 23
+      val host = when(idx === 3, lit("best-casino-bonus.bet"))
+        .when(idx === 17, lit("adult-videos-hub.com"))
+        .when(idx === 9, lit("www.mirrorfarm.net"))
+        .when(idx % 2 === 0, concat(lit("site"), idx, lit(".com")))
+        .otherwise(concat(lit("blog"), idx, lit(".example.net")))
+      val framed = Tables.documents(s, d)
+        .select(col("doc_id"), host.as("host"),
+          when(idx === 9, lit("this page is a mirror of the original content"))
+            .otherwise(col("text")).as("text"))
+      Domains.domainStats(framed, "host", "text",
+        blockedExpr = col("host").rlike("(casino|adult|porn|xxx|gambl)"))
+    }),
+
+    // Label-propagation communities (full DuckDB oracle): synchronous
+    // deterministic LPA (Raghavan et al. 2007 — min-label tie-break,
+    // neighbors-only vote), 3 sweeps over the fixture webgraph; the
+    // oracle unrolls every sweep CTE-for-CTE (count groupBy + argmax
+    // window, exactly the Spark plan's shape).
+    "q161_lpa_communities" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      LinkGraph.labelPropagation(docs, "doc_id", webgraph(docs, n),
+        "src", "dst", iters = 3)
+    }),
+
+    // robots.txt URL admission (full DuckDB oracle): RFC 9309 crawl
+    // politeness — parse manufactured robots bodies (three shapes:
+    // agent-specific group override, multi-agent group with
+    // longest-match rules, tie-goes-to-allow + idiomatic empty
+    // Disallow), then admit a frontier of one URL per document as
+    // agent "graftbot". The oracle replays the line parse (comment
+    // strip, running-sum group ids), group selection and the
+    // longest/allow-first argmax window CTE-for-CTE; fixture patterns
+    // are literal prefixes, so prefix match replays as starts_with.
+    "q164_robots" -> ((s, d) => {
+      val idx = col("doc_id") % 23
+      val host = concat(lit("site"), idx, lit(".example"))
+      val robots = Tables.documents(s, d).select(idx.as("_i")).distinct()
+        .select(concat(lit("site"), col("_i"), lit(".example")).as("host"),
+          when(col("_i") % 3 === 0, lit(
+            "User-agent: *\nDisallow: /private\nAllow: /private/ok\n# graftbot gets its own group\n\nUser-agent: graftbot\nDisallow: /tmp\n"))
+            .when(col("_i") % 3 === 1, lit(
+              "User-agent: graftbot\nUser-agent: otherbot\nDisallow: /secret\nAllow: /secret/x\nDisallow: /tmp\n"))
+            .otherwise(lit(
+              "User-agent: *\n# be nice\nAllow: /tmp/f\nDisallow: /tmp/f\nDisallow:\n")).as("content"))
+      val urls = Tables.documents(s, d).select(col("doc_id"), host.as("host"),
+        concat(
+          when(col("doc_id") % 5 === 0, lit("/private/doc"))
+            .when(col("doc_id") % 5 === 1, lit("/private/ok/doc"))
+            .when(col("doc_id") % 5 === 2, lit("/secret/x"))
+            .when(col("doc_id") % 5 === 3, lit("/tmp/f"))
+            .otherwise(lit("/public/doc")),
+          col("doc_id")).as("path"))
+      Robots.decide(urls, "doc_id", "host", "path",
+        Robots.parseRules(robots, "host", "content"), "graftbot")
+    }),
+
     // HyperBall harmonic (rows-only ⊘ — DataSketches HLL is not
     // DuckDB-replayable): the webgraph-scale path, one mergeable
     // sketch per node instead of the exact pair set. LinkGraphSpec
@@ -437,10 +525,170 @@ object WebQueries {
        LEFT JOIN deg ON deg.v = doc_id
        LEFT JOIN tpn ON tpn.v = doc_id"""
 
+  /** The q159 oracle replays the edge-anchor fixture (token (src%5)+1
+    * of the source text — both engines return NULL past the array
+    * end), the normalization chain, and the count/total/rank windows
+    * over the same dst partitioning. */
+  private val q159Sql =
+    """WITH nn AS (SELECT count(*) AS n FROM documents),
+       e AS (
+         SELECT doc_id AS src, (doc_id * 31 + 7 * j) % (SELECT n FROM nn) AS dst
+         FROM documents, unnest(range(1, doc_id % 3 + 2)) AS t(j)),
+       a AS (
+         SELECT e.dst,
+           lower(trim(regexp_replace(
+             string_split(d.text, ' ')[e.src % 5 + 1], '\s+', ' ', 'g'))) AS anchor
+         FROM e JOIN documents d ON d.doc_id = e.src),
+       g AS (
+         SELECT dst, anchor, CAST(count(*) AS BIGINT) AS cnt
+         FROM a WHERE anchor IS NOT NULL AND anchor <> ''
+         GROUP BY dst, anchor),
+       w AS (
+         SELECT dst, anchor, cnt,
+           CAST(sum(cnt) OVER (PARTITION BY dst) AS BIGINT) AS in_links,
+           CAST(row_number() OVER (PARTITION BY dst
+             ORDER BY cnt DESC, anchor ASC) AS BIGINT) AS rnk
+         FROM g)
+       SELECT dst AS doc_id, anchor, cnt, rnk, in_links,
+         CAST(cnt AS DOUBLE) / in_links AS share
+       FROM w WHERE rnk <= 3"""
+
+  /** The q160 oracle replays the host/mirror fixture and the rollup —
+    * exact COUNT(DISTINCT) on md5(text) (the 32-byte proxy both
+    * engines print identically), single IEEE divisions for the
+    * shares. */
+  private val q160Sql =
+    """WITH f AS (
+         SELECT doc_id,
+           CASE WHEN doc_id % 23 = 3 THEN 'best-casino-bonus.bet'
+                WHEN doc_id % 23 = 17 THEN 'adult-videos-hub.com'
+                WHEN doc_id % 23 = 9 THEN 'www.mirrorfarm.net'
+                WHEN (doc_id % 23) % 2 = 0 THEN 'site' || (doc_id % 23) || '.com'
+                ELSE 'blog' || (doc_id % 23) || '.example.net' END AS host,
+           CASE WHEN doc_id % 23 = 9
+                THEN 'this page is a mirror of the original content'
+                ELSE text END AS text
+         FROM documents),
+       g AS (
+         SELECT regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain, host,
+           md5(text) AS tk, CAST(length(text) AS BIGINT) AS len,
+           regexp_matches(host, '(casino|adult|porn|xxx|gambl)') AS blocked
+         FROM f),
+       agg AS (
+         SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+           CAST(count(DISTINCT tk) AS BIGINT) AS n_unique_texts,
+           CAST(sum(len) AS BIGINT) AS total_chars,
+           CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked
+         FROM g GROUP BY domain)
+       SELECT domain, n_docs, n_hosts, n_unique_texts, total_chars, n_blocked,
+         CAST(n_docs - n_unique_texts AS DOUBLE) / n_docs AS dup_share,
+         CAST(n_blocked AS DOUBLE) / n_docs AS blocked_share,
+         (n_blocked = 0 AND
+          CAST(n_docs - n_unique_texts AS DOUBLE) / n_docs <= 0.5) AS kept
+       FROM agg"""
+
+  /** The q161 oracle unrolls the 3 LPA sweeps CTE-for-CTE: per sweep
+    * one neighbor-label count groupBy and one (cnt desc, label asc)
+    * argmax window — exactly the Spark plan's shape, so labels agree
+    * row-for-row. */
+  private val q161Sql = {
+    val base =
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+         e0 AS (
+           SELECT doc_id AS src, (doc_id * 31 + 7 * j) % (SELECT n FROM nn) AS dst
+           FROM documents, unnest(range(1, doc_id % 3 + 2)) AS t(j)),
+         und AS (
+           SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           FROM e0 WHERE src <> dst),
+         nbr AS (SELECT a AS u, b AS w FROM und
+                 UNION ALL SELECT b AS u, a AS w FROM und),
+         l0 AS (SELECT doc_id AS v, doc_id AS l FROM documents)"""
+    val sweeps = (1 to 3).map { i =>
+      s"""c$i AS (
+           SELECT n.u AS v, l.l AS lbl, count(*) AS c
+           FROM nbr n JOIN l${i - 1} l ON l.v = n.w GROUP BY n.u, l.l),
+         p$i AS (
+           SELECT v, lbl FROM (
+             SELECT v, lbl, row_number() OVER (PARTITION BY v
+               ORDER BY c DESC, lbl ASC) AS rn FROM c$i) WHERE rn = 1),
+         l$i AS (
+           SELECT a.v, coalesce(p$i.lbl, a.l) AS l
+           FROM l${i - 1} a LEFT JOIN p$i ON p$i.v = a.v)"""
+    }.mkString(",\n")
+    s"$base,\n$sweeps\nSELECT v AS doc_id, CAST(l AS BIGINT) AS label FROM l3"
+  }
+
+  /** The q164 oracle replays the robots PARSE (comment strip, key/
+    * value split, running-sum group ids over line position), the
+    * agent-group selection, and the longest/allow-first admission
+    * window. Fixture patterns are literal prefixes, so the Spark
+    * side's regex translation reduces to starts_with here. */
+  private val q164Sql =
+    """WITH hosts AS (SELECT DISTINCT doc_id % 23 AS i FROM documents),
+       r AS (
+         SELECT 'site' || i || '.example' AS host,
+           CASE WHEN i % 3 = 0 THEN 'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10) || 'Allow: /private/ok' || chr(10) || '# graftbot gets its own group' || chr(10) || chr(10) || 'User-agent: graftbot' || chr(10) || 'Disallow: /tmp' || chr(10)
+                WHEN i % 3 = 1 THEN 'User-agent: graftbot' || chr(10) || 'User-agent: otherbot' || chr(10) || 'Disallow: /secret' || chr(10) || 'Allow: /secret/x' || chr(10) || 'Disallow: /tmp' || chr(10)
+                ELSE 'User-agent: *' || chr(10) || '# be nice' || chr(10) || 'Allow: /tmp/f' || chr(10) || 'Disallow: /tmp/f' || chr(10) || 'Disallow:' || chr(10) END AS content
+         FROM hosts),
+       ls AS (SELECT host, string_split_regex(content, '\r?\n') AS l FROM r),
+       lines AS (
+         SELECT host, i AS pos,
+           trim(regexp_replace(l[i], '#.*$', '')) AS line
+         FROM ls, unnest(range(1, len(l) + 1)) AS t(i)),
+       parsed AS (
+         SELECT host, pos,
+           lower(trim(regexp_extract(line, '^([^:]+):(.*)$', 1))) AS key,
+           trim(regexp_extract(line, '^([^:]+):(.*)$', 2)) AS value
+         FROM lines WHERE line <> ''),
+       filt AS (
+         SELECT *, CASE WHEN key = 'user-agent' THEN 1 ELSE 0 END AS isua
+         FROM parsed WHERE key IN ('user-agent', 'allow', 'disallow')),
+       mk AS (
+         SELECT *, CASE WHEN isua = 1 AND
+             coalesce(lag(isua) OVER (PARTITION BY host ORDER BY pos), 0) = 0
+           THEN 1 ELSE 0 END AS newg
+         FROM filt),
+       mk2 AS (SELECT *, sum(newg) OVER (PARTITION BY host ORDER BY pos) AS grp FROM mk),
+       agents AS (SELECT DISTINCT host, grp, lower(value) AS agent FROM mk2 WHERE isua = 1),
+       rules AS (SELECT host, grp, key AS rule, value AS path FROM mk2 WHERE isua = 0),
+       joined AS (SELECT a.host, a.agent, ru.rule, ru.path
+                  FROM agents a JOIN rules ru USING (host, grp)),
+       hasagent AS (SELECT DISTINCT host, 1 AS ha FROM joined WHERE agent = 'graftbot'),
+       chosen AS (
+         SELECT j.host, j.rule, j.path AS pattern
+         FROM joined j LEFT JOIN hasagent h USING (host)
+         WHERE (CASE WHEN h.ha = 1 THEN j.agent = 'graftbot' ELSE j.agent = '*' END)
+           AND j.path <> ''),
+       urls AS (
+         SELECT doc_id, 'site' || (doc_id % 23) || '.example' AS host,
+           (CASE WHEN doc_id % 5 = 0 THEN '/private/doc'
+                 WHEN doc_id % 5 = 1 THEN '/private/ok/doc'
+                 WHEN doc_id % 5 = 2 THEN '/secret/x'
+                 WHEN doc_id % 5 = 3 THEN '/tmp/f'
+                 ELSE '/public/doc' END) || doc_id AS path
+         FROM documents),
+       m AS (
+         SELECT u.doc_id, c.rule, c.pattern,
+           row_number() OVER (PARTITION BY u.doc_id
+             ORDER BY length(c.pattern) DESC, c.rule ASC, c.pattern ASC) AS rn
+         FROM urls u JOIN chosen c
+           ON c.host = u.host AND starts_with(u.path, c.pattern)),
+       top AS (SELECT doc_id, rule, pattern FROM m WHERE rn = 1)
+       SELECT u.doc_id, u.host, u.path,
+         coalesce(t.rule = 'allow', TRUE) AS allowed,
+         t.rule AS rule, t.pattern AS matched
+       FROM urls u LEFT JOIN top t USING (doc_id)"""
+
   val oracles: Map[String, String] = Map(
     "q148_main_content" -> q148Sql,
     "q151_pagerank" -> q151Sql,
     "q152_harmonic" -> q152Sql,
     "q157_url_frontier_filter" -> q157Sql,
-    "q158_triangles" -> q158Sql)
+    "q158_triangles" -> q158Sql,
+    "q159_anchor_text" -> q159Sql,
+    "q160_domain_stats" -> q160Sql,
+    "q161_lpa_communities" -> q161Sql,
+    "q164_robots" -> q164Sql)
 }

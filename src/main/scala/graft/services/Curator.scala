@@ -463,4 +463,38 @@ object Curator {
           .cast("long"))
       .drop("_ord")
   }
+
+  /** Deterministic weighted sampling without replacement — A-Res
+    * (Efraimidis & Spirakis 2006, "Weighted random sampling with a
+    * reservoir"): every row draws u ∈ (0, 1] and competes with key
+    * u^(1/w); the k largest keys are the sample, and each row's
+    * inclusion probability tracks its weight. Here u comes from the
+    * seeded [[portableFraction]] hash (same draw in any engine, any
+    * retry — the curation stance: sampling is a FUNCTION of the data,
+    * not of the run), and the key is compared in log space on the
+    * micro-nat grid: ln(u) quantized to a BIGINT once (the q129
+    * discipline), then one exact-IEEE division by the weight —
+    * monotone in u^(1/w), so the selected SET is the paper's.
+    *
+    * Scale shape: a narrow per-row projection, then top-k by
+    * (key desc, id asc) — TakeOrdered for bounded k (per-partition
+    * heaps, only k rows move; the [[graft.text.TextAnalysis.dsirSelect]]
+    * plan note applies: huge k falls back to a range sort, prefer a
+    * calibrated threshold there). Rows with weight ≤ 0 are excluded —
+    * zero mass means zero chance. → df + (sample_key)
+    */
+  def weightedSample(
+      df: DataFrame, idCol: String, weightCol: String,
+      k: Int, seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // (pmod + 1)/2^32 ∈ (0, 1]: u = 0 would put ln at -inf
+    val u = (pmod((col(idCol) + seed) * lit(2654435761L), lit(4294967296L)) + 1L) /
+      lit(4294967296.0)
+    df.filter(col(weightCol) > 0)
+      .withColumn("_lnu", floor(log(u) * 1e6 + 0.5).cast("long"))
+      .withColumn("sample_key", col("_lnu").cast("double") / col(weightCol))
+      .orderBy(col("sample_key").desc, col(idCol).asc)
+      .limit(k)
+      .drop("_lnu")
+  }
 }

@@ -89,6 +89,37 @@ object Redaction {
     one.select(explode(array(rows: _*)).as("_r")).select(col("_r.*"))
   }
 
+  /** Training-corpus PII scrub (the Dolma pass — Soldaini et al. 2024
+    * mask emails, phone numbers and IP addresses in pretraining text
+    * with special tokens; C4 and FineWeb run the same shape): per
+    * document, the masked text plus a count per entity type and a
+    * total — the counts are the curation signal (docs that are MOSTLY
+    * PII get dropped, not scrubbed). Counts are measured BEFORE any
+    * replacement, so an earlier pattern's tag can never hide or
+    * manufacture a later pattern's match; replacement itself applies
+    * in priority order ([[redactColumn]]).
+    *
+    * Scale shape: a narrow per-row projection — no shuffle, no UDF,
+    * every regex codegen'd; at 100 TB this is a map-only pass that
+    * pipelines into whatever scan feeds it.
+    * → (idCol, textCol [masked], n_<entity> per pattern, n_pii)
+    */
+  def scrubTexts(
+      df: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[EntityPattern] = CommonPatterns,
+      strategy: Strategy = Tag): DataFrame = {
+    require(patterns.nonEmpty, "scrubTexts needs at least one pattern")
+    val counts = patterns.map { p =>
+      p.patterns
+        .map(pat => coalesce(regexp_count(col(textCol), lit(pat)), lit(0)).cast("long"))
+        .reduce(_ + _).as(s"n_${p.name}")
+    }
+    df.select(
+      Seq(col(idCol), redactColumn(col(textCol), patterns, strategy).as(textCol)) ++
+        counts: _*)
+      .withColumn("n_pii", patterns.map(p => col(s"n_${p.name}")).reduce(_ + _))
+  }
+
   /** redaction.py:467 `extract_entities`: array of matches per row. */
   def extractEntities(c: Column, pattern: EntityPattern): Column =
     flatten(array(pattern.patterns.map(p => regexp_extract_all(c, lit(p), lit(0))): _*))

@@ -111,4 +111,38 @@ object Retrieval {
         col("score_micro"),
         expr("CAST(score_micro AS DOUBLE) / 1000000.0").as("score"))
   }
+
+  /** Impact-ordered capped inverted index — the materialized artifact
+    * behind [[bm25TopK]]'s on-the-fly scoring: per term its document
+    * frequency, collection frequency, and the top `maxPostings`
+    * postings by (tf desc, doc asc) — champion lists (Manning,
+    * Raghavan & Schütze 2008 §7.1.3: keep only the docs a scorer
+    * could ever rank highly; long-format rows, not nested arrays, so
+    * the artifact is itself a joinable table).
+    *
+    * Scale shape: one explode + one (term, doc) groupBy with map-side
+    * partials — THE inverted-index shuffle, keyed exactly how the
+    * artifact is consumed — then df/cf totals and the posting rank
+    * ride windows over the SAME term partitioning (one exchange for
+    * all three; `rnk <= maxPostings` is a WindowGroupLimit
+    * per-partition top-k heap, so a stopword's million postings
+    * reduce to k before the final exchange). Skewed terms cost their
+    * own row count, never a cross product.
+    * → (term, df, cf, rnk, doc_id, tf) */
+  def invertedIndex(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxPostings: Int = 5): DataFrame = {
+    require(maxPostings >= 1, s"maxPostings must be >= 1, got $maxPostings")
+    val byTerm = Window.partitionBy(col("term"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1)).over(byTerm))
+      .withColumn("cf", sum(col("tf")).over(byTerm))
+      .withColumn("rnk", row_number().over(
+        byTerm.orderBy(col("tf").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("rnk") <= maxPostings)
+      .select("term", "df", "cf", "rnk", "doc_id", "tf")
+  }
 }

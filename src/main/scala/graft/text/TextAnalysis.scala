@@ -645,6 +645,37 @@ object TextAnalysis {
     (qs(0), qs(1))
   }
 
+  /** CCNet-faithful percentile bucketing (Wenzek et al. 2020 §4.3
+    * split Common Crawl into head/middle/tail thirds of the
+    * per-LANGUAGE perplexity distribution): one percent_rank window
+    * per group over a scored frame — the EXACT, oracle-replayable
+    * assignment. percent_rank = (rank−1)/(n−1) is a single IEEE
+    * division, and ties share a rank, so the bucket is deterministic
+    * across engines and shuffle orders.
+    *
+    * Scale: the window range-sorts each group partition — one
+    * exchange + sort over (group, value), rows are the scored frame's
+    * slim columns. That is the audit/oracle path; at corpus scale
+    * freeze bounds once via [[calibrateBuckets]] (approxQuantile) and
+    * bucket every later batch or stream with a narrow comparison —
+    * the q40/q40a exact-vs-production stance.
+    * → scored + (pct, pct_bucket) */
+  def bucketByPercentile(
+      scored: DataFrame, valueCol: String, groupCols: Seq[String],
+      headFrac: Double = 1.0 / 3, middleFrac: Double = 2.0 / 3): DataFrame = {
+    require(headFrac < middleFrac, s"fracs out of order: $headFrac, $middleFrac")
+    val w =
+      (if (groupCols.isEmpty) org.apache.spark.sql.expressions.Window.partitionBy()
+       else org.apache.spark.sql.expressions.Window.partitionBy(groupCols.map(col): _*))
+        .orderBy(col(valueCol))
+    scored
+      .withColumn("pct", percent_rank().over(w))
+      .withColumn("pct_bucket",
+        when(col("pct") < headFrac, "head")
+          .when(col("pct") < middleFrac, "middle")
+          .otherwise("tail"))
+  }
+
   /** Single-pass alternative to [[dsirSelect]]: keep documents whose
     * importance weight clears a FIXED threshold. No count, no
     * ordering — a narrow filter that composes onto a stream and
@@ -715,6 +746,56 @@ object TextAnalysis {
         coalesce(col("vocab"), lit(0L)).as("vocab"),
         (col("total_tokens") * 1.0 / col("n_docs")).as("avg_doc_tokens"),
         (coalesce(col("vocab"), lit(0L)) * 1.0 / col("total_tokens")).as("type_token_ratio"))
+  }
+
+  /** Pairwise corpus-overlap estimation via KMV sketches (Beyer et
+    * al. 2007 "On synopses for distinct-value estimation under
+    * multiset operations"; Bar-Yossef et al. 2002 for the k-minimum-
+    * values idea): how much do two crawls/dumps/sources share WITHOUT
+    * joining them — per group keep the k smallest 60-bit md5 content
+    * hashes of its distinct texts; for a pair, the Jaccard estimate
+    * is the both-members share among the k smallest hashes of the
+    * sketch UNION. Every step is integer/hash arithmetic on the SAME
+    * deterministic hash ([[graft.dedup.TextDedup.gramId]]'s md5
+    * construction), so the estimate — unlike an HLL's — replays
+    * bit-for-bit in an external oracle, and sketches are mergeable
+    * artifacts a daily pipeline can persist per dump.
+    *
+    * Scale shape: one distinct (group, hash) projection + one
+    * per-group ascending-hash top-k window (WindowGroupLimit heaps —
+    * a billion-doc source reduces to k rows before any exchange);
+    * the pair stage touches only #groups² · k sketch rows, with
+    * #groups the bounded source/dump count. The corpus text never
+    * shuffles — hashes do. → (g1, g2, k_used, n_both, jaccard_est)
+    */
+  def corpusOverlap(
+      df: DataFrame, groupCol: String, textCol: String, k: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+    val sk = df
+      .select(col(groupCol).as("g"),
+        conv(substring(md5(col(textCol)), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+      .withColumn("_rn", row_number().over(w.partitionBy(col("g")).orderBy(col("h"))))
+      .filter(col("_rn") <= k).drop("_rn")
+      .localCheckpoint(true) // feeds the group list and both pair legs
+    val gs = sk.select(col("g")).distinct()
+    val pairs = gs.select(col("g").as("g1"))
+      .join(gs.select(col("g").as("g2")), col("g1") < col("g2"))
+    val memA = pairs.join(sk.select(col("g").as("g1"), col("h")), Seq("g1"))
+      .select(col("g1"), col("g2"), col("h"), lit(1L).as("_a"), lit(0L).as("_b"))
+    val memB = pairs.join(sk.select(col("g").as("g2"), col("h")), Seq("g2"))
+      .select(col("g1"), col("g2"), col("h"), lit(0L).as("_a"), lit(1L).as("_b"))
+    memA.unionByName(memB)
+      .groupBy(col("g1"), col("g2"), col("h"))
+      .agg(max(col("_a")).as("_a"), max(col("_b")).as("_b"))
+      .withColumn("_rn", row_number().over(
+        w.partitionBy(col("g1"), col("g2")).orderBy(col("h"))))
+      .filter(col("_rn") <= k)
+      .groupBy(col("g1"), col("g2"))
+      .agg(count(lit(1)).as("k_used"),
+        sum(when(col("_a") === 1L && col("_b") === 1L, 1L).otherwise(0L)).as("n_both"))
+      .withColumn("jaccard_est", col("n_both").cast("double") / col("k_used"))
   }
 
   /** Per-document top-k keywords by tf·idf, integer-exact: idf_micro =

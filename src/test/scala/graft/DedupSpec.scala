@@ -585,6 +585,37 @@ class DedupSpec extends SparkSpec {
     assert(viaIncremental.map(_._1) == Set(1L, 2L))
   }
 
+  test("containmentPairs: excerpt recovered in its direction only; symmetric pair both ways") {
+    import spark.implicits._
+    // doc 1 = 12 distinct tokens; doc 2 = its first 10 (an excerpt);
+    // doc 3 = unrelated. C(2→1) = 10/10 = 1; C(1→2) = 10/12 < 0.9.
+    val docs = Seq(
+      1L -> "a b c d e f g h i j k l",
+      2L -> "a b c d e f g h i j",
+      3L -> "q r s t u v w x y z").toDF("doc_id", "text")
+    val sets = TextDedup.tokenSets(docs, "doc_id", "text")
+    val got = TextDedup.containmentPairs(sets, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((2L, 1L, 1.0)))
+    // at t = 10/12 both directions qualify — asymmetry is threshold-real
+    val both = TextDedup.containmentPairs(sets, 10.0 / 12.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(both == Set((2L, 1L), (1L, 2L)))
+  }
+
+  test("containmentPairs: threshold edge is inclusive; invalid thresholds rejected") {
+    import spark.implicits._
+    val docs = Seq(1L -> "a b c d", 2L -> "a b c x").toDF("doc_id", "text")
+    val sets = TextDedup.tokenSets(docs, "doc_id", "text")
+    // overlap 3 of 4: containment exactly 0.75 each way
+    val at = TextDedup.containmentPairs(sets, 0.75)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(at == Set((1L, 2L), (2L, 1L)))
+    assert(TextDedup.containmentPairs(sets, 0.76).collect().isEmpty)
+    intercept[IllegalArgumentException] { TextDedup.containmentPairs(sets, 0.0) }
+    intercept[IllegalArgumentException] { TextDedup.containmentPairs(sets, 1.1) }
+  }
+
   test("dedupParagraphs: blank-line separators collapse and empty paragraphs never count") {
     import spark.implicits._
     val corpus = Seq(5L -> "\n\nlead para\n\n\ntail para\n\n").toDF("doc_id", "text")

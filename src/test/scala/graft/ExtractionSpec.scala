@@ -358,4 +358,33 @@ class ExtractionSpec extends SparkSpec {
     assert(empty.count() == 0 && empty.columns.sameElements(Array("id", "rank")))
     intercept[IllegalArgumentException](Curator.globalRank(df, "id", Seq.empty))
   }
+
+  test("weightedSample: equals a Scala A-Res replay; dominant weight always selected") {
+    import spark.implicits._
+    val rows = (1L to 40L).map(i => (i, if (i == 5L) 1000000000L else 1L + i % 3))
+    val df = rows.toDF("id", "w")
+    val got = Curator.weightedSample(df, "id", "w", k = 7, seed = 42L)
+      .collect().map(_.getLong(0)).toSet
+    // driver-side replay of the same draw + quantized-log key
+    val replay = rows.map { case (i, w) =>
+      val u = (((i + 42L) * 2654435761L) % 4294967296L + 1L) / 4294967296.0
+      val lnu = math.floor(math.log(u) * 1e6 + 0.5).toLong
+      (i, lnu.toDouble / w)
+    }.sortBy { case (i, key) => (-key, i) }.take(7).map(_._1).toSet
+    assert(got == replay)
+    assert(got.contains(5L)) // w = 1e9 → key ≈ 0, the certain winner
+  }
+
+  test("weightedSample: non-positive weights are excluded; same seed reproduces; k caps") {
+    import spark.implicits._
+    val df = Seq((1L, 5L), (2L, 0L), (3L, -2L), (4L, 1L)).toDF("id", "w")
+    val got = Curator.weightedSample(df, "id", "w", k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 4L)) // zero/negative mass never sampled
+    val again = Curator.weightedSample(df, "id", "w", k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == got)
+    assert(Curator.weightedSample(df, "id", "w", k = 1).count() == 1)
+    intercept[IllegalArgumentException](Curator.weightedSample(df, "id", "w", k = 0))
+  }
 }

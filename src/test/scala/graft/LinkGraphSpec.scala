@@ -136,4 +136,66 @@ class LinkGraphSpec extends SparkSpec {
     assert(got(0L) == ((6L, 0L, 0.0)))
     for (v <- 1L to 6L) assert(got(v) == ((1L, 0L, 0.0)))
   }
+
+  test("anchorText: normalization, counts, rank order, shares; null/empty dropped") {
+    import spark.implicits._
+    val edges = Seq(
+      (1L, 10L, " Click  HERE "), (2L, 10L, "click here"), (3L, 10L, "docs"),
+      (4L, 10L, null.asInstanceOf[String]), (5L, 10L, ""),
+      (6L, 11L, "a"), (7L, 11L, "b"), (8L, 11L, "b"))
+      .toDF("src", "dst", "anchor")
+    val got = LinkGraph.anchorText(edges, "src", "dst", "anchor", topK = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    assert(got == Set(
+      (10L, "click here", 2L, 1L, 3L, 2.0 / 3.0),
+      (10L, "docs", 1L, 2L, 3L, 1.0 / 3.0),
+      (11L, "b", 2L, 1L, 3L, 2.0 / 3.0),
+      (11L, "a", 1L, 2L, 3L, 1.0 / 3.0)))
+  }
+
+  test("anchorText: topK cuts below the rank; count ties break anchor-ascending") {
+    import spark.implicits._
+    val edges = Seq((1L, 9L, "zz"), (2L, 9L, "aa"), (3L, 9L, "mm"))
+      .toDF("src", "dst", "anchor")
+    val got = LinkGraph.anchorText(edges, "src", "dst", "anchor", topK = 2)
+      .collect().map(r => (r.getString(1), r.getLong(3))).toSet
+    assert(got == Set(("aa", 1L), ("mm", 2L))) // zz ranks 3rd, cut
+  }
+
+  private def lpa(nodes: Seq[Long], edges: Seq[(Long, Long)], iters: Int,
+      checkpointEvery: Int = 0): Map[Long, Long] = {
+    import spark.implicits._
+    LinkGraph.labelPropagation(
+      nodes.toDF("id"), "id", edges.toDF("src", "dst"), "src", "dst",
+      iters = iters, checkpointEvery = checkpointEvery)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  // two triangles bridged at 2-3: hand-traced sweeps
+  //   l1 = (1,0,0,2,3,3), l2 = (0,0,0,3,2,2), l3 = (0,0,0,2,2,2)
+  private val twoTris = Seq(0L -> 1L, 1L -> 2L, 2L -> 0L,
+    3L -> 4L, 4L -> 5L, 5L -> 3L, 2L -> 3L)
+
+  test("labelPropagation: bridged triangles converge to two communities") {
+    assert(lpa(0L to 5L, twoTris, iters = 2) ==
+      Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 2L, 5L -> 2L))
+    assert(lpa(0L to 5L, twoTris, iters = 3) ==
+      Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 2L, 4L -> 2L, 5L -> 2L))
+  }
+
+  test("labelPropagation: isolated node keeps its own label; ties take the min") {
+    val got = lpa(0L to 6L, twoTris, iters = 3)
+    assert(got(6L) == 6L)
+    // star tie-break: node 0's neighbors {1,2} each vote once → min label 1
+    assert(lpa(0L to 2L, Seq(0L -> 1L, 0L -> 2L), iters = 1) ==
+      Map(0L -> 1L, 1L -> 0L, 2L -> 0L))
+  }
+
+  test("labelPropagation: direction, duplicates, self-loops and checkpointing are inert") {
+    val noisy = twoTris ++ Seq(1L -> 0L, 2L -> 1L, 0L -> 0L, 4L -> 4L)
+    assert(lpa(0L to 5L, noisy, iters = 3) == lpa(0L to 5L, twoTris, iters = 3))
+    assert(lpa(0L to 5L, twoTris, iters = 3, checkpointEvery = 1) ==
+      lpa(0L to 5L, twoTris, iters = 3))
+  }
 }

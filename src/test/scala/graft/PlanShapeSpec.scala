@@ -24,7 +24,11 @@ class PlanShapeSpec extends SparkSpec {
       // q156: the SINGLE-ROW corpus-stats frame (n_docs, sum_dl)
       // broadcast-crossed into the scored frame — 1 row by
       // construction, never a data-sized cross
-      "q156_bm25")
+      "q156_bm25",
+      // q168: the g1 < g2 SOURCE-pair join — both sides are the
+      // distinct group list (bounded source/dump count, k-row
+      // sketches), never corpus rows
+      "q168_corpus_overlap")
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.map { case (name, fn) =>

@@ -36,6 +36,24 @@ class RedactionSpec extends SparkSpec {
     assert(out != run(Tag))
   }
 
+  test("scrubTexts: per-doc masked text + counts measured before replacement") {
+    import spark.implicits._
+    val pats = Seq(
+      email,
+      EntityPattern("phone", Seq("\\d{3}-\\d{3}-\\d{4}"), priority = 8),
+      EntityPattern("ip_address", Seq("\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"), priority = 6))
+    val docs = Seq(
+      (1L, "mail a@b.com or c@d.org call 555-123-4567"),
+      (2L, "from 10.0.0.1 and 10.0.0.2 and 10.0.0.3"),
+      (3L, "no pii at all")).toDF("id", "text")
+    val got = Redaction.scrubTexts(docs, "id", "text", pats)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got(1L) == (("mail [EMAIL] or [EMAIL] call [PHONE]", 2L, 1L, 0L, 3L)))
+    assert(got(2L) == (("from [IP_ADDRESS] and [IP_ADDRESS] and [IP_ADDRESS]", 0L, 0L, 3L, 3L)))
+    assert(got(3L) == (("no pii at all", 0L, 0L, 0L, 0L)))
+  }
+
   test("redactDataFrame adds suffixed columns; extract + detect helpers") {
     import spark.implicits._
     val df = Seq(("x@y.com here", "clean")).toDF("a", "b")

@@ -83,4 +83,25 @@ class RetrievalSpec extends SparkSpec {
       2L -> Seq("w21", "w22", "w23", "w24"),
       3L -> Seq("w31", "w32", "w33", "w34")), got.toString)
   }
+
+  test("invertedIndex: df/cf totals, impact order, posting cap, tie by doc id") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x x x y"), (2L, "x x y"), (3L, "x y"), (4L, "x"), (5L, "z z"))
+      .toDF("doc_id", "text")
+    val got = graft.text.Retrieval.invertedIndex(docs, "doc_id", "text", maxPostings = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == Set(
+      // x: df 4, cf 7; champions = (doc 1, tf 3), (doc 2, tf 2)
+      ("x", 4L, 7L, 1L, 1L, 3L), ("x", 4L, 7L, 2L, 2L, 2L),
+      // y: df 3, cf 3; all tf 1 → tie breaks by doc id, cap at 2
+      ("y", 3L, 3L, 1L, 1L, 1L), ("y", 3L, 3L, 2L, 2L, 1L),
+      // z: df 1, cf 2
+      ("z", 1L, 2L, 1L, 5L, 2L)))
+    intercept[IllegalArgumentException] {
+      graft.text.Retrieval.invertedIndex(docs, "doc_id", "text", maxPostings = 0)
+    }
+  }
 }

@@ -252,6 +252,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming PII scrub: stateless masking at ingest, bit-identical to batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // scrub-at-ingest: documents stream in and are masked before they
+    // ever land. scrubTexts is a narrow per-row projection — no state,
+    // no watermark — and must agree with the batch pass row-for-row.
+    val rows = Seq(
+      (1L, "mail a@b.com call 555-123-4567"),
+      (2L, "from 10.0.0.1"),
+      (3L, "clean"))
+    val in = MemoryStream[(Long, String)]
+    val scrubbed = graft.services.Redaction.scrubTexts(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = scrubbed.writeStream.format("memory")
+      .queryName("scrub_out").outputMode("append").start()
+    try {
+      in.addData(rows: _*)
+      drain(q)
+      val got = spark.table("scrub_out").collect().map(_.toSeq).toSet
+      val batch = graft.services.Redaction.scrubTexts(
+        rows.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(_.toSeq).toSet
+      assert(got == batch)
+      assert(got.size == 3)
+    } finally q.stop()
+  }
+
   test("streaming LM maintenance: per-batch count deltas merge to the whole-corpus model") {
     import spark.implicits._
     import graft.sources.VersionedTable

@@ -312,6 +312,49 @@ class TextSpec extends SparkSpec {
     assert(kept == Set(10L, 30L), s"kept: $kept")
   }
 
+  test("bucketByPercentile: exact thirds per group, ties share a rank, single row is head") {
+    import spark.implicits._
+    // group a: values 1..6 → pct 0, .2, .4, .6, .8, 1 → buckets h,h,m,m,t,t
+    // group b: one row → percent_rank 0 → head
+    // group c: 1,1,3 → ties share pct 0 (head, head), 3 → pct 1 (tail)
+    val scored = (Seq(("a", 1), ("a", 2), ("a", 3), ("a", 4), ("a", 5), ("a", 6),
+      ("b", 9), ("c", 1), ("c", 1), ("c", 3)).zipWithIndex)
+      .map { case ((g, v), i) => (i.toLong, g, v.toDouble) }.toDF("id", "g", "v")
+    val got = TextAnalysis.bucketByPercentile(scored, "v", Seq("g"))
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert((0 to 5).map(got(_)) == Seq("head", "head", "middle", "middle", "tail", "tail"))
+    assert(got(6L) == "head")
+    assert(got(7L) == "head" && got(8L) == "head" && got(9L) == "tail")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bucketByPercentile(scored, "v", Seq("g"), 0.5, 0.4)
+    }
+  }
+
+  test("corpusOverlap: KMV estimate is exact when k covers the union; disjoint pairs read 0") {
+    import spark.implicits._
+    val frame = (
+      Seq("t1", "t2", "t3", "t3").map(("a", _)) ++ // in-group dup collapses
+        Seq("t2", "t3", "t4").map(("b", _)) ++
+        Seq("x1", "x2").map(("c", _))).toDF("g", "text")
+    val got = TextAnalysis.corpusOverlap(frame, "g", "text", k = 16)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // k ≥ |union| → the sketch IS the set: J(a,b) = |{t2,t3}| / |{t1..t4}|
+    assert(got(("a", "b")) == ((4L, 2L, 0.5)))
+    assert(got(("a", "c")) == ((5L, 0L, 0.0)))
+    assert(got(("b", "c")) == ((5L, 0L, 0.0)))
+  }
+
+  test("corpusOverlap: k caps the union sketch; k_used never exceeds k") {
+    import spark.implicits._
+    val frame = (1 to 30).map(i => ("a", s"t$i")).toDF("g", "text")
+      .unionByName((11 to 40).map(i => ("b", s"t$i")).toDF("g", "text"))
+    val row = TextAnalysis.corpusOverlap(frame, "g", "text", k = 8).collect().head
+    assert(row.getLong(2) == 8L)
+    assert(row.getLong(3) <= 8L)
+    intercept[IllegalArgumentException](TextAnalysis.corpusOverlap(frame, "g", "text", 0))
+  }
+
   test("calibrateBuckets + threshold DSIR: freeze-then-apply variants agree with the exact paths") {
     val docs = Tables.documents(spark, sfDir)
     val model = TextAnalysis.unigramLm(docs.filter(col("doc_id") % 2 === 0), "text")
