@@ -144,6 +144,9 @@ object GrowthBench {
     "q166_inverted_index" -> (10.0, "inverted index: one token explode + (term,doc) map-side-partial groupBy + df/cf/rank windows sharing one term partitioning (WindowGroupLimit caps postings); token-linear; budget = token ratio (the q117 derivation: tokens/doc flat)"),
     "q167_weighted_sample" -> (6.0, "A-Res weighted sample: narrow per-row draw/key projection + TakeOrdered top-k (per-partition heaps, k rows move); row-linear; budget = the 6.0 linear allowance"),
     "q168_corpus_overlap" -> (6.0, "KMV corpus overlap: one distinct (group,hash) projection + per-group k-min window (WindowGroupLimit) + a pair stage bounded by groups^2*k; row-linear build, constant-size merge; budget = the 6.0 linear allowance"),
+    "q169_domain_stats_incremental" -> (6.0, "incremental domain rollup: two store groupBys + one merge groupBy + the stats groupBy over a FIXED domain set; store rows bounded by distinct content; row-linear; budget = the 6.0 linear allowance"),
+    "q170_html_links" -> (6.0, "link extraction + resolution: narrow per-page regex explode, 9 links/page fixed (fixture chrome is constant-size, text not embedded); row-linear; budget = the 6.0 linear allowance"),
+    "q171_resolve_urls" -> (6.0, "URL resolution: shuffle-free narrow when/regex projection; row-linear; budget = the 6.0 linear allowance"),
     "g135_quality_score_docs" -> (10.0, "fixed-model scoring: narrow shuffle-free per-token fold; budget = token ratio (training is the bounded offline step, not gated)"),
     "g136_semantic_neardup_docs" -> (8.0, "within-cell LSH pairs on (cluster,band,sig) keys: signature-linear like g116; cell assignment deterministic (k-means fit is the bounded offline model-build)"))
 

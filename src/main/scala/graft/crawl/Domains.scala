@@ -21,6 +21,60 @@ object Domains {
   def registeredDomain(host: Column): Column =
     regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
 
+  /** Mergeable per-domain inventory for the daily-crawl contract (the
+    * q123/q146/q150 incremental discipline): one row per (domain,
+    * host, content-hash) with its duplicate count, byte mass and
+    * blocked tally — exact-duplicate pages collapse here, so the
+    * store is bounded by DISTINCT content, not crawl volume (the
+    * paragraphStore argument), while still carrying everything
+    * [[domainStatsFromStore]] needs to reproduce [[domainStats]]
+    * EXACTLY. One hash groupBy with map-side partials; md5 proxies
+    * shuffle, never text. → (domain, host, tk, n_docs, chars,
+    * n_blocked) */
+  def domainStore(
+      docs: DataFrame, hostCol: String, textCol: String,
+      blockedExpr: Column): DataFrame =
+    docs
+      .select(registeredDomain(col(hostCol)).as("domain"), col(hostCol).as("host"),
+        md5(col(textCol)).as("tk"), length(col(textCol)).cast("long").as("_len"),
+        blockedExpr.cast("boolean").as("_blocked"))
+      .groupBy(col("domain"), col("host"), col("tk"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_len")).as("chars"),
+        sum(when(col("_blocked"), 1L).otherwise(0L)).as("n_blocked"))
+
+  /** Merge two [[domainStore]] inventories (yesterday's store + a new
+    * batch): counts are additive at the (domain, host, tk) grain, so
+    * the merge is one groupBy — associative, idempotent-keyed,
+    * replayable on any schedule. */
+  def mergeDomainStores(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("domain"), col("host"), col("tk"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("chars")).as("chars"),
+        sum(col("n_blocked")).as("n_blocked"))
+
+  /** [[domainStats]] re-derived from a [[domainStore]] inventory —
+    * bit-identical to running [[domainStats]] over the concatenated
+    * crawls, which is the invariant DomainsSpec pins and the q169
+    * oracle replays. Same exact-COUNT(DISTINCT) caveat as the direct
+    * path (the q40/q40a stance); distinct hosts/hashes here count
+    * STORE rows, already collapsed. */
+  def domainStatsFromStore(store: DataFrame, maxDupShare: Double = 0.5): DataFrame =
+    store
+      .groupBy(col("domain"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        countDistinct(col("host")).as("n_hosts"),
+        countDistinct(col("tk")).as("n_unique_texts"),
+        sum(col("chars")).as("total_chars"),
+        sum(col("n_blocked")).as("n_blocked"))
+      .select(col("domain"), col("n_docs"), col("n_hosts"),
+        col("n_unique_texts"), col("total_chars"), col("n_blocked"),
+        ((col("n_docs") - col("n_unique_texts")).cast("double") / col("n_docs"))
+          .as("dup_share"),
+        (col("n_blocked").cast("double") / col("n_docs")).as("blocked_share"),
+        (col("n_blocked") === 0L &&
+          (col("n_docs") - col("n_unique_texts")).cast("double") / col("n_docs")
+            <= maxDupShare).as("kept"))
+
   /** Per-registered-domain reputation rollup over a crawl frame that
     * carries (host, text) per document: document and host counts,
     * byte mass, exact duplicate pressure (1 − distinct texts / docs —

@@ -64,6 +64,23 @@ object DocumentExtract {
   def htmlTitle(html: Column): Column =
     collapseWs(regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1))
 
+  /** Hyperlinks out of an HTML page → array<struct<href, anchor>>,
+    * document order — the edge-extraction step between the crawl
+    * front door (q147/q148) and the webgraph family (q151–q161):
+    * every published webgraph is this column applied to a dump.
+    * Quoted `href` attributes only (the grammar a crawler's OWN
+    * renderer emits; unquoted legacy attrs are a parse seam, the
+    * [[extractHtml]] stance); anchors are tag-stripped and
+    * whitespace-collapsed, anchor-less links keep an empty string.
+    * Pure regex column algebra — no UDF, replayable in SQL. */
+  def htmlLinks(html: Column): Column =
+    transform(
+      regexp_extract_all(html, lit("(?is)<a\\b[^>]*>.*?</a>"), lit(0)),
+      t => struct(
+        regexp_extract(t, "(?is)href\\s*=\\s*[\"']([^\"']*)[\"']", 1).as("href"),
+        collapseWs(regexp_replace(
+          regexp_extract(t, "(?is)>(.*)</a>", 1), "<[^>]+>", " ")).as("anchor")))
+
   /** Markdown → plain text: fenced code kept as content but markers
     * dropped, images reduce to alt text, links to their text, heading/
     * emphasis/list/quote markers stripped. Deterministic and total —

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.crawl.{Domains, Robots}
+import graft.crawl.{Domains, Links, Robots}
 import graft.graph.LinkGraph
 import graft.multimodal.DocumentExtract
 import graft.sources.Warc
@@ -313,6 +313,80 @@ object WebQueries {
           col("doc_id")).as("path"))
       Robots.decide(urls, "doc_id", "host", "path",
         Robots.parseRules(robots, "host", "content"), "graftbot")
+    }),
+
+    // Incremental domain reputation (full DuckDB oracle — q160's
+    // oracle verbatim): the q160 fixture split into two "crawl days"
+    // (even/odd ids), each inventoried into a mergeable domainStore,
+    // merged, and re-derived — bit-identical to the one-shot rollup
+    // over the union, which is exactly what the oracle computes. The
+    // store collapses exact-duplicate pages, so it scales with
+    // distinct content, not crawl volume (the paragraphStore
+    // argument).
+    "q169_domain_stats_incremental" -> ((s, d) => {
+      val idx = col("doc_id") % 23
+      val host = when(idx === 3, lit("best-casino-bonus.bet"))
+        .when(idx === 17, lit("adult-videos-hub.com"))
+        .when(idx === 9, lit("www.mirrorfarm.net"))
+        .when(idx % 2 === 0, concat(lit("site"), idx, lit(".com")))
+        .otherwise(concat(lit("blog"), idx, lit(".example.net")))
+      val framed = Tables.documents(s, d)
+        .select(col("doc_id"), host.as("host"),
+          when(idx === 9, lit("this page is a mirror of the original content"))
+            .otherwise(col("text")).as("text"))
+      val blocked = col("host").rlike("(casino|adult|porn|xxx|gambl)")
+      val dayA = Domains.domainStore(
+        framed.filter(col("doc_id") % 2 === 0), "host", "text", blocked)
+      val dayB = Domains.domainStore(
+        framed.filter(col("doc_id") % 2 === 1), "host", "text", blocked)
+      Domains.domainStatsFromStore(Domains.mergeDomainStores(dayA, dayB))
+    }),
+
+    // HTML link extraction + URL resolution (full DuckDB oracle): the
+    // edge-construction step between the crawl front door and the
+    // webgraph family — every page yields its <a href> edges with
+    // tag-stripped anchors, each target resolved against the page URL
+    // (absolute / protocol-relative / root-relative / query / fragment
+    // / dot-segment relative, all exercised by the fixture). One
+    // narrow explode; page bodies never shuffle.
+    "q170_html_links" -> ((s, d) => {
+      val pages = Tables.documents(s, d).select(
+        concat(lit("https://site"), col("doc_id") % 23,
+          lit(".example/a/b/page"), col("doc_id"), lit(".html")).as("url"),
+        concat(
+          lit("<html><body><nav><a href=\"/\">Home</a> <a href=\"/c"),
+          col("doc_id") % 7, lit("\">Cat "), col("doc_id") % 7, lit("</a></nav>"),
+          lit("<p>body <a href=\"rel/r"), col("doc_id"),
+          lit("\">see  <b>also</b></a> and <a href=\"../up"), col("doc_id"),
+          lit("\">up</a></p>"),
+          lit("<a href=\"//cdn.example/lib.js\">cdn</a>"),
+          lit("<a href=\"https://ext.example/x"), col("doc_id"), lit("\">ext</a>"),
+          lit("<a href=\"?page=2\">next</a>"),
+          lit("<a href=\"#top\">top</a>"),
+          lit("<a name=\"anchorless\">no href</a>"),
+          lit("</body></html>")).as("html"))
+      Links.extractEdges(pages, "url", "html")
+    }),
+
+    // URL resolution branch matrix (full DuckDB oracle): resolveUrl
+    // over a base/ref fixture hitting every reference class incl. the
+    // bounded ../-collapse; the oracle replays the CASE chain and the
+    // regex passes verbatim.
+    "q171_resolve_urls" -> ((s, d) => {
+      val r = col("doc_id") % 8
+      val base = concat(lit("https://h"), col("doc_id") % 5,
+        lit(".example/a/b/c/page"), col("doc_id"), lit(".html?x=1#sec"))
+      val ref = when(r === 0, concat(lit("https://abs.example/p"), col("doc_id")))
+        .when(r === 1, lit("//cdn.example/lib.js"))
+        .when(r === 2, concat(lit("/root"), col("doc_id")))
+        .when(r === 3, concat(lit("rel/r"), col("doc_id")))
+        .when(r === 4, concat(lit("../../up"), col("doc_id")))
+        .when(r === 5, lit("#frag"))
+        .when(r === 6, lit("?page=2"))
+        .otherwise(lit(""))
+      Tables.documents(s, d)
+        .select(col("doc_id"), base.as("base"), ref.as("ref"))
+        .withColumn("resolved", Links.resolveUrl(col("base"), col("ref")))
     }),
 
     // HyperBall harmonic (rows-only ⊘ — DataSketches HLL is not
@@ -681,6 +755,86 @@ object WebQueries {
          t.rule AS rule, t.pattern AS matched
        FROM urls u LEFT JOIN top t USING (doc_id)"""
 
+  /** SQL replay of [[graft.crawl.Links.resolveUrl]]: the same CASE
+    * chain, the same regex passes (one `/./` collapse, four bounded
+    * `../` passes), over the given base/ref SQL expressions. */
+  private def resolveSql(base: String, ref: String): String = {
+    val noFrag = s"regexp_replace($base, '#.*$$', '')"
+    val noQuery = s"regexp_replace($noFrag, '\\?.*$$', '')"
+    val dir = s"""CASE WHEN regexp_matches(
+         regexp_replace($noQuery, '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '/')
+       THEN regexp_replace($noQuery, '/[^/]*$$', '/')
+       ELSE $noQuery || '/' END"""
+    val origin = s"regexp_extract($base, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)"
+    val joined = s"($dir || $ref)"
+    // path-only collapse, mirroring the Scala side: the host never
+    // enters the dot-segment regex
+    val pathJoined = s"substr($joined, length($origin) + 1)"
+    val dotPass = s"regexp_replace($pathJoined, '/\\./', '/', 'g')"
+    val collapsed0 = (1 to 4).foldLeft(dotPass) { (c, _) =>
+      s"regexp_replace($c, '/[^/.][^/]*/\\.\\./|/\\.[^/.][^/]*/\\.\\./|/\\.\\.[^/]+/\\.\\./', '/', 'g')"
+    }
+    val collapsed = s"($origin || $collapsed0)"
+    s"""CASE WHEN $base IS NULL OR $ref IS NULL THEN NULL
+        WHEN $ref = '' THEN $noFrag
+        WHEN regexp_matches($ref, '^[a-zA-Z][a-zA-Z0-9+.-]*:') THEN $ref
+        WHEN starts_with($ref, '//') THEN
+          regexp_extract($base, '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1) || ':' || $ref
+        WHEN starts_with($ref, '/') THEN
+          regexp_extract($base, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) || $ref
+        WHEN starts_with($ref, '#') THEN $noFrag || $ref
+        WHEN starts_with($ref, '?') THEN $noQuery || $ref
+        ELSE $collapsed END"""
+  }
+
+  /** q170: rebuild the page fixture, extract anchor tags, replay the
+    * href/anchor regexes and the resolution chain per link. */
+  private val q170Sql =
+    s"""WITH p AS (
+         SELECT doc_id,
+           'https://site' || (doc_id % 23) || '.example/a/b/page' || doc_id || '.html' AS url,
+           '<html><body><nav><a href="/">Home</a> <a href="/c' || (doc_id % 7) || '">Cat ' || (doc_id % 7) || '</a></nav>'
+           || '<p>body <a href="rel/r' || doc_id || '">see  <b>also</b></a> and <a href="../up' || doc_id || '">up</a></p>'
+           || '<a href="//cdn.example/lib.js">cdn</a>'
+           || '<a href="https://ext.example/x' || doc_id || '">ext</a>'
+           || '<a href="?page=2">next</a>'
+           || '<a href="#top">top</a>'
+           || '<a name="anchorless">no href</a>'
+           || '</body></html>' AS html
+         FROM documents),
+       l AS (SELECT doc_id, url,
+               regexp_extract_all(html, '(?is)<a\\b[^>]*>.*?</a>') AS ls
+             FROM p),
+       e AS (SELECT url, CAST(i - 1 AS BIGINT) AS pos, ls[i] AS t
+             FROM l, unnest(range(1, len(ls) + 1)) AS u(i)),
+       f AS (SELECT url AS src_url, pos,
+               regexp_extract(t, '(?is)href\\s*=\\s*["'']([^"'']*)["'']', 1) AS href,
+               trim(regexp_replace(regexp_replace(
+                 regexp_extract(t, '(?is)>(.*)</a>', 1),
+                 '<[^>]+>', ' ', 'g'), '\\s+', ' ', 'g')) AS anchor
+             FROM e)
+       SELECT src_url, pos, href, anchor,
+         ${resolveSql("src_url", "href")} AS dst_url
+       FROM f"""
+
+  /** q171: the base/ref fixture + the resolution chain. */
+  private val q171Sql =
+    s"""WITH f AS (
+         SELECT doc_id,
+           'https://h' || (doc_id % 5) || '.example/a/b/c/page' || doc_id || '.html?x=1#sec' AS base,
+           CASE doc_id % 8
+             WHEN 0 THEN 'https://abs.example/p' || doc_id
+             WHEN 1 THEN '//cdn.example/lib.js'
+             WHEN 2 THEN '/root' || doc_id
+             WHEN 3 THEN 'rel/r' || doc_id
+             WHEN 4 THEN '../../up' || doc_id
+             WHEN 5 THEN '#frag'
+             WHEN 6 THEN '?page=2'
+             ELSE '' END AS ref
+         FROM documents)
+       SELECT doc_id, base, ref, ${resolveSql("base", "ref")} AS resolved
+       FROM f"""
+
   val oracles: Map[String, String] = Map(
     "q148_main_content" -> q148Sql,
     "q151_pagerank" -> q151Sql,
@@ -690,5 +844,10 @@ object WebQueries {
     "q159_anchor_text" -> q159Sql,
     "q160_domain_stats" -> q160Sql,
     "q161_lpa_communities" -> q161Sql,
-    "q164_robots" -> q164Sql)
+    "q164_robots" -> q164Sql,
+    // q169 must equal the ONE-SHOT rollup over the whole fixture —
+    // the merge invariant IS the oracle, so it reuses q160's SQL.
+    "q169_domain_stats_incremental" -> q160Sql,
+    "q170_html_links" -> q170Sql,
+    "q171_resolve_urls" -> q171Sql)
 }

@@ -42,6 +42,24 @@ class DomainsSpec extends SparkSpec {
     assert(got("bad.org")._5 == 1L && !got("bad.org")._8)
   }
 
+  test("incremental store: merge of two crawl days equals the one-shot rollup; dups collapse") {
+    import spark.implicits._
+    val dayA = frame.limit(4)
+    val dayB = frame.exceptAll(dayA)
+    val blocked = col("host").rlike("casino")
+    val merged = Domains.mergeDomainStores(
+      Domains.domainStore(dayA, "host", "text", blocked),
+      Domains.domainStore(dayB, "host", "text", blocked))
+    val viaStore = Domains.domainStatsFromStore(merged)
+      .collect().map(_.toSeq).toSet
+    val direct = Domains.domainStats(frame, "host", "text", blocked)
+      .collect().map(_.toSeq).toSet
+    assert(viaStore == direct)
+    // the farm's three identical pages collapse to ONE store row
+    assert(merged.filter(col("domain") === "farm.net").count() == 1)
+    assert(merged.filter(col("domain") === "farm.net").head().getAs[Long]("n_docs") == 3L)
+  }
+
   test("domainStats: approx path agrees exactly in the sketch-exact regime and plans no Expand") {
     val exact = Domains.domainStats(frame, "host", "text", blockedExpr = lit(false))
     val approx = Domains.domainStats(frame, "host", "text",
