@@ -456,4 +456,103 @@ class PropertySpec extends SparkSpec {
         assert(bySrc.getOrElse(s, 0L) == math.min(k, pops(s)), s"seed=$seed $s count")
     }
   }
+
+  test("containmentPairs laws on random token sets: bounds, subset completeness, naive agreement") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new Random(700 + seed)
+      val vocab = (0 until 40).map(i => s"t$i")
+      val docs = (1L to 15L).map(i =>
+        i -> rnd.shuffle(vocab).take(5 + rnd.nextInt(15)).mkString(" "))
+      val sets = graft.dedup.TextDedup.tokenSets(docs.toDF("doc_id", "text"), "doc_id", "text")
+      val t = 0.6
+      val got = graft.dedup.TextDedup.containmentPairs(sets, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      // naive reference over the same sets
+      val ref = docs.map { case (i, s) => i -> s.split(" ").toSet }.toMap
+      val naive = (for {
+        (a, sa) <- ref; (b, sb) <- ref if a != b
+        c = sa.intersect(sb).size.toDouble / sa.size if c >= t
+      } yield (a, b) -> c).toMap
+      assert(got.keySet == naive.keySet, s"seed=$seed")
+      got.foreach { case (k, c) =>
+        assert(math.abs(c - naive(k)) < 1e-12 && c >= t && c <= 1.0, s"seed=$seed $k")
+      }
+    }
+  }
+
+  test("resolveUrl laws on random references: output absolute, absolute refs are fixed points") {
+    import spark.implicits._
+    val rnd = new Random(800)
+    val bases = (1 to 30).map { i =>
+      s"https://h${rnd.nextInt(5)}.example/${Seq.fill(rnd.nextInt(3))(s"d${rnd.nextInt(9)}").mkString("/")}/p$i.html"
+    }
+    val refs = (1 to 30).map { i =>
+      rnd.nextInt(6) match {
+        case 0 => s"https://abs.example/a$i"
+        case 1 => s"//cdn.example/c$i"
+        case 2 => s"/r$i"
+        case 3 => s"${Seq.fill(rnd.nextInt(3))("..").mkString("/")}/x$i"
+        case 4 => s"rel$i/y"
+        case 5 => s"#f$i"
+      }
+    }
+    val out = bases.zip(refs).toDF("b", "r")
+      .select(col("b"), col("r"), graft.crawl.Links.resolveUrl(col("b"), col("r")).as("o"))
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    out.foreach { case (ref, o) =>
+      assert(o.startsWith("https://"), s"ref=$ref → $o not absolute")
+      if (ref.startsWith("https://")) assert(o == ref, s"absolute ref must pass through")
+    }
+    // idempotence: resolving an already-resolved URL against itself with "" is itself
+    val again = out.map(_._2).toSeq.toDF("u")
+      .select(graft.crawl.Links.resolveUrl(col("u"), lit("")))
+      .collect().map(_.getString(0))
+    assert(again.toSeq == out.map(_._2).map(_.replaceAll("#.*$", "")).toSeq)
+  }
+
+  test("weightedSample laws on random weights: subset, size, seed determinism, weight monotonicity") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new Random(900 + seed)
+      val rows = (1L to 60L).map(i => (i, 1L + rnd.nextInt(100).toLong))
+      val df = rows.toDF("id", "w")
+      val k = 10 + rnd.nextInt(20)
+      val s1 = Curator.weightedSample(df, "id", "w", k, seed = 7L)
+        .collect().map(_.getLong(0)).toSet
+      val s2 = Curator.weightedSample(df, "id", "w", k, seed = 7L)
+        .collect().map(_.getLong(0)).toSet
+      assert(s1 == s2 && s1.size == k && s1.subsetOf(rows.map(_._1).toSet), s"seed=$seed")
+      // monotonicity: raising one excluded row's weight to overwhelming brings it in
+      val out = rows.map(_._1).toSet -- s1
+      if (out.nonEmpty) {
+        val lucky = out.head
+        val boosted = rows.map { case (i, w) => (i, if (i == lucky) 1000000000L else w) }
+        val s3 = Curator.weightedSample(boosted.toDF("id", "w"), "id", "w", k, seed = 7L)
+          .collect().map(_.getLong(0)).toSet
+        assert(s3.contains(lucky), s"seed=$seed boosted row must be sampled")
+      }
+    }
+  }
+
+  test("corpusOverlap laws on random corpora: estimate within [0,1], exact when k covers the union") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new Random(1000 + seed)
+      val shared = (1 to 10).map(i => s"s$i")
+      val frame = (for {
+        g <- Seq("a", "b", "c")
+        t <- rnd.shuffle(shared).take(3 + rnd.nextInt(7)) ++
+          (1 to rnd.nextInt(8)).map(i => s"$g-own$i")
+      } yield (g, t)).toDF("g", "text")
+      val got = graft.text.TextAnalysis.corpusOverlap(frame, "g", "text", k = 64)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+      val sets = frame.collect().map(r => (r.getString(0), r.getString(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      got.foreach { case ((g1, g2), est) =>
+        val exact = sets(g1).intersect(sets(g2)).size.toDouble / sets(g1).union(sets(g2)).size
+        assert(math.abs(est - exact) < 1e-12, s"seed=$seed ($g1,$g2): $est vs $exact")
+      }
+    }
+  }
 }
