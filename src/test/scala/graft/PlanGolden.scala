@@ -44,7 +44,10 @@ object PlanGolden {
     "q131_tfidf_keywords", "q133_bigram_perplexity",
     "q140a_bpe_pair_counts", "q141_bpe_encode", "q142_epoch_mix", "q148_main_content",
     "q149_paragraph_dedup", "q150_incremental_paragraphs", "q151_pagerank",
-    "q152_harmonic", "q156_bm25", "q157_url_frontier_filter", "q158_triangles")
+    "q152_harmonic", "q156_bm25", "q157_url_frontier_filter", "q158_triangles",
+    "q159_anchor_text", "q161_lpa_communities", "q163_containment",
+    "q164_robots", "q165_ccnet_buckets", "q166_inverted_index",
+    "q169_domain_stats_incremental", "q170_html_links")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSpec.session

@@ -286,7 +286,31 @@ class PlanShapeSpec extends SparkSpec {
     // 100 TB regression
     "q158_triangles" -> PlanGolden.Shape(
       "Project>Join>Project>Join>Project>LogicalRelation>Aggregate>Filter>Generate>LogicalRDD>Aggregate>Filter>Generate>Project>Join>Project>Join>Filter>LogicalRDD>Filter>LogicalRDD>Filter>LogicalRDD",
-      133))
+      133),
+    "q159_anchor_text" -> PlanGolden.Shape(
+      "Project>Filter>Window>WindowGroupLimit>Window>Aggregate>Project>Join>Project>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRelation",
+      182),
+    "q161_lpa_communities" -> PlanGolden.Shape(
+      "Project>Join>Project>Join>Project>Join>Project>LogicalRelation>Project>Filter>Window>WindowGroupLimit>Aggregate>Project>Join>Filter>LogicalRDD>Project>Filter>LogicalRelation>Project>Filter>Window>WindowGroupLimit>Aggregate>Project>Join>Filter>LogicalRDD>Project>Join>Project>Filter>LogicalRelation>Project>Filter>Window>WindowGroupLimit>Aggregate>Project>Join>Filter>LogicalRDD>Project>Filter>LogicalRelation>Project>Filter>Window>WindowGroupLimit>Aggregate>Project>Join>Filter>LogicalRDD>Project>Join>Project>Join>Project>Filter>LogicalRelation>Project>Filter>Window>WindowGroupLimit>Aggregate>Project>Join>Filter>LogicalRDD>Project>Filter>LogicalRelation>Project>Filter>Window>WindowGroupLimit>Aggregate>Project>Join>Filter>LogicalRDD>Project>Join>Project>Filter>LogicalRelation>Project>Filter>Window>WindowGroupLimit>Aggregate>Project>Join>Filter>LogicalRDD>Project>Filter>LogicalRelation",
+      486),
+    "q163_containment" -> PlanGolden.Shape(
+      "Project>Filter>Aggregate>Aggregate>Project>Join>Filter>Generate>Aggregate>Project>Join>Project>Generate>Project>Aggregate>Union>Project>Join>Filter>LogicalRDD>Filter>Aggregate>Project>LogicalRDD>Project>Join>Project>Join>Filter>LogicalRDD>Project>Filter>Aggregate>Project>LogicalRDD>Filter>Aggregate>Project>LogicalRDD>Project>Join>Filter>LogicalRDD>Aggregate>Project>Filter>LogicalRDD>Filter>LogicalRDD",
+      220),
+    "q164_robots" -> PlanGolden.Shape(
+      "Project>Join>Project>LogicalRelation>Project>Filter>Window>WindowGroupLimit>Project>Join>Project>Filter>LogicalRelation>Project>Filter>Join>Project>Join>Aggregate>Project>Filter>Window>Project>Window>Project>Project>Filter>Generate>Aggregate>Project>Filter>LogicalRelation>Project>Filter>Window>Project>Window>Project>Project>Project>Filter>Generate>Aggregate>Project>Filter>LogicalRelation>Aggregate>Project>Join>Aggregate>Project>Filter>Window>Project>Window>Project>Project>Filter>Generate>Aggregate>Project>Filter>LogicalRelation>Project>Filter>Window>Project>Window>Project>Filter>Generate>Aggregate>Project>Filter>LogicalRelation",
+      893),
+    "q165_ccnet_buckets" -> PlanGolden.Shape(
+      "Project>Window>Project>Join>Project>Aggregate>Project>Join>Project>Generate>Project>Filter>LogicalRelation>Aggregate>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRelation",
+      161),
+    "q166_inverted_index" -> PlanGolden.Shape(
+      "Project>Filter>Window>WindowGroupLimit>Window>Aggregate>Generate>Project>LogicalRelation",
+      84),
+    "q169_domain_stats_incremental" -> PlanGolden.Shape(
+      "Project>Aggregate>Aggregate>Expand>Aggregate>Union>Aggregate>Project>Project>Filter>LogicalRelation>Aggregate>Project>Project>Filter>LogicalRelation",
+      342),
+    "q170_html_links" -> PlanGolden.Shape(
+      "Project>Generate>Project>LogicalRelation",
+      281))
 
   test("golden snapshots: operator skeleton exact, expression forest within 1.5x") {
     val failures = golden.toSeq.sortBy(_._1).flatMap { case (name, expected) =>
