@@ -39,10 +39,14 @@ object Links {
     val joined = concat(dir, ref)
     // collapse dot-segments in the PATH only — a regex over the whole
     // URL would happily treat the host as a path segment and let
-    // /../ at the path root eat it ("https://h/../x" → "https://x")
+    // /../ at the path root eat it ("https://h/../x" → "https://x").
+    // The `/./` pass runs TWICE: global regex replacement is
+    // non-overlapping, so one pass over "/a/././b" leaves "/a/./b"
+    // (adjacent dot segments share a slash); a second pass collapses
+    // the odd-position residue.
     val pathJoined = joined.substr(length(origin) + 1, length(joined))
     val collapsedPath = (1 to 4).foldLeft(
-      regexp_replace(pathJoined, "/\\./", "/")) { (c, _) =>
+      regexp_replace(regexp_replace(pathJoined, "/\\./", "/"), "/\\./", "/")) { (c, _) =>
       regexp_replace(c, "/[^/.][^/]*/\\.\\./|/\\.[^/.][^/]*/\\.\\./|/\\.\\.[^/]+/\\.\\./", "/")
     }
     val collapsed = concat(origin, collapsedPath)

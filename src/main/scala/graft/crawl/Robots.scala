@@ -59,9 +59,24 @@ object Robots {
   /** RFC 9309 path-pattern match: literal prefix plus `*` (any run)
     * and a trailing `$` (end anchor). Translated to an anchored regex
     * — every other regex metacharacter in the pattern is escaped
-    * first, so `/a.b+c` matches only itself. */
+    * first, so `/a.b+c` matches only itself.
+    *
+    * Hostile-input hardening: robots.txt is untrusted web content and
+    * each `*` becomes a backtracking `.*`, so a rule like
+    * `/x*a*a*a*a*a*a$` probed against long non-matching frontier paths
+    * costs O(n^wildcards) in java.util.regex — a DoS surface at
+    * trillion-URL scale. Before translating we (1) collapse runs of
+    * `*` (semantically identical), then (2) keep at most the first 4
+    * wildcards and 250 chars of the pattern. A truncated rule
+    * degrades to a prefix match of its kept head — strictly MORE
+    * permissive about matching, applied identically to allow and
+    * disallow rules, so pathological rules lose precision instead of
+    * costing CPU. Real-world robots rules are far under both caps. */
   def pathMatches(path: Column, pattern: Column): Column = {
-    val esc = regexp_replace(pattern,
+    val collapsed = regexp_replace(pattern, "\\*{2,}", "*")
+    val bounded =
+      substring(array_join(slice(split(collapsed, "\\*"), 1, 5), "*"), 1, 250)
+    val esc = regexp_replace(bounded,
       "([\\\\.\\[\\]\\{\\}\\(\\)\\+\\?\\^\\$\\|])", "\\\\$1")
     val wc = regexp_replace(esc, "\\*", ".*")
     val anchored = regexp_replace(wc, "\\\\\\$$", "\\$")

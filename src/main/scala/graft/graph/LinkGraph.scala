@@ -216,8 +216,12 @@ object LinkGraph {
     * anchors — are exactly this rollup). Per target: every in-link's
     * anchor string is normalized (whitespace-collapsed, lowercased;
     * empty/null anchors dropped), counted, and the top `topK` anchors
-    * by (count desc, anchor asc) are kept with the target's total
-    * in-link count and each anchor's share of it.
+    * by (count desc, anchor asc) are kept with the target's ANCHORED
+    * in-link count (`in_links` counts only in-links that carry a
+    * non-empty anchor — image links and anchor-less hrefs are
+    * excluded, so it is NOT the raw in-degree; join
+    * [[degreeStats]]/PageRank's degree column for that) and each
+    * anchor's share of it.
     *
     * Scale shape: ONE hash groupBy on (dst, anchor) with map-side
     * partials — a hub with 10^9 in-links sharing one anchor collapses
@@ -266,9 +270,14 @@ object LinkGraph {
     * Scale shape: per sweep one src-keyed join (neighbor pairs ×
     * 16-byte label rows — bucket the edge list by src in production
     * and the edge side never re-exchanges), one (node, label) count
-    * groupBy with map-side partials, and one argmax window over the
-    * SAME node partitioning (WindowGroupLimit keeps one row per
-    * node). Label rows are two longs; payloads never enter the loop.
+    * groupBy whose map-side partials combine a hub's raw fan-out
+    * inside each task BEFORE it shuffles (the skew guard), then a
+    * `max_by(label, struct(cnt, -label))` groupBy on the node alone
+    * for the argmax — an aggregate, not a window: no per-node sort,
+    * and the exchange it adds moves only the already-combined
+    * (node, label, cnt) vote rows, bounded by distinct neighbor
+    * labels per node. Label rows are two longs; payloads never enter
+    * the loop.
     * `checkpointEvery` truncates lineage for deep sweep counts (the
     * Pregel discipline; at the default 3 sweeps the tree is shallow).
     * → (idCol, label)
@@ -288,13 +297,15 @@ object LinkGraph {
     var labels = nodes.select(col(idCol).as("_v"), col(idCol).as("_l"))
     var i = 1
     while (i <= iters) {
+      // max_by's ordering struct is unique per group (labels are
+      // distinct within a node after the count), so the argmax is
+      // deterministic: count desc, then smallest label.
       val votes = nbrs.join(labels, col("_w") === col("_v"))
         .groupBy(col("_u"), col("_l"))
         .agg(count(lit(1)).as("_c"))
-        .withColumn("_rn", row_number().over(
-          Window.partitionBy(col("_u")).orderBy(col("_c").desc, col("_l").asc)))
-        .filter(col("_rn") === 1)
-        .select(col("_u"), col("_l").as("_nl"))
+        .groupBy(col("_u"))
+        .agg(max_by(col("_l"), struct(col("_c"), negate(col("_l")))).as("_nl"))
+        .select(col("_u"), col("_nl"))
       labels = labels.join(votes, col("_v") === col("_u"), "left")
         .select(col("_v"), coalesce(col("_nl"), col("_l")).as("_l"))
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)

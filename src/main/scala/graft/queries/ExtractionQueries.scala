@@ -94,10 +94,10 @@ object ExtractionQueries {
 
     // Deterministic weighted sampling without replacement (A-Res,
     // Efraimidis & Spirakis 2006): 50 documents, inclusion chance ∝
-    // n_chars, drawn by the seeded portable hash on the micro-nat log
-    // grid — the same sample in any engine or retry. The oracle
-    // replays draw, quantized ln, key division and the (key, id)
-    // top-k ordering.
+    // n_chars, drawn by the seeded md5 avalanche hash on the
+    // micro-nat log grid — the same sample in any engine or retry.
+    // The oracle replays draw, quantized ln, key division and the
+    // (key, id) top-k ordering.
     "q167_weighted_sample" -> ((s, d) =>
       Curator.weightedSample(Tables.documents(s, d), "doc_id", "n_chars",
         k = 50, seed = 42L)),
@@ -200,13 +200,14 @@ object ExtractionQueries {
          SELECT doc_id, source FROM r
          WHERE rk <= 30 AND rk <= CASE source WHEN 'src0' THEN 30 WHEN 'src1' THEN 10 ELSE 5 END""",
 
-    // identical draw (the +1 keeps u in (0,1]), identical quantized
-    // ln and key arithmetic, identical top-k order
+    // identical md5 draw (60-bit slice, the +1 keeps u in (0,1]),
+    // identical quantized ln and key arithmetic, identical top-k order
     "q167_weighted_sample" ->
       """WITH w AS (
            SELECT *,
-             CAST(floor(ln((((doc_id + 42) * 2654435761) % 4294967296 + 1)
-               / 4294967296.0) * 1000000 + 0.5) AS BIGINT) AS lnu
+             CAST(floor(ln((CAST(concat('0x',
+                 substr(md5(doc_id || ':42'), 1, 15)) AS BIGINT) + 1)
+               / 1152921504606846976.0) * 1000000 + 0.5) AS BIGINT) AS lnu
            FROM documents WHERE n_chars > 0)
          SELECT doc_id, text, lang, source, n_chars,
            CAST(lnu AS DOUBLE) / n_chars AS sample_key

@@ -234,16 +234,19 @@ object WebQueries {
     // anchors). The corpus carries no hyperlinks, so the fixture
     // attaches an anchor to every webgraph edge: token (src mod 5)+1
     // of the SOURCE document's text (a src-keyed broadcast-joinable
-    // lookup; null/short docs drop, both engines agree on
-    // out-of-bounds → NULL). One (dst, anchor) groupBy, then total +
-    // rank over the same dst partitioning.
+    // lookup). try_element_at because Spark 4 runs ANSI mode by
+    // default, where plain element_at THROWS on an out-of-range
+    // index; try_element_at yields NULL, matching DuckDB's list
+    // indexing, so short documents drop instead of failing the run.
+    // One (dst, anchor) groupBy, then total + rank over the same dst
+    // partitioning.
     "q159_anchor_text" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val n = docs.count()
       val edges = webgraph(docs.select(col("doc_id")), n)
         .join(docs.withColumnRenamed("doc_id", "_sd"), col("src") === col("_sd"))
         .select(col("src"), col("dst"),
-          element_at(split(col("text"), " "), (col("src") % 5 + 1).cast("int"))
+          try_element_at(split(col("text"), " "), (col("src") % 5 + 1).cast("int"))
             .as("anchor"))
       LinkGraph.anchorText(edges, "src", "dst", "anchor", topK = 3)
         .withColumnRenamed("dst", "doc_id")
@@ -756,8 +759,10 @@ object WebQueries {
        FROM urls u LEFT JOIN top t USING (doc_id)"""
 
   /** SQL replay of [[graft.crawl.Links.resolveUrl]]: the same CASE
-    * chain, the same regex passes (one `/./` collapse, four bounded
-    * `../` passes), over the given base/ref SQL expressions. */
+    * chain, the same regex passes (two `/./` collapses — global
+    * replacement is non-overlapping, so adjacent dot segments need a
+    * second pass — then four bounded `../` passes), over the given
+    * base/ref SQL expressions. */
   private def resolveSql(base: String, ref: String): String = {
     val noFrag = s"regexp_replace($base, '#.*$$', '')"
     val noQuery = s"regexp_replace($noFrag, '\\?.*$$', '')"
@@ -770,7 +775,8 @@ object WebQueries {
     // path-only collapse, mirroring the Scala side: the host never
     // enters the dot-segment regex
     val pathJoined = s"substr($joined, length($origin) + 1)"
-    val dotPass = s"regexp_replace($pathJoined, '/\\./', '/', 'g')"
+    val dotPass =
+      s"regexp_replace(regexp_replace($pathJoined, '/\\./', '/', 'g'), '/\\./', '/', 'g')"
     val collapsed0 = (1 to 4).foldLeft(dotPass) { (c, _) =>
       s"regexp_replace($c, '/[^/.][^/]*/\\.\\./|/\\.[^/.][^/]*/\\.\\./|/\\.\\.[^/]+/\\.\\./', '/', 'g')"
     }

@@ -468,12 +468,21 @@ object Curator {
     * (Efraimidis & Spirakis 2006, "Weighted random sampling with a
     * reservoir"): every row draws u ∈ (0, 1] and competes with key
     * u^(1/w); the k largest keys are the sample, and each row's
-    * inclusion probability tracks its weight. Here u comes from the
-    * seeded [[portableFraction]] hash (same draw in any engine, any
-    * retry — the curation stance: sampling is a FUNCTION of the data,
-    * not of the run), and the key is compared in log space on the
-    * micro-nat grid: ln(u) quantized to a BIGINT once (the q129
-    * discipline), then one exact-IEEE division by the weight —
+    * inclusion probability tracks its weight. Here u comes from a
+    * seeded md5 avalanche hash of the id (same draw in any engine,
+    * any retry — the curation stance: sampling is a FUNCTION of the
+    * data, not of the run; md5 rather than the Weyl-style
+    * [[portableFraction]] because a single multiplicative step gives
+    * consecutive ids draws a fixed ~0.618 stride apart — strongly
+    * correlated, so the paper's per-row-independence assumption
+    * behind "inclusion probability tracks weight" would hold only
+    * marginally — and its (id+seed)·K product overflows long under
+    * ANSI past id ≈ 3.4e9; avalanche mixing restores approximate
+    * pairwise independence while keeping full determinism — the
+    * residual trade is determinism vs TRUE independence, which no
+    * data-derived draw can give). The key is compared in log space
+    * on the micro-nat grid: ln(u) quantized to a BIGINT once (the
+    * q129 discipline), then one exact-IEEE division by the weight —
     * monotone in u^(1/w), so the selected SET is the paper's.
     *
     * Scale shape: a narrow per-row projection, then top-k by
@@ -487,9 +496,12 @@ object Curator {
       df: DataFrame, idCol: String, weightCol: String,
       k: Int, seed: Long = 42L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    // (pmod + 1)/2^32 ∈ (0, 1]: u = 0 would put ln at -inf
-    val u = (pmod((col(idCol) + seed) * lit(2654435761L), lit(4294967296L)) + 1L) /
-      lit(4294967296.0)
+    // 60-bit md5 slice, (h + 1)/2^60 ∈ (0, 1]: u = 0 would put ln at
+    // -inf; DuckDB replays it as CAST(concat('0x', substr(md5(..),
+    // 1, 15)) AS BIGINT) — the repo's standard portable-hash pair
+    val u = (conv(substring(md5(concat(col(idCol).cast("string"),
+        lit(":"), lit(seed.toString))), 1, 15), 16, 10).cast("long") + 1L) /
+      lit(1152921504606846976.0)
     df.filter(col(weightCol) > 0)
       .withColumn("_lnu", floor(log(u) * 1e6 + 0.5).cast("long"))
       .withColumn("sample_key", col("_lnu").cast("double") / col(weightCol))

@@ -1,0 +1,215 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Learned language identification — the fastText-shaped classifier
+  * CCNet's published recipe puts exactly here (Joulin et al. 2016
+  * "Bag of Tricks for Efficient Text Classification"; Wenzek et al.
+  * 2019 "CCNet: Extracting High Quality Monolingual Datasets from Web
+  * Crawl Data"): a linear model over hashed character n-grams,
+  * replacing [[TextAnalysis.languageId]]'s stopword-count heuristic
+  * as the production path that q165's per-language percentile buckets
+  * and q120's per-language rebalance consume. Character n-grams (not
+  * word tokens) are the published feature choice for language ID —
+  * they see orthography (diacritics, digraphs, function-word shapes)
+  * and survive domains where the stopword list simply does not occur.
+  *
+  * The split mirrors [[QualityFilter]], generalized from binary to
+  * multinomial:
+  *
+  *  - TRAINING is the bounded offline step: hashed char-n-gram counts
+  *    (hashing trick, `dim` buckets, no vocabulary state) feed MLlib's
+  *    multinomial LogisticRegression (zero init + L-BFGS — no RNG, so
+  *    refits on the same frame reproduce bit-identically). Labeled
+  *    language data is the expensive resource (CCNet trains on
+  *    Wikipedia); frames are small by construction.
+  *  - SCORING is the 100 TB path: a pure per-row projection. The
+  *    fitted K×dim matrix travels as K `dim`-double array LITERALS;
+  *    each class margin is a higher-order `aggregate` fold over the
+  *    row's OWN n-gram array — no explode, no join, no shuffle
+  *    (TextSpec pins the Exchange-free plan), composes onto a
+  *    streaming frame in append mode.
+  *
+  * Train and score agree on the feature map by sharing ONE column
+  * expression ([[featureIdx]] = `pmod(hash(gram), dim)`, Spark SQL's
+  * Murmur3) — the [[QualityFilter]] discipline: never trust two hash
+  * implementations to match.
+  */
+object LangId {
+
+  /** A fitted language model: `weights(k)(i)` is class k's coefficient
+    * for hash bucket i, `langs(k)` its label (sorted — the training
+    * label indexing), plus per-class intercepts and the feature-map
+    * parameters scoring must replay exactly. Plain values,
+    * serializable into a plan; persist as (lang, index, weight) rows
+    * if it must outlive the session. */
+  final case class Model(
+      langs: Array[String], weights: Array[Array[Double]],
+      intercepts: Array[Double], dim: Int,
+      minN: Int, maxN: Int, maxChars: Int) {
+    require(langs.length == weights.length && langs.length == intercepts.length,
+      s"langs/weights/intercepts mismatch: ${langs.length}/${weights.length}/${intercepts.length}")
+    require(weights.forall(_.length == dim), "weight row/dim mismatch")
+  }
+
+  /** The shared train/score feature map: n-gram → hash bucket. */
+  private def featureIdx(gram: Column, dim: Int): Column =
+    pmod(hash(gram), lit(dim))
+
+  /** Character n-grams of the lowercased text, n ∈ [minN, maxN], over
+    * the first `maxChars` characters only — language is decidable from
+    * a bounded prefix (CCNet classifies paragraphs), and the cap keeps
+    * per-row work constant regardless of document length, which is
+    * what makes the scoring fold safely linear at corpus scale. Null
+    * text → empty array. Pure column expression (sequence + substring
+    * evaluate natively per row). */
+  def charNgrams(text: Column, minN: Int, maxN: Int, maxChars: Int): Column = {
+    val s = substring(lower(coalesce(text, lit(""))), 1, maxChars)
+    val grams = (minN to maxN).map { n =>
+      val cnt = length(s) - lit(n - 1)
+      when(cnt >= 1, transform(sequence(lit(1), cnt), i => substring(s, i, n)))
+        .otherwise(array().cast("array<string>"))
+    }
+    concat(grams: _*)
+  }
+
+  /** Fit a multinomial logistic-regression language model on a labeled
+    * frame (`langCol` = language label strings). Classes are the
+    * DISTINCT labels sorted ascending — a deterministic indexing that
+    * needs no StringIndexer state. Features are hashed char-n-gram
+    * COUNTS; `regParam` is L2 (the hashing trick aliases grams into
+    * buckets; ridge keeps aliased weights bounded). Empty labeled
+    * frame → the uninformative zero model over zero classes is
+    * useless, so that degenerate case throws — language ID with no
+    * training languages is a caller bug, not a recoverable state. */
+  def train(
+      docs: DataFrame, textCol: String, langCol: String,
+      dim: Int = 1024, minN: Int = 1, maxN: Int = 3, maxChars: Int = 200,
+      regParam: Double = 0.01, maxIter: Int = 60): Model = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.linalg.Vectors
+    require(dim > 0, s"dim must be positive, got $dim")
+    require(1 <= minN && minN <= maxN, s"bad n-gram range [$minN, $maxN]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // bounded: the distinct label set (a handful of languages)
+    val langs = docs.select(col(langCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    require(langs.length >= 2, s"need >= 2 languages to train, got ${langs.toSeq}")
+    val langIdx = langs.zipWithIndex.toMap
+    val bIdx = spark.sparkContext.broadcast(langIdx)
+    val data = docs
+      .select(col(langCol).cast("string").as("lang"),
+        transform(charNgrams(col(textCol), minN, maxN, maxChars),
+          g => featureIdx(g, dim)).as("_idx"))
+      .as[(String, Seq[Int])]
+      .map { case (lang, idx) =>
+        val counts = idx.groupBy(identity).toSeq
+          .map { case (i, occ) => (i, occ.size.toDouble) }.sortBy(_._1)
+        (bIdx.value(lang).toDouble, Vectors.sparse(dim, counts))
+      }
+      .toDF("label", "features")
+    val fitted = new LogisticRegression()
+      .setMaxIter(maxIter).setRegParam(regParam).setFamily("multinomial")
+      .setFeaturesCol("features").setLabelCol("label")
+      .fit(data)
+    val m = fitted.coefficientMatrix // K x dim, row k = class k
+    val w = Array.tabulate(langs.length)(k => Array.tabulate(dim)(i => m(k, i)))
+    Model(langs, w, fitted.interceptVector.toArray, dim, minN, maxN, maxChars)
+  }
+
+  /** Score a corpus with a fitted model — the scale path: one narrow
+    * Exchange-free projection. Per row the n-gram array is built once;
+    * each class margin is intercept_k + Σ_gram w_k(bucket(gram)) as an
+    * `aggregate` fold; the winner is the max margin (ties broken by
+    * class order — deterministic) and `confidence` its softmax mass.
+    * Gram-less rows get every class's bare intercept — the model's
+    * prior — rather than null. → (id, lang, confidence)
+    */
+  def score(docs: DataFrame, idCol: String, textCol: String, model: Model): DataFrame = {
+    val grams = charNgrams(col(textCol), model.minN, model.maxN, model.maxChars)
+    docs
+      .withColumn("_g", grams)
+      .withColumn("_m", array(model.langs.indices.map { k =>
+        val w = lit(model.weights(k))
+        aggregate(col("_g"), lit(model.intercepts(k)),
+          (acc, g) => acc + element_at(w, featureIdx(g, model.dim) + 1))
+      }: _*))
+      .select(col(idCol).as("id"),
+        element_at(lit(model.langs), array_position(col("_m"), array_max(col("_m"))).cast("int"))
+          .as("lang"),
+        (lit(1.0) / aggregate(col("_m"), lit(0.0),
+          (acc, m) => acc + exp(m - array_max(col("_m"))))).as("confidence"))
+  }
+
+  // --- deterministic planted multilingual corpus (the training and
+  // --- accuracy-gate fixture: the driver's documents table carries
+  // --- word-soup text whose lang column is independent of the text,
+  // --- so a REAL multilingual fixture has to be planted)
+
+  /** Function-word profiles per language — public high-frequency words
+    * (the same public knowledge as [[TextAnalysis.Stopwords]], wider,
+    * plus two languages the stopword heuristic does not know at all,
+    * so the learned-vs-heuristic accuracy gap is measurable on them). */
+  val PlantedLangs: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "ein", "eine",
+      "zu", "nicht", "auch", "auf", "sich", "für", "über", "wir", "dass"),
+    "en" -> Seq("the", "a", "an", "and", "of", "to", "in", "is", "that", "it",
+      "was", "for", "with", "as", "his", "they", "at", "this"),
+    "es" -> Seq("el", "los", "las", "y", "es", "de", "un", "una", "en", "que",
+      "no", "se", "por", "con", "para", "su", "más", "como"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "de", "un", "une", "dans", "que",
+      "ne", "pas", "pour", "qui", "sur", "avec", "plus", "vous"),
+    "it" -> Seq("il", "lo", "gli", "e", "è", "di", "un", "una", "che", "non",
+      "si", "per", "con", "del", "della", "come", "più", "anche"),
+    "pt" -> Seq("o", "os", "as", "e", "é", "de", "um", "uma", "em", "que",
+      "não", "se", "por", "com", "para", "mais", "como", "são"))
+
+  /** Language-flavored synthetic content word: each language draws its
+    * syllables from a distinct consonant/vowel inventory (including
+    * its characteristic diacritics), so character n-grams carry the
+    * orthographic signal real languages do. Pure in (lang, rank). */
+  def contentWord(langIdx: Int, rank: Int, rng: java.util.Random): String = {
+    val cons = Array(
+      "bdfghklmnrstwz", // de (plus sch-like clusters via doubling)
+      "bcdfghlmnprstwy", // en
+      "bcdfghlmnñprst", // es
+      "bcdfghjlmnprst", // fr
+      "bcdfglmnprstvz", // it
+      "bcdfghlmnprstvç") // pt
+    val vows = Array("aeiouäöü", "aeiou", "aeiouáéí", "aeiouéèê", "aeiouàè", "aeiouãõê")
+    val c = cons(langIdx); val v = vows(langIdx)
+    val syll = 1 + rank % 3
+    val sb = new StringBuilder
+    var i = 0
+    while (i < syll) {
+      sb.append(c(rng.nextInt(c.length))).append(v(rng.nextInt(v.length)))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Deterministic multilingual corpus: `nDocs` rows of (doc_id, text,
+    * lang), language = doc_id mod |langs|, text = 20–60 words mixing
+    * the language's function words (~40%) with its language-flavored
+    * content words. Pure function of (doc_id, seed) — a narrow
+    * distributed map over `spark.range`, the [[graft.ZipfCorpus]]
+    * discipline, so any size reproduces bit-identically at any
+    * parallelism. */
+  def plantedCorpus(spark: SparkSession, nDocs: Long, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val langs = PlantedLangs
+    spark.range(nDocs).as[Long].map { docId =>
+      val li = (docId % langs.length).toInt
+      val (lang, fw) = langs(li)
+      val rng = new java.util.Random(docId * 0x9E3779B97F4A7C15L + seed)
+      val len = 20 + rng.nextInt(41)
+      val words = Array.fill(len) {
+        if (rng.nextDouble() < 0.4) fw(rng.nextInt(fw.length))
+        else contentWord(li, rng.nextInt(12), rng)
+      }
+      (docId, words.mkString(" "), lang)
+    }.toDF("doc_id", "text", "lang")
+  }
+}

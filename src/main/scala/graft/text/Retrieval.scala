@@ -40,19 +40,22 @@ object Retrieval {
     * rank tokens by global frequency (count desc, token asc) and cut
     * three 4-term queries from the frequency bands 11–14, 21–24 and
     * 31–34 — mid-head terms, frequent enough to match many documents
-    * but past the stopword crown. The global rank is a single-
-    * partition window over the TOKEN VOCABULARY, which is bounded
-    * (Heaps' law — the [[TextAnalysis.unigramLm]] broadcast argument),
-    * not over the corpus. → (qid, term)
+    * but past the stopword crown. Only the top 34 terms matter, so
+    * the global order is taken with `orderBy(...).limit(34)` —
+    * TakeOrderedAndProject, per-partition 34-row heaps, only 34 rows
+    * ever reach one machine — and the single-partition row_number
+    * window then runs over those 34 rows, not the full vocabulary
+    * (which is merely Heaps-bounded, not constant). → (qid, term)
     */
   def frequencyProbeQueries(docs: DataFrame, textCol: String): DataFrame = {
     val cnts = docs
       .select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
     cnts
+      .orderBy(col("cnt").desc, col("term").asc).limit(34)
       .withColumn("rk",
         row_number().over(Window.orderBy(col("cnt").desc, col("term").asc)))
-      .filter(col("rk") >= 11 && col("rk") <= 34 && col("rk") % 10 >= 1 && col("rk") % 10 <= 4)
+      .filter(col("rk") >= 11 && col("rk") % 10 >= 1 && col("rk") % 10 <= 4)
       .select(expr("CAST(rk div 10 AS BIGINT)").as("qid"), col("term"))
   }
 

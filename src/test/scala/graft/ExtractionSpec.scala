@@ -365,9 +365,12 @@ class ExtractionSpec extends SparkSpec {
     val df = rows.toDF("id", "w")
     val got = Curator.weightedSample(df, "id", "w", k = 7, seed = 42L)
       .collect().map(_.getLong(0)).toSet
-    // driver-side replay of the same draw + quantized-log key
+    // driver-side replay of the same md5 draw + quantized-log key
     val replay = rows.map { case (i, w) =>
-      val u = (((i + 42L) * 2654435761L) % 4294967296L + 1L) / 4294967296.0
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:42".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1L) / 1152921504606846976.0
       val lnu = math.floor(math.log(u) * 1e6 + 0.5).toLong
       (i, lnu.toDouble / w)
     }.sortBy { case (i, key) => (-key, i) }.take(7).map(_._1).toSet

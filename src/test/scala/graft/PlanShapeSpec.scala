@@ -163,7 +163,7 @@ class PlanShapeSpec extends SparkSpec {
     // canonicalization must never grow a join or a second scan
     "q124_url_dedup" -> PlanGolden.Shape(
       "Aggregate>Project>Project>LogicalRelation",
-      237),
+      241),
     "q121_decontaminate" -> PlanGolden.Shape(
       "Project>Join>Project>Filter>LogicalRelation>Aggregate>Project>Join>Aggregate>Generate>Project>Filter>LogicalRelation>Aggregate>Generate>Project>Filter>LogicalRelation",
       286),
@@ -274,7 +274,7 @@ class PlanShapeSpec extends SparkSpec {
     // WindowGroupLimit or gaining a corpus-wide Join is the regression
     "q156_bm25" -> PlanGolden.Shape(
       "Project>Filter>Window>WindowGroupLimit>Aggregate>Project>Join>Project>Join>Project>Join>Aggregate>Generate>Project>Project>Filter>LogicalRelation>Aggregate>Aggregate>Generate>Project>Project>Filter>LogicalRelation>Project>Filter>Window>GlobalLimit>LocalLimit>Sort>Aggregate>Generate>Project>LogicalRelation>Aggregate>Project>LogicalRelation",
-      432),
+      428),
     // one narrow projection chain + ONE Window partitioned by domain;
     // a second Window or a Join appearing is the regression
     "q157_url_frontier_filter" -> PlanGolden.Shape(
@@ -291,14 +291,14 @@ class PlanShapeSpec extends SparkSpec {
       "Project>Filter>Window>WindowGroupLimit>Window>Aggregate>Project>Join>Project>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRelation",
       182),
     "q161_lpa_communities" -> PlanGolden.Shape(
-      "Project>Join>Project>Join>Project>Join>Project>LogicalRelation>Project>Filter>Window>WindowGroupLimit>Aggregate>Project>Join>Filter>LogicalRDD>Project>Filter>LogicalRelation>Project>Filter>Window>WindowGroupLimit>Aggregate>Project>Join>Filter>LogicalRDD>Project>Join>Project>Filter>LogicalRelation>Project>Filter>Window>WindowGroupLimit>Aggregate>Project>Join>Filter>LogicalRDD>Project>Filter>LogicalRelation>Project>Filter>Window>WindowGroupLimit>Aggregate>Project>Join>Filter>LogicalRDD>Project>Join>Project>Join>Project>Filter>LogicalRelation>Project>Filter>Window>WindowGroupLimit>Aggregate>Project>Join>Filter>LogicalRDD>Project>Filter>LogicalRelation>Project>Filter>Window>WindowGroupLimit>Aggregate>Project>Join>Filter>LogicalRDD>Project>Join>Project>Filter>LogicalRelation>Project>Filter>Window>WindowGroupLimit>Aggregate>Project>Join>Filter>LogicalRDD>Project>Filter>LogicalRelation",
-      486),
+      "Project>Join>Project>Join>Project>Join>Project>LogicalRelation>Aggregate>Aggregate>Project>Join>Filter>LogicalRDD>Project>Filter>LogicalRelation>Aggregate>Aggregate>Project>Join>Filter>LogicalRDD>Project>Join>Project>Filter>LogicalRelation>Aggregate>Aggregate>Project>Join>Filter>LogicalRDD>Project>Filter>LogicalRelation>Aggregate>Aggregate>Project>Join>Filter>LogicalRDD>Project>Join>Project>Join>Project>Filter>LogicalRelation>Aggregate>Aggregate>Project>Join>Filter>LogicalRDD>Project>Filter>LogicalRelation>Aggregate>Aggregate>Project>Join>Filter>LogicalRDD>Project>Join>Project>Filter>LogicalRelation>Aggregate>Aggregate>Project>Join>Filter>LogicalRDD>Project>Filter>LogicalRelation",
+      367),
     "q163_containment" -> PlanGolden.Shape(
       "Project>Filter>Aggregate>Aggregate>Project>Join>Filter>Generate>Aggregate>Project>Join>Project>Generate>Project>Aggregate>Union>Project>Join>Filter>LogicalRDD>Filter>Aggregate>Project>LogicalRDD>Project>Join>Project>Join>Filter>LogicalRDD>Project>Filter>Aggregate>Project>LogicalRDD>Filter>Aggregate>Project>LogicalRDD>Project>Join>Filter>LogicalRDD>Aggregate>Project>Filter>LogicalRDD>Filter>LogicalRDD",
       220),
     "q164_robots" -> PlanGolden.Shape(
       "Project>Join>Project>LogicalRelation>Project>Filter>Window>WindowGroupLimit>Project>Join>Project>Filter>LogicalRelation>Project>Filter>Join>Project>Join>Aggregate>Project>Filter>Window>Project>Window>Project>Project>Filter>Generate>Aggregate>Project>Filter>LogicalRelation>Project>Filter>Window>Project>Window>Project>Project>Project>Filter>Generate>Aggregate>Project>Filter>LogicalRelation>Aggregate>Project>Join>Aggregate>Project>Filter>Window>Project>Window>Project>Project>Filter>Generate>Aggregate>Project>Filter>LogicalRelation>Project>Filter>Window>Project>Window>Project>Filter>Generate>Aggregate>Project>Filter>LogicalRelation",
-      893),
+      908),
     "q165_ccnet_buckets" -> PlanGolden.Shape(
       "Project>Window>Project>Join>Project>Aggregate>Project>Join>Project>Generate>Project>Filter>LogicalRelation>Aggregate>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRelation",
       161),
@@ -310,7 +310,7 @@ class PlanShapeSpec extends SparkSpec {
       342),
     "q170_html_links" -> PlanGolden.Shape(
       "Project>Generate>Project>LogicalRelation",
-      281))
+      285))
 
   test("golden snapshots: operator skeleton exact, expression forest within 1.5x") {
     val failures = golden.toSeq.sortBy(_._1).flatMap { case (name, expected) =>
