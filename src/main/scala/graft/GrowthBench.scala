@@ -148,6 +148,7 @@ object GrowthBench {
     "q170_html_links" -> (6.0, "link extraction + resolution: narrow per-page regex explode, 9 links/page fixed (fixture chrome is constant-size, text not embedded); row-linear; budget = the 6.0 linear allowance"),
     "q171_resolve_urls" -> (6.0, "URL resolution: shuffle-free narrow when/regex projection; row-linear; budget = the 6.0 linear allowance"),
     "g135_quality_score_docs" -> (10.0, "fixed-model scoring: narrow shuffle-free per-token fold; budget = token ratio (training is the bounded offline step, not gated)"),
+    "g172_langid_score_docs" -> (10.0, "fixed-model multinomial lang-ID scoring: narrow shuffle-free per-char-n-gram folds with a 200-char prefix cap (work/doc constant once the cap binds) — doc-linear; budget = doc ratio (training is the bounded offline step, not gated)"),
     "g136_semantic_neardup_docs" -> (8.0, "within-cell LSH pairs on (cluster,band,sig) keys: signature-linear like g116; cell assignment deterministic (k-means fit is the bounded offline model-build)"))
 
   private val PseudoDim = 16
@@ -225,6 +226,25 @@ object GrowthBench {
       val weights = Array.tabulate(dim)(i => ((i * 2654435761L % 1001L) - 500L) / 500.0)
       val model = graft.text.QualityFilter.Model(weights, -0.1, dim)
       graft.text.QualityFilter.score(Tables.documents(s, d), "doc_id", "text", model)
+    }),
+    // The learned language ID (q172) growth-gated on its 100 TB path:
+    // SCORING with a fixed literal multinomial model — K shuffle-free
+    // per-row folds over the char-n-gram array, each capped at the
+    // 200-char prefix, so per-doc work is constant and the curve is
+    // doc-linear. Training (q172's fixture half) is the bounded
+    // offline step and deliberately NOT under the gate. Weights are a
+    // pure function of (class, bucket) so the gate needs no model
+    // state; GrowthVariantSpec pins that every doc gets a label and
+    // the labels vary (a scorer ignoring the text would be caught).
+    "g172_langid_score_docs" -> ((s, d) => {
+      val dim = 256
+      val langs = graft.text.LangId.PlantedLangs.map(_._1).toArray
+      val w = Array.tabulate(langs.length, dim)((k, i) =>
+        (((k * 7919L + i) * 2654435761L % 1001L) - 500L) / 500.0)
+      val model = graft.text.LangId.Model(
+        langs, w, Array.tabulate(langs.length)(k => -0.05 * k), dim,
+        minN = 1, maxN = 3, maxChars = 200)
+      graft.text.LangId.score(Tables.documents(s, d), "doc_id", "text", model)
     }),
     // The Bloom seen-URL guard (q153's production composition) on
     // documents: URLs are a pure function of doc_id (one distinct URL

@@ -315,6 +315,22 @@ object TextQueries {
         .select(col("id").as("doc_id"), col("n_tokens"), col("quality_score"), col("keep"))
     }),
 
+    // Learned language ID (fastText/CCNet shape — Joulin et al. 2016,
+    // Wenzek et al. 2019) — rows-only ⊘: MLlib's L-BFGS multinomial
+    // fit is iterative, not replayable in SQL. LangIdSpec holds the
+    // real gates: ≥0.95 held-out accuracy on the planted multilingual
+    // corpus vs the stopword heuristic's measured deficit, bit-exact
+    // refits, Exchange-free scoring. The fixture trains on the planted
+    // corpus (the bounded offline step), then scores the documents
+    // table — the corpus-sized path this row times.
+    "q172_langid_learned" -> ((s, d) => {
+      val model = graft.text.LangId.train(
+        graft.text.LangId.plantedCorpus(s, 360, seed = 42L), "text", "lang",
+        dim = 1024)
+      graft.text.LangId.score(Tables.documents(s, d), "doc_id", "text", model)
+        .select(col("id").as("doc_id"), col("lang"), col("confidence"))
+    }),
+
     // BPE tokenizer training (Sennrich et al. 2016) — rows-only ⊘:
     // the merge loop is iterative (each rank's counts depend on the
     // previous rank's rewrite), not replayable in SQL. BpeSpec pins

@@ -68,7 +68,7 @@ object LangId {
     val s = substring(lower(coalesce(text, lit(""))), 1, maxChars)
     val grams = (minN to maxN).map { n =>
       val cnt = length(s) - lit(n - 1)
-      when(cnt >= 1, transform(sequence(lit(1), cnt), i => substring(s, i, n)))
+      when(cnt >= 1, transform(sequence(lit(1), cnt), i => substring(s, i, lit(n))))
         .otherwise(array().cast("array<string>"))
     }
     concat(grams: _*)

@@ -190,4 +190,46 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(splits.keySet == (1L to 30L).toSet)
     assert(splits.values.toSet.subsetOf(Set("train", "val")))
   }
+
+  test("CCNet composition on LEARNED labels: q165's per-language buckets consume LangId predictions") {
+    import graft.text.LangId
+    // the production CCNet order (Wenzek et al. 2019): language ID
+    // first, then per-LANGUAGE perplexity thirds — q165's fixture uses
+    // the table's lang column; the real pipeline has no labels and
+    // must bucket on the CLASSIFIER's output, so the bucketing is only
+    // as good as the labels it rides. This composes the two stages
+    // end-to-end and pins both halves.
+    val planted = LangId.plantedCorpus(spark, 360, seed = 11L)
+    val evenBlocks = (col("doc_id") / 6).cast("long") % 2 === 0
+    val model = LangId.train(planted.filter(evenBlocks), "text", "lang", dim = 1024)
+    val preds = LangId.score(planted, "doc_id", "text", model)
+      .select(col("id").as("doc_id"), col("lang").as("pred_lang"))
+    val withTruth = planted.join(preds, "doc_id")
+    val acc = withTruth.filter(col("lang") === col("pred_lang")).count().toDouble / 360
+    assert(acc >= 0.95, s"LangId accuracy on the pipeline corpus: $acc")
+    // per-language LM thirds over the PREDICTED partitions — the q165
+    // operator unchanged, only the grouping column now comes from the
+    // classifier
+    val lm = TextAnalysis.unigramLm(planted.filter(evenBlocks), "text")
+    val scored = TextAnalysis.lmScore(
+      planted.filter(!evenBlocks), "doc_id", "text", lm)
+      .select(col("id").as("doc_id"), col("avg_nll_micro"))
+    val bucketed = TextAnalysis.bucketByPercentile(
+      scored.join(preds, "doc_id"), "avg_nll_micro", Seq("pred_lang"))
+    val sizes = bucketed.groupBy("pred_lang", "pct_bucket").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val langs = sizes.keys.map(_._1).toSet
+    assert(langs == LangId.PlantedLangs.map(_._1).toSet,
+      s"every planted language must form its own bucket partition: $langs")
+    // thirds within each predicted language (percent_rank thirds can
+    // drift by a row or two when predictions shift partition sizes)
+    langs.foreach { l =>
+      val total = sizes.collect { case ((`l`, _), n) => n }.sum
+      Seq("head", "middle", "tail").foreach { b =>
+        val n = sizes.getOrElse((l, b), 0L)
+        assert(math.abs(n - total / 3.0) <= 2.0,
+          s"$l/$b: $n of $total is not a third")
+      }
+    }
+  }
 }

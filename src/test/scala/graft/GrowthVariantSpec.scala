@@ -64,4 +64,17 @@ class GrowthVariantSpec extends SparkSpec {
     // mix, so a scorer that ignored the text would be caught here
     assert(scores.distinct.length > 100, s"expected varying scores, got ${scores.distinct.length} distinct")
   }
+
+  test("g172 growth variant labels every document with varying languages and confidences") {
+    val rows = GrowthBench.variants("g172_langid_score_docs")(spark, corpusDir)
+      .select("id", "lang", "confidence").collect()
+    assert(rows.length == 1000, s"expected one label per doc, got ${rows.length}")
+    assert(rows.forall { r =>
+      val c = r.getDouble(2); c > 0.0 && c <= 1.0 + 1e-12
+    })
+    // the fixed model is non-degenerate over Zipf text: labels and
+    // confidences must both vary with the input
+    assert(rows.map(_.getString(1)).distinct.length >= 2, "labels must vary")
+    assert(rows.map(_.getDouble(2)).distinct.length > 100, "confidences must vary")
+  }
 }
