@@ -147,6 +147,8 @@ object GrowthBench {
     "q169_domain_stats_incremental" -> (6.0, "incremental domain rollup: two store groupBys + one merge groupBy + the stats groupBy over a FIXED domain set; store rows bounded by distinct content; row-linear; budget = the 6.0 linear allowance"),
     "q170_html_links" -> (6.0, "link extraction + resolution: narrow per-page regex explode, 9 links/page fixed (fixture chrome is constant-size, text not embedded); row-linear; budget = the 6.0 linear allowance"),
     "q171_resolve_urls" -> (6.0, "URL resolution: shuffle-free narrow when/regex projection; row-linear; budget = the 6.0 linear allowance"),
+    "q173_cdx_parse" -> (6.0, "CDXJ parsing: shuffle-free narrow regex + json-path projection over ~constant-length lines; row-linear; budget = the 6.0 linear allowance"),
+    "q174_warc_indexed" -> (10.3, "CDX-offset WARC reads: one positioned read + single-record parse per index row, byte-linear in record bytes; budget = measured char ratio 10.26x (chars/doc flat); the fleet write is marker-guarded fixture render, paid once in warm-up"),
     "g135_quality_score_docs" -> (10.0, "fixed-model scoring: narrow shuffle-free per-token fold; budget = token ratio (training is the bounded offline step, not gated)"),
     "g172_langid_score_docs" -> (10.0, "fixed-model multinomial lang-ID scoring: narrow shuffle-free per-char-n-gram folds with a 200-char prefix cap (work/doc constant once the cap binds) — doc-linear; budget = doc ratio (training is the bounded offline step, not gated)"),
     "g136_semantic_neardup_docs" -> (8.0, "within-cell LSH pairs on (cluster,band,sig) keys: signature-linear like g116; cell assignment deterministic (k-means fit is the bounded offline model-build)"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.crawl.{Domains, Links, Robots}
+import graft.crawl.{Cdx, Domains, Links, Robots}
 import graft.graph.LinkGraph
 import graft.multimodal.DocumentExtract
 import graft.sources.Warc
@@ -83,6 +83,97 @@ object WebQueries {
       else "GARBAGE-NOT-A-RECORD".getBytes("UTF-8")
     val recs = if (gz) all.map(Warc.gzipMember) else all
     recs.foldLeft(Array.emptyByteArray)(_ ++ _) ++ tail
+  }
+
+  /** q174: the q147 file rebuilt with per-record offsets — returns
+    * the file bytes plus one index entry per RESPONSE record (and,
+    * on every 5th file, for the planted garbage member: the index
+    * claims a record the file cannot deliver, which must surface as
+    * exactly one isolated error row — the malformed-record contract
+    * the whole-file walk cannot give). Entry = (offset, length, url,
+    * status). Offsets are member offsets, the Common Crawl CDXJ
+    * meaning: each record its own gzip member on odd file ids. */
+  private[graft] def buildWarcFileIndexed(
+      fileId: Long, docs: Seq[(Long, String)]): (Array[Byte], Seq[(Long, Long, String, String)]) = {
+    val gz = fileId % 2 == 1
+    def member(b: Array[Byte]) = if (gz) Warc.gzipMember(b) else b
+    val out = new java.io.ByteArrayOutputStream()
+    val entries = Seq.newBuilder[(Long, Long, String, String)]
+    def add(raw: Array[Byte], indexAs: Option[(String, String)]): Unit = {
+      val m = member(raw)
+      indexAs.foreach { case (url, status) =>
+        entries += ((out.size.toLong, m.length.toLong, url, status))
+      }
+      out.write(m)
+    }
+    add(warcRecord("warcinfo",
+      Seq("WARC-Record-ID" -> s"<urn:uuid:info$fileId>",
+        "WARC-Date" -> "2024-01-01T00:00:00Z"),
+      s"software: graft-fixture$Crlf".getBytes("UTF-8")), None)
+    docs.foreach { case (id, text) =>
+      val (status, ctype, body) =
+        if (id % 13 == 0) ("404 Not Found", "text/html", "<html><body><p>gone</p></body></html>".getBytes("UTF-8"))
+        else if (id % 11 == 0) ("200 OK", "text/plain; charset=utf-8", text.getBytes("UTF-8"))
+        else ("200 OK", "text/html; charset=utf-8", pageHtml(id, text).getBytes("UTF-8"))
+      add(warcRecord("response",
+        Seq("WARC-Record-ID" -> s"<urn:uuid:doc$id>",
+          "WARC-Date" -> "2024-01-01T00:00:00Z",
+          "WARC-Target-URI" -> s"https://example.com/doc$id",
+          "Content-Type" -> "application/http; msgtype=response"),
+        httpBlock(status, ctype, body)),
+        Some((s"https://example.com/doc$id", status.split(" ")(0))))
+      ()
+    }
+    add(warcRecord("request",
+      Seq("WARC-Record-ID" -> s"<urn:uuid:req$fileId>",
+        "WARC-Date" -> "2024-01-01T00:00:00Z"),
+      s"GET / HTTP/1.1$Crlf$Crlf".getBytes("UTF-8")), None)
+    if (fileId % 5 == 0)
+      add("GARBAGE-NOT-A-RECORD".getBytes("UTF-8"),
+        Some((s"https://example.com/badrecord$fileId", "200")))
+    (out.toByteArray, entries.result())
+  }
+
+  /** Ensure the indexed WARC fleet for corpus dir `d` exists on local
+    * disk (fixture RENDER, done once per corpus and marker-guarded —
+    * bench trials time the indexed READ, not the write): one file per
+    * 20 docs written from its build task via the Hadoop FS API, plus
+    * `cdx.parquet` of CDXJ lines whose offsets were measured during
+    * the build. Returns the fleet directory. */
+  private[graft] def ensureIndexedWarcFleet(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"warcidx-v1:$d".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val dir = s"/tmp/graft_warc_idx/$key"
+    val done = new java.io.File(s"$dir/_DONE")
+    if (!done.exists()) this.synchronized {
+      if (!done.exists()) {
+        new java.io.File(dir).mkdirs()
+        val lines = Tables.documents(s, d)
+          .select(expr("doc_id div 20").as("file_id"), col("doc_id"), col("text"))
+          .as[(Long, Long, String)]
+          .groupByKey(_._1)
+          .flatMapGroups { (fid, it) =>
+            val docs = it.map { case (_, id, text) => (id, text) }.toSeq.sortBy(_._1)
+            val name = f"crawl$fid%05d.warc" + (if (fid % 2 == 1) ".gz" else "")
+            val (bytes, entries) = buildWarcFileIndexed(fid, docs)
+            val path = s"$dir/$name"
+            val hp = new org.apache.hadoop.fs.Path(path)
+            val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            val os = fs.create(hp, true)
+            os.write(bytes); os.close()
+            entries.iterator.map { case (off, len, url, status) =>
+              val surt = "com,example)/" + url.split("/").last
+              s"""$surt 20240101000000 {"url": "$url", "mime": "text/html", "status": "$status", "digest": "sha1:$off", "length": "$len", "offset": "$off", "filename": "$path"}"""
+            }
+          }
+          .toDF("line")
+        lines.coalesce(1).write.mode("overwrite").parquet(s"$dir/cdx.parquet")
+        done.createNewFile()
+        ()
+      }
+    }
+    dir
   }
 
   val queries: Map[String, Q] = Map(
@@ -390,6 +481,52 @@ object WebQueries {
       Tables.documents(s, d)
         .select(col("doc_id"), base.as("base"), ref.as("ref"))
         .withColumn("resolved", Links.resolveUrl(col("base"), col("ref")))
+    }),
+
+    // CDX(J) index parsing (full DuckDB oracle): the Common Crawl
+    // cc-index line grammar — SURT + timestamp + JSON — built from
+    // the corpus via concat so the oracle replays construction,
+    // the first-two-spaces regex split, json_extract and the numeric
+    // casts verbatim. Narrow projection, no shuffle.
+    "q173_cdx_parse" -> ((s, d) => {
+      val id = col("doc_id")
+      val host = concat(lit("site"), id % 23)
+      val line = concat(
+        lit("com,"), host, lit(")/doc"), id,
+        lit(" 2024010100"), lpad((id % 60).cast("string"), 4, "0"),
+        lit(" {\"url\": \"https://"), host, lit(".com/doc"), id,
+        lit("\", \"mime\": \""),
+        when(id % 11 === 0, lit("text/plain")).otherwise(lit("text/html")),
+        lit("\", \"status\": \""),
+        when(id % 13 === 0, lit("404")).otherwise(lit("200")),
+        lit("\", \"digest\": \"sha1:"), upper(substring(md5(id.cast("string")), 1, 32)),
+        lit("\", \"length\": \""), col("n_chars") + 512,
+        lit("\", \"offset\": \""), id * 2048,
+        lit("\", \"filename\": \"crawl-data/CC-MAIN/warc/crawl"), id % 20,
+        lit(".warc.gz\"}"))
+      Cdx.parse(Tables.documents(s, d).select(line.as("line")), "line")
+        .withColumn("doc_id", regexp_extract(col("url"), "doc([0-9]+)$", 1).cast("long"))
+    }),
+
+    // CDX-offset WARC reads (rows-only ⊘ — byte-level decode): the
+    // q147 fleet rebuilt as REAL on-disk files with a measured-offset
+    // CDXJ index (fixture render, once per corpus), then read the
+    // Common Crawl way: Cdx.parse → one positioned read per record.
+    // Parallelism is per RECORD (index rows repartition before any
+    // byte moves), and the planted garbage members — which HALT the
+    // q147 whole-file walk at their file — surface here as exactly
+    // one isolated error row each while every neighbor parses.
+    // WarcSpec pins the grammar, isolation and offset arithmetic.
+    "q174_warc_indexed" -> ((s, d) => {
+      val dir = ensureIndexedWarcFleet(s, d)
+      val idx = Cdx.parse(s.read.parquet(s"$dir/cdx.parquet"), "line")
+      Warc.responsesIndexed(idx)
+        .select(col("offset"), col("record_id"), col("target_uri"), col("status"),
+          col("content_type"), col("body_len"),
+          when(col("content_type").startsWith("text/html"),
+            length(Boilerplate.mainText(col("body"))).cast("long"))
+            .otherwise(lit(null).cast("long")).as("main_len"),
+          col("error"))
     }),
 
     // HyperBall harmonic (rows-only ⊘ — DataSketches HLL is not
@@ -841,7 +978,46 @@ object WebQueries {
        SELECT doc_id, base, ref, ${resolveSql("base", "ref")} AS resolved
        FROM f"""
 
+  /** q173 oracle: replay the CDXJ line construction, the
+    * first-two-spaces regex split and the JSON field extraction —
+    * DuckDB's json_extract_string mirrors get_json_object, its
+    * regexp_extract the same anchored grammar. */
+  private val q173Sql =
+    """WITH l AS (
+         SELECT doc_id, n_chars,
+           'com,site' || (doc_id % 23) || ')/doc' || doc_id ||
+           ' 2024010100' || lpad(CAST(doc_id % 60 AS VARCHAR), 4, '0') ||
+           ' {"url": "https://site' || (doc_id % 23) || '.com/doc' || doc_id ||
+           '", "mime": "' ||
+           CASE WHEN doc_id % 11 = 0 THEN 'text/plain' ELSE 'text/html' END ||
+           '", "status": "' ||
+           CASE WHEN doc_id % 13 = 0 THEN '404' ELSE '200' END ||
+           '", "digest": "sha1:' ||
+           upper(substr(md5(CAST(doc_id AS VARCHAR)), 1, 32)) ||
+           '", "length": "' || (n_chars + 512) ||
+           '", "offset": "' || (doc_id * 2048) ||
+           '", "filename": "crawl-data/CC-MAIN/warc/crawl' || (doc_id % 20) ||
+           '.warc.gz"}' AS line
+         FROM documents),
+       x AS (
+         SELECT
+           nullif(regexp_extract(trim(line), '^(\S+) (\S+) (.*)$', 1), '') AS surt,
+           nullif(regexp_extract(trim(line), '^(\S+) (\S+) (.*)$', 2), '') AS ts,
+           nullif(regexp_extract(trim(line), '^(\S+) (\S+) (.*)$', 3), '') AS j
+         FROM l)
+       SELECT surt, ts,
+         json_extract_string(j, '$.url') AS url,
+         CAST(json_extract_string(j, '$.status') AS INTEGER) AS status,
+         json_extract_string(j, '$.mime') AS mime,
+         json_extract_string(j, '$.digest') AS digest,
+         json_extract_string(j, '$.filename') AS warc_path,
+         CAST(json_extract_string(j, '$.offset') AS BIGINT) AS "offset",
+         CAST(json_extract_string(j, '$.length') AS BIGINT) AS length,
+         CAST(regexp_extract(json_extract_string(j, '$.url'), 'doc([0-9]+)$', 1) AS BIGINT) AS doc_id
+       FROM x"""
+
   val oracles: Map[String, String] = Map(
+    "q173_cdx_parse" -> q173Sql,
     "q148_main_content" -> q148Sql,
     "q151_pagerank" -> q151Sql,
     "q152_harmonic" -> q152Sql,

@@ -137,4 +137,95 @@ class WarcSpec extends SparkSpec {
       assert(types.count(_ == "response") == 20)
     }
   }
+
+  test("recordAt: every indexed offset yields exactly its record; range errors are Lefts, not exceptions") {
+    val docs = (0L to 19L).map(i => (i, s"doc body $i with the a of and text"))
+    Seq(0L, 5L).foreach { fid => // plain and gzip layouts, both with garbage
+      val (bytes, entries) = graft.queries.WebQueries.buildWarcFileIndexed(fid, docs)
+      entries.foreach { case (off, len, url, status) =>
+        Warc.recordAt(bytes, off, len) match {
+          case Right(rec) =>
+            assert(rec.warcType == "response" && rec.targetUri.contains(url))
+            val http = Warc.parseHttp(rec.block)
+            assert(http.exists(_.status.toString == status))
+          case Left(e) =>
+            // the planted garbage member: indexed, undeliverable
+            assert(url.contains("badrecord"), s"unexpected Left($e) for $url")
+        }
+      }
+      assert(Warc.recordAt(bytes, -1, 10).isLeft)
+      assert(Warc.recordAt(bytes, 0, bytes.length + 1L).isLeft)
+      assert(Warc.recordAt(bytes, bytes.length - 2L, 2).isLeft)
+    }
+  }
+
+  test("responsesIndexed: CDX-offset reads over real files — per-record rows, corrupt record isolated, neighbors parse") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_warcspec").toString
+    val docs = (0L to 19L).map(i => (i, s"doc body $i with the a of and text"))
+    // two files: plain with garbage (fid 0), gzip members with garbage (fid 5)
+    val index = Seq(0L, 5L).flatMap { fid =>
+      val (bytes, entries) = graft.queries.WebQueries.buildWarcFileIndexed(fid, docs)
+      val path = s"$dir/crawl$fid.warc" + (if (fid % 2 == 1) ".gz" else "")
+      java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
+      entries.map { case (off, len, url, _) => (path, off, len, url) }
+    }
+    val idx = index.toDF("warc_path", "offset", "length", "url")
+      // shuffle the index away from file order: offsets, not layout,
+      // must locate records
+      .orderBy(col("offset").desc)
+    val got = Warc.responsesIndexed(idx)
+    val rows = got.collect()
+    assert(rows.length == index.length, "one row per index entry")
+    // the two planted garbage members are the ONLY errors — corrupt
+    // records cost their own row, never their file (q147's whole-file
+    // walk halts at them; that asymmetry is the point of the index)
+    val errs = got.filter(col("error").isNotNull).collect()
+    assert(errs.length == 2, s"expected 2 isolated errors, got ${errs.toSeq}")
+    val ok = got.filter(col("error").isNull)
+    assert(ok.count() == 40)
+    assert(ok.filter(col("status") === 404).count() == 4) // ids 0 and 13, both files
+    // body fidelity through the positioned read
+    val b7 = ok.filter(col("target_uri") === "https://example.com/doc7")
+      .select("body").collect().map(_.getString(0))
+    assert(b7.length == 2 && b7.forall(_.contains("doc body 7")))
+    // a range beyond EOF (index/file disagreement) is an error row too
+    val bad = Warc.responsesIndexed(
+      Seq((s"$dir/crawl0.warc", 1L << 40, 100L)).toDF("warc_path", "offset", "length"))
+      .collect()
+    assert(bad.length == 1 && bad.head.getAs[String]("error").contains("outside file"))
+  }
+
+  test("Cdx.parse: CDXJ grammar — SURT/ts split, JSON fields, casts; malformed lines null out behind the schema") {
+    import spark.implicits._
+    val good =
+      """com,example)/doc7 20240101000000 {"url": "https://example.com/doc7", "mime": "text/html", "status": "200", "digest": "sha1:AB", "length": "1234", "offset": "5678", "filename": "/data/crawl0.warc.gz"}"""
+    val noJson = "com,example)/x 20240101000000"
+    val rows = graft.crawl.Cdx.parse(
+      Seq(good, noJson, "").toDF("line"), "line").collect()
+    val g = rows.find(r => r.getAs[String]("surt") == "com,example)/doc7").get
+    assert(g.getAs[String]("ts") == "20240101000000")
+    assert(g.getAs[String]("url") == "https://example.com/doc7")
+    assert(g.getAs[Int]("status") == 200)
+    assert(g.getAs[String]("mime") == "text/html")
+    assert(g.getAs[String]("warc_path") == "/data/crawl0.warc.gz")
+    assert(g.getAs[Long]("offset") == 5678L && g.getAs[Long]("length") == 1234L)
+    assert(rows.count(r => r.getAs[String]("url") == null) == 2)
+  }
+
+  test("Cdx.parse -> responsesIndexed composes: the fleet read end-to-end from its own index") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_warccdx").toString
+    val docs = (0L to 19L).map(i => (i, s"doc body $i"))
+    val (bytes, entries) = graft.queries.WebQueries.buildWarcFileIndexed(1L, docs)
+    val path = s"$dir/crawl1.warc.gz"
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
+    val lines = entries.map { case (off, len, url, status) =>
+      s"""com,example)/${url.split("/").last} 20240101000000 {"url": "$url", "mime": "text/html", "status": "$status", "digest": "sha1:$off", "length": "$len", "offset": "$off", "filename": "$path"}"""
+    }
+    val got = Warc.responsesIndexed(graft.crawl.Cdx.parse(lines.toDF("line"), "line"))
+    assert(got.count() == 20)
+    assert(got.filter(col("error").isNotNull).count() == 0) // fid 1: no garbage planted
+    assert(got.filter(col("status") === 200).count() == 18)
+  }
 }
