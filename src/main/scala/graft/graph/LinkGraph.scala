@@ -370,4 +370,96 @@ object LinkGraph {
     }
     state.select(col("_v").as(idCol), col("_h").as("harmonic"))
   }
+
+  /** Contract a page-level edge list to a coarser grain — the
+    * page→host and host→domain rollups Common Crawl publishes as its
+    * HOST and DOMAIN webgraph releases (cc-webgraph): every analytic
+    * above (PageRank, harmonic, HITS, triangles, LPA) runs unchanged
+    * on the contracted graph, which is how trillion-edge page graphs
+    * become tractable hundred-million-node host graphs. `level` maps
+    * an endpoint column to its group (host of a URL, domain of a
+    * host); parallel edges collapse with `weight` = the page-level
+    * link count and self-loops (intra-host links — the majority of
+    * real links) drop by default.
+    *
+    * Scale shape: ONE narrow projection into ONE hash groupBy with
+    * map-side partials — a host pair with 10^9 page links collapses
+    * to one partial per task before the shuffle; nothing else moves.
+    * → (src, dst, weight) at the contracted grain. */
+  def contractTo(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      level: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      dropLoops: Boolean = true): DataFrame = {
+    val framed = edges.select(level(col(srcCol)).as("src"), level(col(dstCol)).as("dst"))
+    (if (dropLoops) framed.filter(col("src") =!= col("dst")) else framed)
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("weight"))
+  }
+
+  /** HITS hub/authority scores (Kleinberg 1999 "Authoritative sources
+    * in a hyperlinked environment") — the mutually-recursive
+    * counterpart of [[pageRank]]'s single score: a good HUB links to
+    * good authorities, a good AUTHORITY is linked from good hubs;
+    * crawl schedulers use hub scores to pick pages worth re-fetching
+    * for link DISCOVERY, not content. L1-normalized fixed-point
+    * variant on the integer grid: each half-step sums the opposite
+    * score over the edges, then renormalizes to total mass `scale`
+    * via one integral `x * scale div total` (normalization choice
+    * does not change the ranking or the limit direction, only the
+    * norm — Kleinberg's L2 is flavor). Σ-then-divide on BIGINTs means
+    * a DuckDB oracle unrolls every half-step CTE-for-CTE.
+    *
+    * Scale shape: per half-step one endpoint-keyed join (score rows
+    * are two longs), one map-side-partial sum groupBy, and one
+    * broadcast of the 1-row total — the [[pageRank]] iteration shape
+    * twice per round. Overflow bound: the renormalizing multiply
+    * needs d_max · scale² < 2^63 (d_max = max degree), so the default
+    * micro grid (10^6) is safe to d_max ≈ 9·10^6; for hotter hubs
+    * coarsen the grid or take the one-cast float twin.
+    * `checkpointEvery` truncates lineage for deep iteration counts.
+    * → (idCol, hub_micro, auth_micro) */
+  def hits(
+      nodes: DataFrame, idCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 2, scale: Long = 1000000L,
+      checkpointEvery: Int = 0): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    val n = nodes.select(col(idCol)).distinct().count()
+    if (n == 0)
+      return nodes.select(col(idCol))
+        .withColumn("hub_micro", lit(0L)).withColumn("auth_micro", lit(0L))
+    val e = edges.select(col(srcCol).as("_s"), col(dstCol).as("_d"))
+    val vs = nodes.select(col(idCol).as("_v"))
+    var hub = vs.withColumn("_h", lit(scale / n))
+    var auth = vs.withColumn("_a", lit(0L))
+    var i = 1
+    while (i <= iters) {
+      val aU = e.join(hub.withColumnRenamed("_v", "_hv"), col("_s") === col("_hv"))
+        .groupBy(col("_d")).agg(sum(col("_h")).as("_au"))
+      val aTot = aU.agg(coalesce(sum(col("_au")), lit(0L)).as("_tot"))
+      auth = vs.join(aU, col("_v") === col("_d"), "left")
+        .crossJoin(broadcast(aTot))
+        .select(col("_v"),
+          when(col("_tot") > 0,
+            expr(s"(coalesce(_au, 0L) * ${scale}L) div _tot"))
+            .otherwise(lit(0L)).as("_a"))
+      val hU = e.join(auth.withColumnRenamed("_v", "_av"), col("_d") === col("_av"))
+        .groupBy(col("_s")).agg(sum(col("_a")).as("_hu"))
+      val hTot = hU.agg(coalesce(sum(col("_hu")), lit(0L)).as("_tot"))
+      hub = vs.join(hU, col("_v") === col("_s"), "left")
+        .crossJoin(broadcast(hTot))
+        .select(col("_v"),
+          when(col("_tot") > 0,
+            expr(s"(coalesce(_hu, 0L) * ${scale}L) div _tot"))
+            .otherwise(lit(0L)).as("_h"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters) {
+        hub = hub.localCheckpoint(true)
+        auth = auth.localCheckpoint(true)
+      }
+      i += 1
+    }
+    hub.join(auth.withColumnRenamed("_v", "_v2"), col("_v") === col("_v2"))
+      .select(col("_v").as(idCol), col("_h").as("hub_micro"), col("_a").as("auth_micro"))
+  }
 }

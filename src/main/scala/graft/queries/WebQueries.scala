@@ -529,6 +529,31 @@ object WebQueries {
           col("error"))
     }),
 
+    // Host-graph contraction (full DuckDB oracle): the cc-webgraph
+    // HOST rollup — page edges contract to host pairs with weight =
+    // page-link count, self-loops (intra-host links) dropped. Hosts
+    // derive from the q160 grain (doc_id % 23). One narrow projection
+    // + one map-side-partial groupBy; every graph analytic above runs
+    // unchanged on the result.
+    "q175_host_graph" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      LinkGraph.contractTo(webgraph(docs, n), "src", "dst",
+        c => concat(lit("site"), c % 23))
+    }),
+
+    // HITS hub/authority (full DuckDB oracle): Kleinberg's mutually-
+    // recursive pair beside q151's PageRank, 2 rounds on the fixture
+    // webgraph, L1-normalized on the micro grid so the oracle unrolls
+    // every half-step CTE-for-CTE (the q151 trick: BIGINT sums +
+    // integral div).
+    "q176_hits" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      LinkGraph.hits(docs, "doc_id", webgraph(docs, n), "src", "dst",
+        iters = 2)
+    }),
+
     // HyperBall harmonic (rows-only ⊘ — DataSketches HLL is not
     // DuckDB-replayable): the webgraph-scale path, one mergeable
     // sketch per node instead of the exact pair set. LinkGraphSpec
@@ -1016,8 +1041,68 @@ object WebQueries {
          CAST(regexp_extract(json_extract_string(j, '$.url'), 'doc([0-9]+)$', 1) AS BIGINT) AS doc_id
        FROM x"""
 
+  /** q175 oracle: same fixture edges, same host derivation, same
+    * loop-dropping weighted rollup. */
+  private val q175Sql =
+    """WITH nn AS (SELECT count(*) AS n FROM documents),
+       e AS (
+         SELECT doc_id AS src,
+           (doc_id * 31 + 7 * j) % (SELECT n FROM nn) AS dst
+         FROM documents, unnest(range(1, doc_id % 3 + 2)) AS t(j)),
+       h AS (SELECT 'site' || (src % 23) AS src, 'site' || (dst % 23) AS dst FROM e)
+       SELECT src, dst, count(*) AS weight FROM h
+       WHERE src <> dst GROUP BY src, dst"""
+
+  /** q176 oracle: the two HITS rounds unrolled — each half-step is
+    * one edge join + sum + the L1 renormalizing `* scale // total`,
+    * exactly the Spark plan's integer arithmetic. */
+  private val q176Sql =
+    """WITH nn AS (SELECT count(*) AS n FROM documents),
+       nodes AS (SELECT doc_id AS v FROM documents),
+       e AS (
+         SELECT doc_id AS src,
+           (doc_id * 31 + 7 * j) % (SELECT n FROM nn) AS dst
+         FROM documents, unnest(range(1, doc_id % 3 + 2)) AS t(j)),
+       h0 AS (SELECT v, (SELECT 1000000 // n FROM nn) AS h FROM nodes),
+       a1u AS (SELECT e.dst AS v, CAST(sum(h0.h) AS BIGINT) AS au
+               FROM e JOIN h0 ON h0.v = e.src GROUP BY e.dst),
+       a1t AS (SELECT CAST(coalesce(sum(au), 0) AS BIGINT) AS tot FROM a1u),
+       a1 AS (SELECT n.v,
+                CASE WHEN (SELECT tot FROM a1t) > 0
+                  THEN CAST((coalesce(a1u.au, 0) * 1000000) // (SELECT tot FROM a1t) AS BIGINT)
+                  ELSE 0 END AS a
+              FROM nodes n LEFT JOIN a1u ON a1u.v = n.v),
+       h1u AS (SELECT e.src AS v, CAST(sum(a1.a) AS BIGINT) AS hu
+               FROM e JOIN a1 ON a1.v = e.dst GROUP BY e.src),
+       h1t AS (SELECT CAST(coalesce(sum(hu), 0) AS BIGINT) AS tot FROM h1u),
+       h1 AS (SELECT n.v,
+                CASE WHEN (SELECT tot FROM h1t) > 0
+                  THEN CAST((coalesce(h1u.hu, 0) * 1000000) // (SELECT tot FROM h1t) AS BIGINT)
+                  ELSE 0 END AS h
+              FROM nodes n LEFT JOIN h1u ON h1u.v = n.v),
+       a2u AS (SELECT e.dst AS v, CAST(sum(h1.h) AS BIGINT) AS au
+               FROM e JOIN h1 ON h1.v = e.src GROUP BY e.dst),
+       a2t AS (SELECT CAST(coalesce(sum(au), 0) AS BIGINT) AS tot FROM a2u),
+       a2 AS (SELECT n.v,
+                CASE WHEN (SELECT tot FROM a2t) > 0
+                  THEN CAST((coalesce(a2u.au, 0) * 1000000) // (SELECT tot FROM a2t) AS BIGINT)
+                  ELSE 0 END AS a
+              FROM nodes n LEFT JOIN a2u ON a2u.v = n.v),
+       h2u AS (SELECT e.src AS v, CAST(sum(a2.a) AS BIGINT) AS hu
+               FROM e JOIN a2 ON a2.v = e.dst GROUP BY e.src),
+       h2t AS (SELECT CAST(coalesce(sum(hu), 0) AS BIGINT) AS tot FROM h2u),
+       h2 AS (SELECT n.v,
+                CASE WHEN (SELECT tot FROM h2t) > 0
+                  THEN CAST((coalesce(h2u.hu, 0) * 1000000) // (SELECT tot FROM h2t) AS BIGINT)
+                  ELSE 0 END AS h
+              FROM nodes n LEFT JOIN h2u ON h2u.v = n.v)
+       SELECT h2.v AS doc_id, h2.h AS hub_micro, a2.a AS auth_micro
+       FROM h2 JOIN a2 ON a2.v = h2.v"""
+
   val oracles: Map[String, String] = Map(
     "q173_cdx_parse" -> q173Sql,
+    "q175_host_graph" -> q175Sql,
+    "q176_hits" -> q176Sql,
     "q148_main_content" -> q148Sql,
     "q151_pagerank" -> q151Sql,
     "q152_harmonic" -> q152Sql,

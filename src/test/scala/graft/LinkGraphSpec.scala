@@ -198,4 +198,57 @@ class LinkGraphSpec extends SparkSpec {
     assert(lpa(0L to 5L, twoTris, iters = 3, checkpointEvery = 1) ==
       lpa(0L to 5L, twoTris, iters = 3))
   }
+
+  test("contractTo: page edges roll up to weighted host pairs, loops drop (or stay on demand)") {
+    import spark.implicits._
+    // pages 0..5 on hosts page%3; edges chosen so host pair (h0,h1)
+    // carries 2 page links, (h1,h2) carries 1, and 2->5 is intra-host
+    val edges = Seq(0L -> 1L, 3L -> 4L, 1L -> 2L, 2L -> 5L).toDF("src", "dst")
+    val host = (c: org.apache.spark.sql.Column) => concat(lit("h"), c % 3)
+    val got = LinkGraph.contractTo(edges, "src", "dst", host)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("h0", "h1") -> 2L, ("h1", "h2") -> 1L))
+    val withLoops = LinkGraph.contractTo(edges, "src", "dst", host, dropLoops = false)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(withLoops(("h2", "h2")) == 1L && withLoops.values.sum == 4L)
+  }
+
+  test("hits: hand-computed 2-round hub/authority on the 3-node graph") {
+    import spark.implicits._
+    // 1->3, 2->3, 3->1: node 3 is the authority, nodes 1/2 the hubs.
+    // Hand trace on the micro grid (scale = 10^6, n = 3, h0 = 333333):
+    //   round 1: au = {3: 666666, 1: 333333}, tot 999999
+    //            a1 = {3: 666666·10^6 div 999999 = 666666, 1: 333333, 2: 0}
+    //            hu = {1: 666666, 2: 666666, 3: 333333}, tot 1666665
+    //            h1 = {1: 400000 (exact), 2: 400000, 3: 200000 (exact)}
+    //   round 2: au = {3: 800000, 1: 200000}, tot 1000000
+    //            a2 = {3: 800000, 1: 200000, 2: 0}
+    //            hu = {1: 800000, 2: 800000, 3: 200000}, tot 1800000
+    //            h2 = {1: 444444, 2: 444444, 3: 111111}
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq(1L -> 3L, 2L -> 3L, 3L -> 1L).toDF("src", "dst")
+    val got = LinkGraph.hits(nodes, "id", edges, "src", "dst", iters = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      1L -> ((444444L, 200000L)),
+      2L -> ((444444L, 0L)),
+      3L -> ((111111L, 800000L))))
+    // checkpointing is value-inert
+    val ck = LinkGraph.hits(nodes, "id", edges, "src", "dst", iters = 2,
+      checkpointEvery = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(ck == got)
+  }
+
+  test("hits: edgeless graph scores all zero after one round; empty graph keeps the schema") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L).toDF("id")
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val got = LinkGraph.hits(nodes, "id", empty, "src", "dst", iters = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.forall(_ == ((0L, 0L))))
+    val none = LinkGraph.hits(nodes.filter(col("id") < 0), "id", empty, "src", "dst")
+    assert(none.count() == 0 &&
+      none.columns.sameElements(Array("id", "hub_micro", "auth_micro")))
+  }
 }
