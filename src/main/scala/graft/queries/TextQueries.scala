@@ -359,6 +359,28 @@ object TextQueries {
       graft.text.Bpe.tokenCounts(docs, "doc_id", "text", merges)
     }),
 
+    // Unigram (SentencePiece-style) tokenizer training (Kudo 2018) —
+    // rows-only ⊘: the EM + prune loop is iterative like q140's merge
+    // loop, not replayable in SQL. UnigramSpec pins the E-step kernel
+    // against brute-force posterior enumeration and one full sweep
+    // against an independently-coded reference; the corpus-scaled
+    // pass is the SAME single wordCounts shuffle q140 times.
+    "q177_unigram_train" -> ((s, d) =>
+      graft.text.Unigram.piecesDf(s,
+        graft.text.Unigram.train(Tables.documents(s, d), "text",
+          targetVocab = 60, seedSize = 400, minFreq = 2L))),
+
+    // Unigram encoding — rows-only ⊘: per-doc Viterbi token
+    // accounting under the corpus-trained model (training included in
+    // the measured operator, the q141 stance; the DP runs once per
+    // DISTINCT word, occurrences join word-keyed).
+    "q178_unigram_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = graft.text.Unigram.train(docs, "text",
+        targetVocab = 60, seedSize = 400, minFreq = 2L)
+      graft.text.Unigram.tokenCounts(docs, "doc_id", "text", model)
+    }),
+
     // Same gate for the markdown extractor: heading/emphasis/link/list
     // markers wrap the document and must strip back to plain text.
     "q102_md_extract" -> ((s, d) => {
