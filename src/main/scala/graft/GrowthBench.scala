@@ -150,6 +150,9 @@ object GrowthBench {
     "q170_html_links" -> (6.0, "link extraction + resolution: narrow per-page regex explode, 9 links/page fixed (fixture chrome is constant-size, text not embedded); row-linear; budget = the 6.0 linear allowance"),
     "q171_resolve_urls" -> (6.0, "URL resolution: shuffle-free narrow when/regex projection; row-linear; budget = the 6.0 linear allowance"),
     "q173_cdx_parse" -> (6.0, "CDXJ parsing: shuffle-free narrow regex + json-path projection over ~constant-length lines; row-linear; budget = the 6.0 linear allowance"),
+    "q175_host_graph" -> (6.0, "host-graph contraction: one narrow projection + one map-side-partial (src,dst) groupBy over edges that scale 1x with docs; budget = the 6.0 linear allowance"),
+    "q176_hits" -> (6.0, "HITS 2 rounds: per half-step one endpoint-keyed join + map-side-partial sum + 1-row broadcast total over edges that scale 1x with docs (out-degree fixed 1-3); score rows 16 bytes; budget = the 6.0 linear-join-chain allowance"),
+    "q179_frontier_schedule" -> (6.0, "Mercator frontier round: one host-keyed last-fetch join (hosts fixed) + one per-host WindowGroupLimit + TakeOrdered budget cut; row-linear; budget = the 6.0 linear allowance"),
     "q174_warc_indexed" -> (10.3, "CDX-offset WARC reads: one positioned read + single-record parse per index row, byte-linear in record bytes; budget = measured char ratio 10.26x (chars/doc flat); the fleet write is marker-guarded fixture render, paid once in warm-up"),
     "g135_quality_score_docs" -> (10.0, "fixed-model scoring: narrow shuffle-free per-token fold; budget = token ratio (training is the bounded offline step, not gated)"),
     "g172_langid_score_docs" -> (10.0, "fixed-model multinomial lang-ID scoring: narrow shuffle-free per-char-n-gram folds with a 200-char prefix cap (work/doc constant once the cap binds) — doc-linear; budget = doc ratio (training is the bounded offline step, not gated)"),

@@ -529,6 +529,32 @@ object WebQueries {
           col("error"))
     }),
 
+    // Mercator frontier scheduling (full DuckDB oracle): one round's
+    // fetch list over the q157 host grain — priority desc within a
+    // host, politeness token arithmetic over planted last-fetch
+    // timestamps (idx%4==0 hosts throttled to ZERO slots this round,
+    // idx%4==1 hosts to a delayed opening, the rest fully open),
+    // per-host WindowGroupLimit, TakeOrdered global budget cut. The
+    // oracle replays join, slot arithmetic, both windows and the
+    // limit verbatim.
+    "q179_frontier_schedule" -> ((s, d) => {
+      val idx = col("doc_id") % 23
+      val host = when(idx % 2 === 0, concat(lit("site"), idx, lit(".com")))
+        .otherwise(concat(lit("blog"), idx, lit(".example.net")))
+      val docs = Tables.documents(s, d)
+      val frontier = docs.select(
+        concat(lit("https://"), host, lit("/p/"), col("doc_id")).as("url"),
+        host.as("host"), col("n_chars").as("priority"))
+      val lastFetch = docs.select(host.as("host"),
+          when(idx % 4 === 0, lit(1009000L))
+            .when(idx % 4 === 1, lit(998000L)).as("ts"))
+        .filter(col("ts").isNotNull)
+      graft.crawl.Frontier.schedule(frontier, "url", "host", "priority",
+        lastFetch, "host", "ts",
+        roundStart = 1000000L, roundEnd = 1012000L, minDelayMs = 5000L,
+        maxPerHost = 2, budget = 150)
+    }),
+
     // Host-graph contraction (full DuckDB oracle): the cc-webgraph
     // HOST rollup — page edges contract to host pairs with weight =
     // page-link count, self-loops (intra-host links) dropped. Hosts
@@ -1099,10 +1125,46 @@ object WebQueries {
        SELECT h2.v AS doc_id, h2.h AS hub_micro, a2.a AS auth_micro
        FROM h2 JOIN a2 ON a2.v = h2.v"""
 
+  /** q179 oracle: identical host/priority/last-fetch construction,
+    * identical slot arithmetic (integral `//`), the same two windows
+    * and the same budget cut. */
+  private val q179Sql =
+    """WITH f AS (
+         SELECT doc_id, n_chars, doc_id % 23 AS idx,
+           CASE WHEN (doc_id % 23) % 2 = 0
+             THEN 'site' || (doc_id % 23) || '.com'
+             ELSE 'blog' || (doc_id % 23) || '.example.net' END AS host
+         FROM documents),
+       fr AS (SELECT 'https://' || host || '/p/' || doc_id AS url,
+                host, n_chars AS priority FROM f),
+       lf AS (SELECT host, max(ts) AS last FROM (
+                SELECT host,
+                  CASE WHEN idx % 4 = 0 THEN 1009000
+                       WHEN idx % 4 = 1 THEN 998000 END AS ts
+                FROM f) WHERE ts IS NOT NULL GROUP BY host),
+       j AS (SELECT fr.url, fr.host, fr.priority,
+               greatest(1000000, coalesce(lf.last + 5000, 1000000)) AS open
+             FROM fr LEFT JOIN lf USING (host)),
+       sl AS (SELECT *,
+                CASE WHEN open >= 1012000 THEN 0
+                     ELSE least((1012000 - open) // 5000 + 1, 2) END AS slots,
+                row_number() OVER (PARTITION BY host
+                  ORDER BY priority DESC, url) AS host_seq
+              FROM j),
+       adm AS (SELECT url, host, priority,
+                 CAST(host_seq AS BIGINT) AS host_seq,
+                 CAST(open + (host_seq - 1) * 5000 AS BIGINT) AS fetch_ts
+               FROM sl WHERE host_seq <= slots),
+       cut AS (SELECT * FROM adm ORDER BY priority DESC, url LIMIT 150)
+       SELECT url, host, priority, host_seq, fetch_ts,
+         CAST(row_number() OVER (ORDER BY priority DESC, url) AS BIGINT) AS fetch_order
+       FROM cut"""
+
   val oracles: Map[String, String] = Map(
     "q173_cdx_parse" -> q173Sql,
     "q175_host_graph" -> q175Sql,
     "q176_hits" -> q176Sql,
+    "q179_frontier_schedule" -> q179Sql,
     "q148_main_content" -> q148Sql,
     "q151_pagerank" -> q151Sql,
     "q152_harmonic" -> q152Sql,

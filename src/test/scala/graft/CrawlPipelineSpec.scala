@@ -103,5 +103,47 @@ class CrawlPipelineSpec extends SparkSpec {
       .select("anchor", "cnt").collect().head
     assert(topAnchor.getString(0) == "the hub page") // p3's markup normalized into the same anchor
     assert(topAnchor.getLong(1) == 3L)
+
+    // 6. frontier SCHEDULING (the Mercator stage): priority = the
+    // target's PageRank, candidates = the robots-admitted frontier on
+    // non-blocked domains, politeness = a.example was just fetched
+    // (this crawl!) so its reopening is delayed; the scheduler must
+    // fetch the high-rank hub AFTER the round opens a.example's
+    // politeness window, while unfetched-host URLs start immediately.
+    val goodHosts = verdicts.filter(_._2).keySet
+    val candidates = admitted.toSeq.toDF("url")
+      .withColumn("host", regexp_extract(col("url"), "^https://([^/]+)", 1))
+      .filter(col("host").isin(goodHosts.toSeq: _*))
+      .join(ranks.toSeq.toDF("rurl", "priority"), col("url") === col("rurl"), "left")
+      .select(col("url"), col("host"),
+        coalesce(col("priority"), lit(0L)).as("priority"))
+    val lastFetch = Seq(("a.example", 950L)).toDF("host", "ts")
+    val fetchList = graft.crawl.Frontier.schedule(
+      candidates, "url", "host", "priority", lastFetch, "host", "ts",
+      roundStart = 1000L, roundEnd = 2000L, minDelayMs = 300L,
+      maxPerHost = 3, budget = 4).collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // every surviving candidate lives on a.example (the mirror farm
+    // and casino host died at stage 4), which was JUST fetched: it
+    // reopens at 950 + 300 = 1250 and maxPerHost = 3 caps the round
+    // at 3 of its 4 candidates even though the budget allows 4 — the
+    // politeness conflict a rank-only scheduler gets wrong. Rank
+    // orders within the host: hub (top rank) → p1 → rel/r1 (unranked
+    // discoveries tie at 0, url asc keeps rel/r1 over /tos).
+    assert(fetchList.size == 3)
+    assert(fetchList.keySet == Set("https://a.example/hub",
+      "https://a.example/p1", "https://a.example/rel/r1"))
+    val (hubSeq, hubTs, hubOrder) = fetchList("https://a.example/hub")
+    assert(hubSeq == 1L && hubTs == 1250L && hubOrder == 1L)
+    assert(fetchList("https://a.example/p1")._2 == 1550L)
+    assert(fetchList("https://a.example/rel/r1")._2 == 1850L)
+    // every scheduled instant respects the per-host politeness grid
+    fetchList.groupBy(_._1.split("/")(2)).foreach { case (_, urls) =>
+      val ts = urls.values.map(_._2).toSeq.sorted
+      ts.sliding(2).foreach {
+        case Seq(a, b) => assert(b - a >= 300L, s"politeness gap violated: $ts")
+        case _ =>
+      }
+    }
   }
 }
