@@ -28,7 +28,11 @@ class PlanShapeSpec extends SparkSpec {
       // q168: the g1 < g2 SOURCE-pair join — both sides are the
       // distinct group list (bounded source/dump count, k-row
       // sketches), never corpus rows
-      "q168_corpus_overlap")
+      "q168_corpus_overlap",
+      // q176: the HITS L1 totals — four SINGLE-ROW aggregates
+      // broadcast-crossed into the score frames for the renormalizing
+      // division, 1 row by construction, never a data-sized cross
+      "q176_hits")
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.map { case (name, fn) =>
