@@ -143,7 +143,7 @@ object WebQueries {
   private[graft] def ensureIndexedWarcFleet(s: SparkSession, d: String): String = {
     import s.implicits._
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"warcidx-v1:$d".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      .digest(s"warcidx-v2:$d".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     val dir = s"/tmp/graft_warc_idx/$key"
     val done = new java.io.File(s"$dir/_DONE")
     if (!done.exists()) this.synchronized {
@@ -168,7 +168,11 @@ object WebQueries {
             }
           }
           .toDF("line")
-        lines.coalesce(1).write.mode("overwrite").parquet(s"$dir/cdx.parquet")
+        // natural partitioning, NOT coalesce(1): a single-file index
+        // would serialize the downstream CDX parse through one scan
+        // task (measured 6x the indexed read's wall) — and the real
+        // cc-index ships sharded anyway
+        lines.write.mode("overwrite").parquet(s"$dir/cdx.parquet")
         done.createNewFile()
         ()
       }

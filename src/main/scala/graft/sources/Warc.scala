@@ -264,10 +264,26 @@ object Warc {
     * error row while its neighbors parse.
     *
     * Scale shape: index rows are ~100-byte metadata and shuffle
-    * cheaply to any parallelism BEFORE the bytes are touched; each
-    * partition sorts its own rows by (path, offset) so per-file reads
-    * are sequential-forward, opens each file once, and streams rows
-    * lazily (payloads are never accumulated). Non-response records
+    * cheaply to any parallelism BEFORE the bytes are touched — the
+    * method HASH-REPARTITIONS them on (path, offset) itself, because
+    * an index arrives as a handful of small CDX files (one per WARC
+    * segment) whose scan partitioning would otherwise serialize the
+    * whole read through a few tasks (measured: 9.8× the single-task
+    * wall at 10× records before the spread). Hash, not range: a range
+    * exchange costs a sampling pass that re-evaluates the index
+    * derivation (the CDX JSON parse — measured at half this
+    * operator's wall), while positioned reads don't need global
+    * contiguity — the per-partition sort below restores per-file
+    * grouping inside each task. The partition count is EXPLICIT
+    * (4 × default parallelism): index rows are bytes-tiny, so AQE's
+    * size-based coalescing would fold the exchange back to one
+    * partition and re-serialize the expensive downstream work the
+    * rows fan out to (measured: 5.7× the wall with the implicit
+    * count); explicit counts are exempt from coalescing, and the ×4
+    * leaves straggler slots for skewed files.
+    * Each partition sorts its own rows, opens each file once, and
+    * streams rows lazily (payloads are never accumulated).
+    * Non-response records
     * surface as tagged error rows — an index row asked for that
     * record specifically, so silence would hide an index/file
     * disagreement. → (path, offset, record_id, target_uri, warc_date,
@@ -282,6 +298,8 @@ object Warc {
     index
       .select(col(pathCol).cast("string"), col(offsetCol).cast("long"),
         col(lengthCol).cast("long"))
+      .repartition(4 * spark.sparkContext.defaultParallelism,
+        col(pathCol), col(offsetCol))
       .as[(String, Long, Long)]
       .mapPartitions { it =>
         // index rows are metadata — sorting a partition's rows is
@@ -304,6 +322,12 @@ object Warc {
               close()
               val hp = new org.apache.hadoop.fs.Path(p)
               val fs = hp.getFileSystem(conf)
+              // client-side checksum verification off: each record's
+              // integrity is checked by the WARC grammar itself (a
+              // corrupt slice becomes an error row) and by the CDX
+              // digest upstream; the checksum layer costs a re-read
+              // of the .crc sidecar per positioned read on local FS
+              fs.setVerifyChecksum(false)
               fileLen = fs.getFileStatus(hp).getLen
               in = fs.open(hp)
               curPath = p
