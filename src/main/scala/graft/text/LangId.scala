@@ -62,16 +62,27 @@ object LangId {
     * a bounded prefix (CCNet classifies paragraphs), and the cap keeps
     * per-row work constant regardless of document length, which is
     * what makes the scoring fold safely linear at corpus scale. Null
-    * text → empty array. Pure column expression (sequence + substring
-    * evaluate natively per row). */
+    * text → empty array.
+    *
+    * The lowercased prefix is BOUND ONCE per row through a
+    * single-element `transform` before the per-position lambdas touch
+    * it — a lambda that closed over the raw `substring(lower(text))`
+    * subtree would re-evaluate it PER ELEMENT (the q117 defect class:
+    * ~maxChars × grams character work per row; measured 10 s vs
+    * sub-second on a 5k-doc scoring pass). Inside the binder the
+    * position lambdas see a lambda VARIABLE — one evaluation, many
+    * readers. */
   def charNgrams(text: Column, minN: Int, maxN: Int, maxChars: Int): Column = {
-    val s = substring(lower(coalesce(text, lit(""))), 1, maxChars)
-    val grams = (minN to maxN).map { n =>
-      val cnt = length(s) - lit(n - 1)
-      when(cnt >= 1, transform(sequence(lit(1), cnt), i => substring(s, i, lit(n))))
-        .otherwise(array().cast("array<string>"))
-    }
-    concat(grams: _*)
+    val prefix = substring(lower(coalesce(text, lit(""))), 1, maxChars)
+    element_at(
+      transform(array(prefix), s =>
+        concat((minN to maxN).map { n =>
+          val cnt = length(s) - lit(n - 1)
+          when(cnt >= 1,
+            transform(sequence(lit(1), cnt), i => substring(s, i, lit(n))))
+            .otherwise(array().cast("array<string>"))
+        }: _*)),
+      1)
   }
 
   /** Fit a multinomial logistic-regression language model on a labeled
@@ -110,32 +121,71 @@ object LangId {
         (bIdx.value(lang).toDouble, Vectors.sparse(dim, counts))
       }
       .toDF("label", "features")
-    val fitted = new LogisticRegression()
-      .setMaxIter(maxIter).setRegParam(regParam).setFamily("multinomial")
-      .setFeaturesCol("features").setLabelCol("label")
-      .fit(data)
+    // L-BFGS launches one treeAggregate job per step; a bounded
+    // labeled frame scattered over default parallelism pays per-task
+    // overhead 60 times over (measured: 15 s for a 360-row fixture at
+    // 32 partitions, sub-second after right-sizing). ~5k rows per
+    // partition, floor 1 — a genuinely large frame keeps its
+    // parallelism; cache so the featurization pipeline is not
+    // recomputed per step.
+    val n = data.count()
+    val sized = data
+      .coalesce(math.max(1L, math.min(
+        data.rdd.getNumPartitions.toLong, (n + 4999) / 5000)).toInt)
+      .cache()
+    val fitted =
+      try new LogisticRegression()
+        .setMaxIter(maxIter).setRegParam(regParam).setFamily("multinomial")
+        .setFeaturesCol("features").setLabelCol("label")
+        .fit(sized)
+      finally { sized.unpersist(); () }
     val m = fitted.coefficientMatrix // K x dim, row k = class k
     val w = Array.tabulate(langs.length)(k => Array.tabulate(dim)(i => m(k, i)))
     Model(langs, w, fitted.interceptVector.toArray, dim, minN, maxN, maxChars)
   }
 
+  /** The scoring margins as pure column algebra — ONE fold carrying
+    * all K class margins over the hashed bucket array. Semantically
+    * identical to the native kernel (same grams, same murmur3 buckets,
+    * same left-to-right addition order); kept as the SPEC TWIN that
+    * pins [[graft.functions.LangIdMargins]] bit-for-bit, and as the
+    * reference formulation for engines without expression extension
+    * points. Interpreted higher-order dispatch makes it ~10× the
+    * kernel's wall — which is exactly why score() uses the kernel. */
+  private[graft] def marginsHof(text: Column, model: Model): Column = {
+    val k = model.langs.length
+    val dim = model.dim
+    val wFlat = lit(model.weights.flatten)
+    val prefix = substring(lower(coalesce(text, lit(""))), 1, model.maxChars)
+    val buckets = element_at(
+      transform(array(prefix), s =>
+        concat((model.minN to model.maxN).map { n =>
+          val cnt = length(s) - lit(n - 1)
+          when(cnt >= 1,
+            transform(sequence(lit(1), cnt),
+              i => featureIdx(substring(s, i, lit(n)), dim)))
+            .otherwise(array().cast("array<int>"))
+        }: _*)),
+      1)
+    aggregate(buckets, lit(model.intercepts),
+      (acc, b) => transform(sequence(lit(0), lit(k - 1)),
+        i => element_at(acc, i + 1) + element_at(wFlat, i * dim + b + 1)))
+  }
+
   /** Score a corpus with a fitted model — the scale path: one narrow
-    * Exchange-free projection. Per row the n-gram array is built once;
-    * each class margin is intercept_k + Σ_gram w_k(bucket(gram)) as an
-    * `aggregate` fold; the winner is the max margin (ties broken by
-    * class order — deterministic) and `confidence` its softmax mass.
-    * Gram-less rows get every class's bare intercept — the model's
-    * prior — rather than null. → (id, lang, confidence)
-    */
+    * Exchange-free projection whose margins come from the native
+    * [[graft.functions.LangIdMargins]] kernel (whole-stage codegen:
+    * prefix lowered once, one murmur3 per gram, all K margins in one
+    * fused loop — ~10× the interpreted [[marginsHof]] twin, which
+    * LangIdSpec pins it against bit-for-bit). The winner is the max
+    * margin (ties broken by class order — deterministic) and
+    * `confidence` its softmax mass. Gram-less/null rows get every
+    * class's bare intercept — the model's prior — rather than null.
+    * → (id, lang, confidence) */
   def score(docs: DataFrame, idCol: String, textCol: String, model: Model): DataFrame = {
-    val grams = charNgrams(col(textCol), model.minN, model.maxN, model.maxChars)
     docs
-      .withColumn("_g", grams)
-      .withColumn("_m", array(model.langs.indices.map { k =>
-        val w = lit(model.weights(k))
-        aggregate(col("_g"), lit(model.intercepts(k)),
-          (acc, g) => acc + element_at(w, featureIdx(g, model.dim) + 1))
-      }: _*))
+      .withColumn("_m", graft.functions.LangIdMargins.margins(
+        coalesce(col(textCol), lit("")), model))
       .select(col(idCol).as("id"),
         element_at(lit(model.langs), array_position(col("_m"), array_max(col("_m"))).cast("int"))
           .as("lang"),

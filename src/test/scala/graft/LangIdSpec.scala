@@ -49,6 +49,28 @@ class LangIdSpec extends SparkSpec {
     assert(acc > heurAcc + 0.2, s"learned $acc vs heuristic $heurAcc")
   }
 
+  test("native LangIdMargins kernel equals the column-algebra twin bit-for-bit (feature-map parity)") {
+    // the kernel hand-rolls lower/substring/murmur3 — this pin is what
+    // guarantees a model TRAINED through the SQL featurizer scores
+    // identically through the codegen'd loop (unicode text included:
+    // the planted corpus carries diacritics; add some multibyte extras)
+    import spark.implicits._
+    val frame = heldOut.select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        (9001L, "añil über façade— 北京 עברית"),
+        (9002L, ""), (9003L, "a"),
+        (9004L, "x" * 500) // past the 200-char cap
+      ).toDF("doc_id", "text"))
+    val both = frame.select(
+      graft.functions.LangIdMargins.margins(coalesce(col("text"), lit("")), model).as("native"),
+      graft.text.LangId.marginsHof(col("text"), model).as("hof"))
+      .collect()
+    both.foreach { r =>
+      val a = r.getSeq[Double](0); val b = r.getSeq[Double](1)
+      assert(a == b, s"kernel/twin margin mismatch: $a vs $b")
+    }
+  }
+
   test("scoring is Exchange-free (the 100 TB contract) and refits reproduce bit-identically") {
     val plan = LangId.score(heldOut, "doc_id", "text", model)
       .queryExecution.executedPlan.toString
