@@ -416,13 +416,19 @@ object LinkGraph {
     * needs d_max · scale² < 2^63 (d_max = max degree), so the default
     * micro grid (10^6) is safe to d_max ≈ 9·10^6; for hotter hubs
     * coarsen the grid or take the one-cast float twin.
-    * `checkpointEvery` truncates lineage for deep iteration counts.
+    *
+    * Unlike [[pageRank]] (a linear chain), each normalization
+    * references its unnormalized sum frame TWICE (once as data, once
+    * under the total's crossJoin), so the lazy plan tree grows ~8×
+    * PER ROUND — exponential in `iters`. `checkpointEvery` therefore
+    * defaults to 1: lineage truncates after every round and the plan
+    * stays constant-size; 0 disables (tiny fixtures, plan tests).
     * → (idCol, hub_micro, auth_micro) */
   def hits(
       nodes: DataFrame, idCol: String,
       edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 2, scale: Long = 1000000L,
-      checkpointEvery: Int = 0): DataFrame = {
+      checkpointEvery: Int = 1): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(scale >= 1, s"scale must be >= 1, got $scale")
     val n = nodes.select(col(idCol)).distinct().count()

@@ -47,7 +47,8 @@ object PlanGolden {
     "q152_harmonic", "q156_bm25", "q157_url_frontier_filter", "q158_triangles",
     "q159_anchor_text", "q161_lpa_communities", "q163_containment",
     "q164_robots", "q165_ccnet_buckets", "q166_inverted_index",
-    "q169_domain_stats_incremental", "q170_html_links")
+    "q169_domain_stats_incremental", "q170_html_links",
+    "q172_langid_learned", "q176_hits")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSpec.session

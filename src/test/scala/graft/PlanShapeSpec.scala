@@ -314,7 +314,21 @@ class PlanShapeSpec extends SparkSpec {
       342),
     "q170_html_links" -> PlanGolden.Shape(
       "Project>Generate>Project>LogicalRelation",
-      285))
+      285),
+    // one narrow kernel projection over the scan — the langid margins
+    // are a single native expression; a second scan, a Generate, or an
+    // expression-forest jump (the HOF formulation inlining) is the
+    // regression
+    "q172_langid_learned" -> PlanGolden.Shape(
+      "Project>Project>LogicalRelation",
+      39),
+    // LogicalRDDs = the per-round lineage checkpoints; WITHOUT them the
+    // totals-crossJoin doubles subtree references twice per half-step
+    // and this tree grows ~8x PER ROUND (2984 expr nodes at 2 rounds
+    // when it was caught) — the pin holds the round-bounded shape
+    "q176_hits" -> PlanGolden.Shape(
+      "Project>Join>Project>Join>Project>Join>Project>Filter>LogicalRelation>Aggregate>Project>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Join>Project>Join>Project>Filter>LogicalRelation>Aggregate>Project>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD>Aggregate>Aggregate>Project>Join>Project>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD>Aggregate>Aggregate>Project>Join>Project>Filter>Generate>Project>LogicalRelation>Project>Join>Project>Join>Project>Filter>LogicalRelation>Aggregate>Project>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD>Aggregate>Aggregate>Project>Join>Project>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD>Project>Join>Project>Join>Project>Filter>LogicalRelation>Aggregate>Project>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD>Aggregate>Aggregate>Project>Join>Project>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD",
+      554))
 
   test("golden snapshots: operator skeleton exact, expression forest within 1.5x") {
     val failures = golden.toSeq.sortBy(_._1).flatMap { case (name, expected) =>
