@@ -555,4 +555,176 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("contractTo laws on random edge lists: weight mass = edge count, loops split off exactly") {
+    import spark.implicits._
+    import graft.graph.LinkGraph
+    for (seed <- 1 to 3) {
+      val rnd = new Random(700 + seed)
+      val edges = List.fill(60 + rnd.nextInt(60))(
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)).toDF("src", "dst")
+      val level = (c: org.apache.spark.sql.Column) => concat(lit("h"), c % 7)
+      val kept = LinkGraph.contractTo(edges, "src", "dst", level)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val all = LinkGraph.contractTo(edges, "src", "dst", level, dropLoops = false)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val n = edges.count()
+      assert(all.values.sum == n, s"seed=$seed: total weight must equal edge count")
+      assert(kept == all.filter { case ((s, d), _) => s != d }, s"seed=$seed")
+      assert(kept.keys.forall { case (s, d) => s != d }, s"seed=$seed")
+    }
+  }
+
+  test("hits laws on random graphs: L1 mass within quantization of scale, 1-iter auth ranking = in-degree ranking") {
+    import spark.implicits._
+    import graft.graph.LinkGraph
+    for (seed <- 1 to 3) {
+      val rnd = new Random(800 + seed)
+      val nNodes = 12 + rnd.nextInt(8)
+      val nodes = (0L until nNodes.toLong).toDF("id")
+      val edges = List.fill(30 + rnd.nextInt(30))(
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter { case (a, b) => a != b }.distinct.toDF("src", "dst")
+      val scale = 1000000L
+      val got = LinkGraph.hits(nodes, "id", edges, "src", "dst", iters = 2, scale = scale)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // each normalized value truncates < 1 unit → Σ ∈ (scale - n, scale]
+      val hubMass = got.values.map(_._1).sum
+      val authMass = got.values.map(_._2).sum
+      assert(hubMass <= scale && hubMass > scale - nNodes, s"seed=$seed hub mass $hubMass")
+      assert(authMass <= scale && authMass > scale - nNodes, s"seed=$seed auth mass $authMass")
+      // from the uniform start, one round's authority is indeg·h0
+      // renormalized — a MONOTONE map of in-degree
+      val one = LinkGraph.hits(nodes, "id", edges, "src", "dst", iters = 1, scale = scale)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val indeg = edges.collect().map(_.getLong(1))
+        .groupBy(identity).view.mapValues(_.length).toMap.withDefaultValue(0)
+      for (a <- 0L until nNodes.toLong; b <- 0L until nNodes.toLong) {
+        if (indeg(a) < indeg(b))
+          assert(one(a) <= one(b), s"seed=$seed: auth must be monotone in in-degree")
+        if (indeg(a) == indeg(b))
+          assert(one(a) == one(b), s"seed=$seed: equal in-degree, equal 1-iter auth")
+      }
+    }
+  }
+
+  test("frontier schedule laws on random frontiers: politeness grid, caps, budget, top-priority admission") {
+    import spark.implicits._
+    import graft.crawl.Frontier
+    val (start, end, delay) = (1000L, 3000L, 250L)
+    for (seed <- 1 to 3) {
+      val rnd = new Random(900 + seed)
+      val frontier = List.fill(50 + rnd.nextInt(50))(
+        (s"https://h${rnd.nextInt(8)}/p${rnd.nextInt(1000)}", rnd.nextInt(100).toLong))
+        .distinct.map { case (u, p) => (u, u.split("/")(2), p) }
+      val last = (0 until 8).flatMap { h =>
+        if (rnd.nextBoolean()) Some((s"h$h", start - 500 + rnd.nextInt(2000).toLong)) else None
+      }
+      val (maxPerHost, budget) = (1 + rnd.nextInt(4), 5 + rnd.nextInt(20))
+      val got = Frontier.schedule(
+        frontier.toDF("url", "host", "priority"), "url", "host", "priority",
+        last.toDF("host", "ts"), "host", "ts",
+        start, end, delay, maxPerHost, budget)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+      assert(got.length <= budget, s"seed=$seed budget")
+      assert(got.map(_._1).toSet.subsetOf(frontier.map(_._1).toSet), s"seed=$seed subset")
+      val lastBy = last.toMap
+      got.groupBy(_._2).foreach { case (h, rows) =>
+        assert(rows.length <= maxPerHost, s"seed=$seed host $h cap")
+        val ts = rows.map(_._5).sorted.toSeq
+        val open = math.max(start, lastBy.get(h).map(_ + delay).getOrElse(start))
+        assert(ts.head >= open && ts.last < end + delay, s"seed=$seed host $h window")
+        ts.sliding(2).foreach {
+          case Seq(a, b) => assert(b - a >= delay, s"seed=$seed host $h gap")
+          case _ =>
+        }
+        // admission is the host's TOP priorities: nothing skipped was
+        // strictly better than something kept
+        val keptMin = rows.map(_._3).min
+        val skipped = frontier.filter(f => f._2 == h && !rows.exists(_._1 == f._1))
+        skipped.foreach { case (u, _, p) =>
+          assert(p < keptMin || (p == keptMin && rows.forall(_._1 < u)),
+            s"seed=$seed host $h: skipped $u ($p) beats kept min $keptMin")
+        }
+      }
+      // fetch_order is the (priority desc, url asc) rank of the output
+      val ordered = got.sortBy(r => (-r._3, r._1)).map(_._1)
+      assert(got.sortBy(_._6).map(_._1).toSeq == ordered.toSeq, s"seed=$seed order")
+    }
+  }
+
+  test("unigram laws on random corpora: posterior char mass = word length, encode lossless, counts bounded") {
+    import spark.implicits._
+    import graft.text.Unigram
+    for (seed <- 1 to 3) {
+      val rnd = new Random(1000 + seed)
+      def word() = (1 to (3 + rnd.nextInt(6))).map(_ => "ab" (rnd.nextInt(2))).mkString
+      val docs = (1L to 20L).map(i =>
+        (i, (1 to (4 + rnd.nextInt(6))).map(_ => word()).mkString(" "))).toDF("doc_id", "text")
+      val model = Unigram.train(docs, "text", targetVocab = 12, maxPieceLen = 4, seedSize = 40)
+      val logP = model.map(p => p.piece -> p.logProb).toMap
+      // E-step invariant: every segmentation covers the word, so the
+      // expected CHARACTER mass equals the word length exactly
+      for (_ <- 1 to 10) {
+        val w = word()
+        val counts = Unigram.expectedCounts(w, logP, 4)
+        if (counts.nonEmpty) {
+          val mass = counts.map { case (s, c) => s.length * c }.sum
+          assert(math.abs(mass - w.length) < 1e-9, s"seed=$seed $w: char mass $mass")
+        }
+        val enc = Unigram.encodeWord(w, logP, 4)
+        assert(enc.mkString == w, s"seed=$seed $w: lossless")
+      }
+      val counted = Unigram.tokenCounts(docs, "doc_id", "text", model, 4)
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      counted.foreach { case (words, toks) =>
+        assert(toks >= words, s"seed=$seed: a word is >= one piece")
+      }
+    }
+  }
+
+  test("langid kernel parity on random unicode text and random models") {
+    import spark.implicits._
+    import graft.text.LangId
+    val alphabet = "abcdeé üñà 北писzß01"
+    for (seed <- 1 to 3) {
+      val rnd = new Random(1100 + seed)
+      val k = 2 + rnd.nextInt(4); val dim = 64 << rnd.nextInt(3)
+      val model = LangId.Model(
+        Array.tabulate(k)(i => s"l$i"),
+        Array.fill(k, dim)(rnd.nextDouble() * 2 - 1),
+        Array.fill(k)(rnd.nextDouble() - 0.5),
+        dim, minN = 1, maxN = 1 + rnd.nextInt(3), maxChars = 50)
+      val rows = (1 to 30).map { i =>
+        (i.toLong, (1 to rnd.nextInt(80)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+      }.toDF("id", "text")
+      val both = rows.select(
+        graft.functions.LangIdMargins.margins(coalesce(col("text"), lit("")), model).as("native"),
+        LangId.marginsHof(col("text"), model).as("hof")).collect()
+      both.foreach { r =>
+        assert(r.getSeq[Double](0) == r.getSeq[Double](1), s"seed=$seed kernel/twin mismatch")
+      }
+    }
+  }
+
+  test("cdx parse round-trip on random index fields") {
+    import spark.implicits._
+    import graft.crawl.Cdx
+    for (seed <- 1 to 3) {
+      val rnd = new Random(1200 + seed)
+      val recs = (1 to 25).map { i =>
+        val host = s"site${rnd.nextInt(50)}.com"
+        val url = s"https://$host/p/${rnd.nextInt(10000)}"
+        val (off, len) = (math.abs(rnd.nextLong() % 100000000L), 1L + rnd.nextInt(100000))
+        val status = Seq(200, 301, 404)(rnd.nextInt(3))
+        val line = s"""com,${host.split("\\.")(0)})/p 2024010100${1000 + rnd.nextInt(9000)} {"url": "$url", "mime": "text/html", "status": "$status", "digest": "sha1:$i", "length": "$len", "offset": "$off", "filename": "/w/$i.warc.gz"}"""
+        (line, url, status, off, len, s"/w/$i.warc.gz")
+      }
+      val got = Cdx.parse(recs.map(_._1).toDF("line"), "line")
+        .collect().map(r => (r.getAs[String]("url"), r.getAs[Int]("status"),
+          r.getAs[Long]("offset"), r.getAs[Long]("length"), r.getAs[String]("warc_path")))
+      assert(got.toSet == recs.map(t => (t._2, t._3, t._4, t._5, t._6)).toSet, s"seed=$seed")
+    }
+  }
 }

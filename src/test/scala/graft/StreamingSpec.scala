@@ -371,6 +371,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming learned language ID: fixed model, append mode, agrees with batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // LangId.score's scaladoc claims the kernel projection composes
+    // onto a streaming frame (one narrow Exchange-free projection, the
+    // model rides as expression state) — this is that claim as
+    // behavior: train offline on the planted corpus, score the stream,
+    // require bit-identical agreement with the batch path.
+    val model = graft.text.LangId.train(
+      graft.text.LangId.plantedCorpus(spark, 120, seed = 5L), "text", "lang",
+      dim = 256, maxIter = 30)
+    val in = MemoryStream[(Long, String)]
+    val scored = graft.text.LangId.score(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", model)
+    val q = scored.writeStream.format("memory")
+      .queryName("langid_out").outputMode("append").start()
+    try {
+      val rows = Seq(
+        (1L, "the quick brown fox and the lazy dog of the town"),
+        (2L, "el perro es de la casa y no se ve por que"),
+        (3L, "")) // gram-less: scores the intercept prior, not dropped
+      in.addData(rows: _*)
+      drain(q)
+      val got = spark.table("langid_out").collect().map(_.toSeq).toSet
+      val batch = graft.text.LangId.score(
+        rows.toDF("doc_id", "text"), "doc_id", "text", model)
+        .collect().map(_.toSeq).toSet
+      assert(got == batch, "stream and batch language ID must agree bit-for-bit")
+      assert(got.size == 3)
+    } finally q.stop()
+  }
+
   test("streaming epoch-mix materialization: precomputed plan, append mode, agrees with batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
