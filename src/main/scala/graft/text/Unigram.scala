@@ -21,16 +21,19 @@ import org.apache.spark.sql.functions._
   *    (explode → map-side-combined word groupBy). Everything after
   *    runs on the word-frequency table, Heaps-law-sublinear in the
   *    corpus; the corpus is never re-touched.
-  *  - The EM + prune LOOP is the bounded driver step (the
+  *  - The EM + prune LOOP is adaptive like [[Bpe.train]]: a
+  *    vocabulary ≤ `maxDriverVocab` words runs on the driver (the
   *    Bpe.trainDriver precedent and heap math: candidate count ≤
   *    vocab × maxPieceLen × avg word length, a few hundred MB at the
   *    2M-word driver bound; each E-step is forward-backward DP over
-  *    distinct words — O(Σ|word|·maxPieceLen) per iteration). Words
-  *    and candidates iterate in SORTED order everywhere, so refits
-  *    are bit-identical. A distributed twin (per-distinct-word DP
-  *    under a broadcast vocabulary + one sum groupBy per E-step)
-  *    is the documented extension if a corpus ever outgrows the
-  *    driver bound — the model table itself stays vocabulary-sized.
+  *    distinct words — O(Σ|word|·maxPieceLen) per iteration); a
+  *    larger one runs [[trainDistributed]] — per E-step one
+  *    per-distinct-word DP under a broadcast vocabulary plus one
+  *    vocabulary-bounded sum groupBy, the model table itself staying
+  *    vocabulary-sized. Expected counts QUANTIZE to BIGINT micro-units
+  *    per (word, piece) BEFORE summation (the q129 grid), so the sums
+  *    are associative-exact and the two paths — and any partitioning —
+  *    produce bit-identical models (UnigramSpec pins the equality).
   *  - ENCODING ([[tokenCounts]]) applies Viterbi once per DISTINCT
   *    word, then joins occurrences — the [[Bpe.tokenCounts]] shape:
   *    per-occurrence work is UDF-free, the imperative DP runs
@@ -59,20 +62,88 @@ object Unigram {
   def train(
       docs: DataFrame, textCol: String,
       targetVocab: Int = 200, maxPieceLen: Int = 8, seedSize: Int = 2000,
-      emIters: Int = 2, pruneKeep: Double = 0.75, minFreq: Long = 1L): Seq[Piece] = {
-    val wc = Bpe.wordCounts(docs, textCol)
-      .filter(col("freq") >= minFreq)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    trainDriver(wc, targetVocab, maxPieceLen, seedSize, emIters, pruneKeep)
+      emIters: Int = 2, pruneKeep: Double = 0.75, minFreq: Long = 1L,
+      maxDriverVocab: Long = 2000000L): Seq[Piece] = {
+    val wc = Bpe.wordCounts(docs, textCol).filter(col("freq") >= minFreq)
+      .persist()
+    try {
+      if (wc.count() <= maxDriverVocab)
+        trainDriver(wc.collect().map(r => (r.getString(0), r.getLong(1))).toSeq,
+          targetVocab, maxPieceLen, seedSize, emIters, pruneKeep)
+      else trainDistributed(wc, targetVocab, maxPieceLen, seedSize, emIters, pruneKeep)
+    } finally { wc.unpersist(); () }
+  }
+
+  /** The per-(word, piece) expected-count contribution on the
+    * micro-grid: BIGINT units of 1e-6, associative-exact under any
+    * summation order (exact while f·10^6 stays inside the double
+    * mantissa, i.e. word frequencies < ~8·10^9 — past that coarsen
+    * the grid). This is what makes the driver and distributed paths
+    * bit-identical. */
+  private def microContribs(
+      w: String, f: Long, logP: collection.Map[String, Double],
+      maxPieceLen: Int): Iterator[(String, Long)] =
+    expectedCounts(w, logP, maxPieceLen).iterator.map { case (s, c) =>
+      s -> math.floor(f * c * 1e6 + 0.5).toLong
+    }
+
+  /** The shared EM + prune loop, parameterized by the E-step engine
+    * (`countsOf`: current model → micro expected counts). BOTH paths
+    * run exactly this code over exactly these integer sums, so their
+    * models cannot diverge. */
+  private def trainLoop(
+      chars: Vector[String], multi: Vector[String], seedFreq: Map[String, Long],
+      countsOf: collection.Map[String, Double] => collection.Map[String, Long],
+      targetVocab: Int, emIters: Int, pruneKeep: Double): Seq[Piece] = {
+    var vocab: Vector[String] = chars ++ multi
+    // init probabilities ∝ weighted frequency (the SentencePiece seed)
+    val totalF = vocab.iterator.map(seedFreq).sum.toDouble
+    var logP = mutable.HashMap.from(vocab.iterator.map(s =>
+      s -> math.log(seedFreq(s) / totalF)))
+
+    def emRound(): Unit = {
+      var it = 0
+      while (it < emIters) {
+        val counts = countsOf(logP)
+        val tot = counts.valuesIterator.sum
+        // ML M-step; pieces with zero expected count keep a floor so
+        // log stays finite (they are first out at the next prune)
+        logP = mutable.HashMap.from(vocab.iterator.map { s =>
+          val c = counts.getOrElse(s, 0L)
+          s -> (if (c > 0L && tot > 0L) math.log(c.toDouble / tot.toDouble) else -1e9)
+        })
+        it += 1
+      }
+    }
+
+    emRound()
+    while (vocab.length > targetVocab) {
+      val multiNow = vocab.filter(_.length > 1)
+      val keepMulti = math.max(targetVocab - chars.length,
+        math.min(multiNow.length - 1, (multiNow.length * pruneKeep).toInt))
+      val kept = multiNow.sortBy(s => (-logP(s), s)).take(math.max(keepMulti, 0))
+      val next = (chars ++ kept.sorted).toVector
+      if (next.length == vocab.length) return result(vocab, logP) // cannot shrink further
+      vocab = next
+      logP = logP.filter { case (s, _) => s.length == 1 || kept.contains(s) }
+      emRound()
+    }
+    result(vocab, logP)
+  }
+
+  private def checkParams(
+      targetVocab: Int, maxPieceLen: Int, seedSize: Int,
+      emIters: Int, pruneKeep: Double): Unit = {
+    require(targetVocab >= 1, s"targetVocab must be >= 1, got $targetVocab")
+    require(maxPieceLen >= 1 && seedSize >= 0 && emIters >= 1)
+    require(pruneKeep > 0.0 && pruneKeep < 1.0, s"pruneKeep in (0,1), got $pruneKeep")
   }
 
   /** Driver kernel on the collected (word, freq) table. */
   private[graft] def trainDriver(
       wc: Seq[(String, Long)], targetVocab: Int, maxPieceLen: Int,
       seedSize: Int, emIters: Int, pruneKeep: Double): Seq[Piece] = {
-    require(targetVocab >= 1, s"targetVocab must be >= 1, got $targetVocab")
-    require(maxPieceLen >= 1 && seedSize >= 0 && emIters >= 1)
-    require(pruneKeep > 0.0 && pruneKeep < 1.0, s"pruneKeep in (0,1), got $pruneKeep")
+    checkParams(targetVocab, maxPieceLen, seedSize, emIters, pruneKeep)
     val words = wc.sortBy(_._1)
     if (words.isEmpty) return Seq.empty
     // seed: every substring up to maxPieceLen, weighted by word freq
@@ -94,46 +165,62 @@ object Unigram {
     val chars = subFreq.keysIterator.filter(_.length == 1).toVector.sorted
     val multi = subFreq.iterator.filter(_._1.length > 1).toVector
       .sortBy { case (s, f) => (-f, s) }.take(seedSize).map(_._1).sorted
-    // init probabilities ∝ weighted frequency (the SentencePiece seed)
-    var vocab: Vector[String] = chars ++ multi
-    val totalF = vocab.iterator.map(subFreq).sum.toDouble
-    var logP = mutable.HashMap.from(vocab.iterator.map(s =>
-      s -> math.log(subFreq(s) / totalF)))
-
-    def emRound(): Unit = {
-      var it = 0
-      while (it < emIters) {
-        val counts = mutable.HashMap.empty[String, Double]
-        words.foreach { case (w, f) =>
-          val post = expectedCounts(w, logP, maxPieceLen)
-          post.foreach { case (s, c) =>
-            counts(s) = counts.getOrElse(s, 0.0) + f * c
-          }
+    def countsOf(logP: collection.Map[String, Double]): collection.Map[String, Long] = {
+      val counts = mutable.HashMap.empty[String, Long]
+      words.foreach { case (w, f) =>
+        microContribs(w, f, logP, maxPieceLen).foreach { case (s, c) =>
+          counts(s) = counts.getOrElse(s, 0L) + c
         }
-        val tot = counts.valuesIterator.sum
-        // ML M-step; pieces with zero expected count keep a floor so
-        // log stays finite (they are first out at the next prune)
-        logP = mutable.HashMap.from(vocab.iterator.map { s =>
-          val c = counts.getOrElse(s, 0.0)
-          s -> (if (c > 0.0) math.log(c / tot) else -1e9)
-        })
-        it += 1
       }
+      counts
     }
+    trainLoop(chars, multi, subFreq.toMap, countsOf,
+      targetVocab, emIters, pruneKeep)
+  }
 
-    emRound()
-    while (vocab.length > targetVocab) {
-      val multiNow = vocab.filter(_.length > 1)
-      val keepMulti = math.max(targetVocab - chars.length,
-        math.min(multiNow.length - 1, (multiNow.length * pruneKeep).toInt))
-      val kept = multiNow.sortBy(s => (-logP(s), s)).take(math.max(keepMulti, 0))
-      val next = (chars ++ kept.sorted).toVector
-      if (next.length == vocab.length) return result(vocab, logP) // cannot shrink further
-      vocab = next
-      logP = logP.filter { case (s, _) => s.length == 1 || kept.contains(s) }
-      emRound()
-    }
-    result(vocab, logP)
+  /** Distributed twin for vocabularies past the driver bound: the
+    * seed is one substring explode + sum groupBy (collected only at
+    * the alphabet + `seedSize` bound), and each E-step is one
+    * per-distinct-word DP pass under the broadcast current model
+    * plus one map-side-partial sum groupBy whose output is
+    * vocabulary-bounded. Same [[trainLoop]], same integer sums —
+    * bit-identical to [[trainDriver]] (UnigramSpec pins it). */
+  private[graft] def trainDistributed(
+      wc: DataFrame, targetVocab: Int, maxPieceLen: Int,
+      seedSize: Int, emIters: Int, pruneKeep: Double): Seq[Piece] = {
+    checkParams(targetVocab, maxPieceLen, seedSize, emIters, pruneKeep)
+    val spark = wc.sparkSession
+    import spark.implicits._
+    val words = wc.select(col("word").cast("string"), col("freq").cast("long"))
+      .as[(String, Long)].persist()
+    try {
+      if (words.isEmpty) return Seq.empty
+      val subs = words.flatMap { case (w, f) =>
+        for {
+          i <- 0 until w.length
+          j <- (i + 1) to math.min(w.length, i + maxPieceLen)
+        } yield (w.substring(i, j), f)
+      }.toDF("piece", "f").groupBy("piece").agg(sum(col("f")).as("freq"))
+        .persist()
+      val chars = subs.filter(length(col("piece")) === 1)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val multi = subs.filter(length(col("piece")) > 1)
+        .orderBy(col("freq").desc, col("piece").asc).limit(seedSize)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      subs.unpersist()
+      val seedFreq = (chars ++ multi).toMap
+      def countsOf(logP: collection.Map[String, Double]): collection.Map[String, Long] = {
+        val b = spark.sparkContext.broadcast(logP.toMap)
+        val out = words.flatMap { case (w, f) =>
+          microContribs(w, f, b.value, maxPieceLen)
+        }.toDF("piece", "c").groupBy("piece").agg(sum(col("c")).as("c"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        b.destroy()
+        out
+      }
+      trainLoop(chars.map(_._1).sorted.toVector, multi.map(_._1).sorted.toVector,
+        seedFreq, countsOf, targetVocab, emIters, pruneKeep)
+    } finally { words.unpersist(); () }
   }
 
   private def result(vocab: Vector[String], logP: mutable.HashMap[String, Double]): Seq[Piece] =

@@ -56,20 +56,47 @@ class UnigramSpec extends SparkSpec {
     }.groupMapReduce(_._1)(_._2.toLong)(_ + _)
     val tot0 = seed.values.sum.toDouble
     val logP0 = seed.map { case (s, f) => s -> math.log(f / tot0) }
+    // the trainer quantizes each (word, piece) contribution to BIGINT
+    // micro-units before summing (the cross-path determinism grid) —
+    // the reference replays the same rounding
     val counts = wc.flatMap { case (w, f) =>
-      enumCounts(w, logP0).map { case (s, c) => s -> f * c }
+      enumCounts(w, logP0).map { case (s, c) =>
+        s -> math.floor(f * c * 1e6 + 0.5).toLong
+      }
     }.groupMapReduce(_._1)(_._2)(_ + _)
     val z = counts.values.sum
     val expected = seed.keySet.map { s =>
-      s -> counts.get(s).filter(_ > 0).map(c => math.log(c / z)).getOrElse(-1e9)
+      s -> counts.get(s).filter(_ > 0)
+        .map(c => math.log(c.toDouble / z.toDouble)).getOrElse(-1e9)
     }.toMap
     val got = Unigram.trainDriver(wc, targetVocab = seed.size, maxPieceLen = maxLen,
       seedSize = seed.size, emIters = 1, pruneKeep = 0.75)
     assert(got.map(_.piece).toSet == seed.keySet)
     got.foreach { p =>
-      assert(math.abs(p.logProb - expected(p.piece)) < 1e-9,
+      assert(math.abs(p.logProb - expected(p.piece)) < 1e-6,
         s"${p.piece}: ${p.logProb} vs ${expected(p.piece)}")
     }
+  }
+
+  test("trainDistributed is bit-identical to trainDriver (the micro-grid cross-path contract)") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i =>
+      (i, Seq.fill(5)(Seq("sparking", "sparked", "parkland", "landmark", "marked")(i.toInt % 5)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val wcDf = graft.text.Bpe.wordCounts(docs, "text")
+    val wc = wcDf.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val a = Unigram.trainDriver(wc, targetVocab = 20, maxPieceLen = 5,
+      seedSize = 100, emIters = 2, pruneKeep = 0.75)
+    val b = Unigram.trainDistributed(wcDf, targetVocab = 20, maxPieceLen = 5,
+      seedSize = 100, emIters = 2, pruneKeep = 0.75)
+    assert(a == b, s"paths diverged:\n$a\n$b")
+    // and through the adaptive front door: forcing the distributed
+    // path (driver bound 0) equals the default driver path
+    val viaDriver = Unigram.train(docs, "text", targetVocab = 20,
+      maxPieceLen = 5, seedSize = 100)
+    val viaDistributed = Unigram.train(docs, "text", targetVocab = 20,
+      maxPieceLen = 5, seedSize = 100, maxDriverVocab = 0L)
+    assert(viaDriver == viaDistributed)
   }
 
   test("pruning shrinks to the target, never drops single characters, and refits bit-identically") {
