@@ -77,6 +77,10 @@ object Frontier {
         col("fetch_ts"))
       .orderBy(col("priority").desc, col("url").asc)
       .limit(budget)
+      // global single-partition window — BOUNDED BY CONSTRUCTION: it
+      // runs AFTER limit(budget), so at most `budget` rows (the round's
+      // fetch quota, thousands) ever enter it. Do not "fix" this into a
+      // distributed two-pass rank; the input can never be corpus-sized.
       .withColumn("fetch_order",
         row_number().over(Window.orderBy(col("priority").desc, col("url").asc))
           .cast("long"))

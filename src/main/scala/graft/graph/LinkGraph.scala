@@ -297,14 +297,17 @@ object LinkGraph {
     var labels = nodes.select(col(idCol).as("_v"), col(idCol).as("_l"))
     var i = 1
     while (i <= iters) {
-      // max_by's ordering struct is unique per group (labels are
-      // distinct within a node after the count), so the argmax is
-      // deterministic: count desc, then smallest label.
+      // min_by's ordering struct is unique per group (labels are
+      // distinct within a node after the count), so the argmin is
+      // deterministic: count desc (negated count asc), then smallest
+      // label. Only the COUNT is negated — labels stay untouched, so
+      // the tie-break works for any orderable id type (numeric page
+      // ids, string host ids from contractTo) alike.
       val votes = nbrs.join(labels, col("_w") === col("_v"))
         .groupBy(col("_u"), col("_l"))
         .agg(count(lit(1)).as("_c"))
         .groupBy(col("_u"))
-        .agg(max_by(col("_l"), struct(col("_c"), negate(col("_l")))).as("_nl"))
+        .agg(min_by(col("_l"), struct(negate(col("_c")), col("_l"))).as("_nl"))
         .select(col("_u"), col("_nl"))
       labels = labels.join(votes, col("_v") === col("_u"), "left")
         .select(col("_v"), coalesce(col("_nl"), col("_l")).as("_l"))
@@ -437,7 +440,13 @@ object LinkGraph {
         .withColumn("hub_micro", lit(0L)).withColumn("auth_micro", lit(0L))
     val e = edges.select(col(srcCol).as("_s"), col(dstCol).as("_d"))
     val vs = nodes.select(col(idCol).as("_v"))
-    var hub = vs.withColumn("_h", lit(scale / n))
+    // Underflow guard: with n > scale, scale/n truncates to 0 and every
+    // score would silently stay 0. The uniform init is invariant up to
+    // the constant — (c·x·scale) div (c·T) = floor(x·scale/T) exactly,
+    // the c cancels inside the rational before the floor — so flooring
+    // the init at 1 changes NO result on any graph where scale/n ≥ 1
+    // and produces the correctly-normalized scores on larger ones.
+    var hub = vs.withColumn("_h", lit(math.max(scale / n, 1L)))
     var auth = vs.withColumn("_a", lit(0L))
     var i = 1
     while (i <= iters) {

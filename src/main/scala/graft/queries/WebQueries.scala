@@ -1093,7 +1093,7 @@ object WebQueries {
          SELECT doc_id AS src,
            (doc_id * 31 + 7 * j) % (SELECT n FROM nn) AS dst
          FROM documents, unnest(range(1, doc_id % 3 + 2)) AS t(j)),
-       h0 AS (SELECT v, (SELECT 1000000 // n FROM nn) AS h FROM nodes),
+       h0 AS (SELECT v, (SELECT greatest(1000000 // n, 1) FROM nn) AS h FROM nodes),
        a1u AS (SELECT e.dst AS v, CAST(sum(h0.h) AS BIGINT) AS au
                FROM e JOIN h0 ON h0.v = e.src GROUP BY e.dst),
        a1t AS (SELECT CAST(coalesce(sum(au), 0) AS BIGINT) AS tot FROM a1u),

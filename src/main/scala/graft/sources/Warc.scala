@@ -307,9 +307,14 @@ object Warc {
         val rows = it.toArray.sortBy { case (p, off, _) => (p, off) }
         val conf = new org.apache.hadoop.conf.Configuration()
         var curPath: String = null
+        var curFs: org.apache.hadoop.fs.FileSystem = null
         var in: org.apache.hadoop.fs.FSDataInputStream = null
         var fileLen = -1L
-        def close(): Unit = { if (in != null) { in.close(); in = null }; curPath = null }
+        def close(): Unit = {
+          if (in != null) { in.close(); in = null }
+          if (curFs != null) { curFs.close(); curFs = null }
+          curPath = null
+        }
         Option(org.apache.spark.TaskContext.get())
           .foreach(_.addTaskCompletionListener[Unit](_ => close()))
         def err(p: String, off: Long, e: String) =
@@ -321,7 +326,13 @@ object Warc {
             if (p != curPath) {
               close()
               val hp = new org.apache.hadoop.fs.Path(p)
-              val fs = hp.getFileSystem(conf)
+              // PRIVATE FileSystem instance (newInstance, not the
+              // JVM-wide getFileSystem cache): setVerifyChecksum below
+              // must not silently disable checksumming for every other
+              // reader of this scheme in the executor; the instance is
+              // closed with the stream (task-completion listener).
+              val fs = org.apache.hadoop.fs.FileSystem.newInstance(hp.toUri, conf)
+              curFs = fs
               // client-side checksum verification off: each record's
               // integrity is checked by the WARC grammar itself (a
               // corrupt slice becomes an error row) and by the CDX
@@ -332,7 +343,10 @@ object Warc {
               in = fs.open(hp)
               curPath = p
             }
-            if (off < 0 || len <= 0 || off + len > fileLen)
+            // the index is UNTRUSTED data: a length over the single-
+            // allocation bound must become an error row, not a
+            // NegativeArraySizeException that fails the task
+            if (off < 0 || len <= 0 || len > Int.MaxValue.toLong || off + len > fileLen)
               err(p, off, s"record range [$off, +$len) outside file of $fileLen bytes")
             else {
               val buf = new Array[Byte](len.toInt)

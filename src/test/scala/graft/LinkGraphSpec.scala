@@ -251,4 +251,31 @@ class LinkGraphSpec extends SparkSpec {
     assert(none.count() == 0 &&
       none.columns.sameElements(Array("id", "hub_micro", "auth_micro")))
   }
+
+  test("hits: n > scale floors the uniform init at 1 instead of underflowing to all-zero") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq(1L -> 3L, 2L -> 3L, 3L -> 1L).toDF("src", "dst")
+    // scale = 2 < n = 3: scale/n truncates to 0 — the old init zeroed
+    // every score silently. Hand trace with init 1: au={3:2,1:1} tot 3
+    // → a1={3: 2·2 div 3 = 1, 1: 0, 2: 0}; hu={1:1,2:1} tot 2 →
+    // h1={1:1,2:1,3:0}.
+    val got = LinkGraph.hits(nodes, "id", edges, "src", "dst", iters = 1, scale = 2L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((1L, 0L)), 2L -> ((1L, 0L)), 3L -> ((0L, 1L))))
+  }
+
+  test("labelPropagation: string node ids (contractTo host graphs) — tie-break never negates the label") {
+    import spark.implicits._
+    // the twoTris communities, relabeled onto string host ids: the doc
+    // on contractTo promises every analytic incl. LPA runs unchanged
+    // on its (string, string, weight) output
+    val ids = (0L to 5L).map(i => s"host$i")
+    val edges = twoTris.map { case (a, b) => (s"host$a", s"host$b") }
+    val got = LinkGraph.labelPropagation(
+      ids.toDF("id"), "id", edges.toDF("src", "dst"), "src", "dst", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("host0" -> "host0", "host1" -> "host0", "host2" -> "host0",
+      "host3" -> "host2", "host4" -> "host2", "host5" -> "host2"))
+  }
 }

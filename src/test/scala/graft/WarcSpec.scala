@@ -194,6 +194,16 @@ class WarcSpec extends SparkSpec {
       Seq((s"$dir/crawl0.warc", 1L << 40, 100L)).toDF("warc_path", "offset", "length"))
       .collect()
     assert(bad.length == 1 && bad.head.getAs[String]("error").contains("outside file"))
+    // a length over Int.MaxValue against a big-enough (sparse) file is
+    // an error ROW too — the index is untrusted, so it must not become
+    // a NegativeArraySizeException that fails the whole task
+    val sparse = s"$dir/sparse.warc"
+    val raf = new java.io.RandomAccessFile(sparse, "rw")
+    try raf.setLength((1L << 31) + 4096L) finally raf.close()
+    val huge = Warc.responsesIndexed(
+      Seq((sparse, 0L, (1L << 31) + 10L)).toDF("warc_path", "offset", "length"))
+      .collect()
+    assert(huge.length == 1 && huge.head.getAs[String]("error") != null)
   }
 
   test("Cdx.parse: CDXJ grammar — SURT/ts split, JSON fields, casts; malformed lines null out behind the schema") {
