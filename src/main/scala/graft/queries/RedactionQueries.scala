@@ -68,6 +68,16 @@ object RedactionQueries {
            AS text
          FROM customer)"""
 
+  /** The reference default pattern sets, shared verbatim between the
+    * Spark query and the generated oracle SQL. */
+  private val localePatterns = Redaction.TemporalPatterns ++ Redaction.LocationPatterns
+  private def terms(name: String): Seq[String] =
+    localePatterns.find(_.name == name).get.patterns
+  private val localeDays = terms("day")
+  private val localeMonths = terms("month")
+  private val localeStates = terms("state")
+  private val localeCities = terms("city")
+
   val queries: Map[String, Q] = Map(
     "q50_redact" -> ((s, d) =>
       piiText(s, d).select(
@@ -109,6 +119,34 @@ object RedactionQueries {
             (k % 256).cast("string"), lit("."), (k % 100).cast("string")))
             .otherwise("")).as("text"))
       Redaction.scrubTexts(planted, "doc_id", "text", scrubPatterns)
+    }),
+
+    // Temporal + location redaction (full DuckDB oracle): the
+    // reference's with_temporal_patterns / with_location_patterns
+    // defaults (redaction.py:163/:209) — weekday/month words, three
+    // numeric date shapes, US states and major cities, whole-word and
+    // case-insensitive — over documents with deterministically planted
+    // mentions. Same map-only scrub shape as q162; the oracle replays
+    // the generated pattern chain and pre-replacement counts from THE
+    // SAME EntityPattern vals, so Spark and SQL can never drift apart
+    // on the pattern text.
+    "q184_redact_locales" -> ((s, d) => {
+      val k = col("doc_id")
+      def pick(terms: Seq[String], m: Int) =
+        element_at(array(terms.map(lit): _*), (k % m).cast("int") + 1)
+      val planted = Tables.documents(s, d).select(
+        k.as("doc_id"),
+        concat(
+          col("text"),
+          lit(" posted "), pick(localeDays, 7),
+          lit(" "), pick(localeMonths, 12),
+          lit(" 2024-"), lpad((k % 12 + 1).cast("string"), 2, "0"),
+          lit("-"), lpad((k % 28 + 1).cast("string"), 2, "0"),
+          when(k % 3 === 0, concat(lit(" meeting "), (k % 12 + 1).cast("string"),
+            lit("/"), (k % 28 + 1).cast("string"), lit("/2024"))).otherwise(""),
+          when(k % 2 === 0, concat(lit(" in "), pick(localeCities, 30),
+            lit(", "), pick(localeStates, 49))).otherwise("")).as("text"))
+      Redaction.scrubTexts(planted, "doc_id", "text", localePatterns)
     }),
 
     "q60_qa_compare" -> ((s, d) => {
@@ -210,8 +248,46 @@ object RedactionQueries {
        FROM c"""
   }
 
+  private val q184Sql = {
+    def sqlList(ts: Seq[String]) = ts.map(t => s"'$t'").mkString("[", ", ", "]")
+    // generated from the SAME compiled chain as the Spark query (the
+    // grouped-alternation passes): pattern strings embed verbatim in
+    // single-quoted SQL strings, so the two engines can never drift
+    val chain = Redaction.compiledChain(localePatterns)
+      .foldLeft("text") { case (acc, (p, pat)) =>
+        s"regexp_replace($acc, '$pat', '${p.tagText}', 'g')"
+      }
+    val counts = localePatterns.map { p =>
+      val sum = Redaction.groupedPatterns(p)
+        .map(pat => s"len(regexp_extract_all(text, '$pat'))").mkString(" + ")
+      s"CAST($sum AS BIGINT) AS n_${p.name}"
+    }.mkString(",\n           ")
+    val total = localePatterns.map(p => s"n_${p.name}").mkString(" + ")
+    s"""WITH pl AS (
+         SELECT doc_id, text
+           || ' posted ' || (${sqlList(localeDays)})[CAST(doc_id % 7 AS INT) + 1]
+           || ' ' || (${sqlList(localeMonths)})[CAST(doc_id % 12 AS INT) + 1]
+           || ' 2024-' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+           || '-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+           || CASE WHEN doc_id % 3 = 0 THEN ' meeting ' || CAST(doc_id % 12 + 1 AS VARCHAR)
+                || '/' || CAST(doc_id % 28 + 1 AS VARCHAR) || '/2024' ELSE '' END
+           || CASE WHEN doc_id % 2 = 0 THEN ' in ' || (${sqlList(localeCities)})[CAST(doc_id % 30 AS INT) + 1]
+                || ', ' || (${sqlList(localeStates)})[CAST(doc_id % 49 AS INT) + 1] ELSE '' END
+           AS text
+         FROM documents),
+       c AS (
+         SELECT doc_id, text,
+           $counts
+         FROM pl)
+       SELECT doc_id, $chain AS text,
+         n_date, n_day, n_month, n_state, n_city,
+         $total AS n_pii
+       FROM c"""
+  }
+
   val oracles: Map[String, String] = Map(
     "q50_redact" -> q50Sql,
+    "q184_redact_locales" -> q184Sql,
     "q51_entity_counts" -> q51Sql,
     "q61_entity_verify" -> q61Sql,
     "q60_qa_compare" -> q60Sql,

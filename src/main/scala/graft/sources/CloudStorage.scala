@@ -122,4 +122,51 @@ object CloudStorage {
     all.foreach { case (k, v) => hc.set(k, v) }
     all
   }
+
+  /** A resolved store: the provider config to [[configure]] with (None
+    * for the local provider) and the fully-schemed root URI every
+    * read/write under it hangs from. */
+  final case class Store(config: Option[StoreConfig], rootUri: String) {
+    /** Join a relative path under the store root. */
+    def uri(relative: String): String =
+      if (relative.isEmpty) rootUri
+      else s"${rootUri.stripSuffix("/")}/${relative.stripPrefix("/")}"
+    /** Apply the provider config (if any) to the session and return
+      * the rendered Hadoop keys. */
+    def configureOn(spark: SparkSession): Map[String, String] =
+      config.map(c => configure(spark, c)).getOrElse(Map.empty)
+  }
+
+  /** storage/factory.py:13 `create_storage`: the one-call by-provider
+    * dispatch — validate the provider's required fields, hand back the
+    * ready store. The reference returns a backend object with get/put
+    * methods; on Spark the "backend" is the session's Hadoop
+    * filesystem, so the store is (config to apply, root URI to read). */
+  def forSettings(settings: Settings.Root, prefix: String = ""): Store = {
+    val st = settings.storage
+    st.provider match {
+      case "aws" | "gcp" =>
+        require(st.bucket.nonEmpty,
+          s"storage.provider=${st.provider} requires storage.bucket (factory.py:29 contract)")
+      case "azure" =>
+        require(st.bucket.nonEmpty, "storage.provider=azure requires storage.bucket (container)")
+        require(st.azure.isDefined,
+          "storage.provider=azure requires the storage.azure section")
+      case _ => () // local needs nothing
+    }
+    Store(st.activeConfig, Store(None, settings.warehousePath).uri(prefix))
+  }
+
+  /** storage/factory.py:82 `create_storage_for_layer`: the store
+    * rooted at a medallion layer's path. */
+  def forLayer(settings: Settings.Root, layer: String): Store = {
+    val layerPath = layer match {
+      case "bronze" => settings.medallion.bronze.path
+      case "silver" => settings.medallion.silver.path
+      case "gold"   => settings.medallion.gold.path
+      case other => throw new IllegalArgumentException(
+        s"unknown medallion layer '$other'; one of bronze, silver, gold")
+    }
+    forSettings(settings, layerPath.stripPrefix("/").stripSuffix("/"))
+  }
 }

@@ -151,7 +151,8 @@ object Jdbc {
     * idempotent (the upsert path) to survive retries. */
   def executeBatch(
       df: DataFrame, src: JdbcSource, sql: String,
-      columns: Seq[String], batchSize: Int = 10000): Unit = {
+      columns: Seq[String], batchSize: Int = 10000,
+      poolConnections: Boolean = true, maxPoolSize: Int = 8): Unit = {
     require(columns.nonEmpty, "executeBatch needs the bind-column list")
     val idx = columns.map(c => df.columns.indexOf(c))
     require(!idx.contains(-1),
@@ -163,7 +164,13 @@ object Jdbc {
         val props = new java.util.Properties()
         user.foreach(props.setProperty("user", _))
         pass.foreach(props.setProperty("password", _))
-        val conn = java.sql.DriverManager.getConnection(url, props)
+        // pooled: one executor JVM running thousands of partitions
+        // against the same target reuses maxPoolSize connections
+        // instead of opening a TCP + auth handshake per task (ref
+        // core/resources.py:75 pooled_connection)
+        val conn =
+          if (poolConnections) connectionPool(url, props, maxPoolSize).acquire()
+          else java.sql.DriverManager.getConnection(url, props)
         val txn =
           try { conn.setAutoCommit(false); true }
           catch { case _: java.sql.SQLException => false } // target has no manual-commit mode
@@ -180,12 +187,44 @@ object Jdbc {
           }
           if (pending > 0) st.executeBatch()
           st.close()
-          if (txn) conn.commit()
+          if (txn) { conn.commit(); conn.setAutoCommit(true) }
+          // clean completion → back to the pool for the next task
+          if (poolConnections) connectionPool(url, props, maxPoolSize).release(conn)
+          else conn.close()
         } catch {
           case e: Throwable =>
             if (txn) try conn.rollback() catch { case _: java.sql.SQLException => () }
+            // a connection that saw a failure is NEVER re-pooled — it
+            // may carry session state from the aborted transaction
+            try conn.close() catch { case _: java.sql.SQLException => () }
             throw e
-        } finally conn.close()
+        }
     }
+  }
+
+  /** Executor-JVM-wide connection pools, one per (url, user) target
+    * (ref core/resources.py:136 ResourcePool). Stale connections are
+    * validated out on acquire (isValid(2) — the 2 s liveness probe);
+    * the pool bounds IDLE retention, so a burst past `maxPoolSize`
+    * creates short-lived extras rather than blocking tasks. */
+  private val pools =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.ops.ResourcePool[java.sql.Connection]]()
+
+  private[sources] def connectionPool(
+      url: String, props: java.util.Properties,
+      maxSize: Int): graft.ops.ResourcePool[java.sql.Connection] =
+    pools.computeIfAbsent(url + " " + props.getProperty("user", ""), _ =>
+      new graft.ops.ResourcePool[java.sql.Connection](
+        factory = () => java.sql.DriverManager.getConnection(url, props),
+        maxSize = maxSize,
+        closer = c => c.close(),
+        validate = c => try !c.isClosed && c.isValid(2)
+          catch { case _: java.sql.SQLException => false }))
+
+  /** Close every idle pooled connection (test teardown / shutdown). */
+  def drainConnectionPools(): Unit = {
+    val it = pools.values().iterator()
+    while (it.hasNext) it.next().drain()
+    pools.clear()
   }
 }

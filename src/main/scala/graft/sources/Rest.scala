@@ -93,6 +93,16 @@ object Rest {
         .map(c => Map("limit" -> pageSize.toString, cursorParam -> c))
   }
 
+  /** Wrap a fetch function so every call retries under the policy
+    * (ref core/retry.py:17 via rest.py's session retries): the edge
+    * [[extractPages]] drives is exactly where one flaky TCP reset
+    * should back off instead of killing the extraction. */
+  def retrying(
+      fetch: (String, Map[String, String]) => String,
+      policy: graft.ops.Retry.Policy = graft.ops.Retry.Policy())
+      : (String, Map[String, String]) => String =
+    (endpoint, params) => policy.execute(() => fetch(endpoint, params))
+
   /** rest.py:253 `extract`: drive `fetch` through the pagination state
     * machine, returning raw page bodies. The fetch function is the ONE
     * injected non-deterministic edge. */

@@ -64,4 +64,32 @@ class CloudStorageSpec extends SparkSpec {
     applied.foreach { case (k, v) => assert(hc.get(k) == v, s"missing $k") }
     assert(hc.get("fs.s3a.path.style.access") == "true")
   }
+
+  test("forSettings: one-call provider dispatch (factory.py:13) — config + schemed root, bucket validation") {
+    import graft.sources.Settings
+    val aws = Settings.Root(storage = Settings.StorageSettings(
+      provider = "aws", bucket = "lake", s3 = S3Config(region = Some("us-east-1"))))
+    val store = CloudStorage.forSettings(aws, "raw/events")
+    assert(store.rootUri == "s3a://lake/warehouse/raw/events")
+    assert(store.config.exists(_.scheme == "s3a"))
+    assert(store.uri("day=2024-01-01") == "s3a://lake/warehouse/raw/events/day=2024-01-01")
+    // local provider: plain path, no hadoop config to apply
+    val local = CloudStorage.forSettings(Settings.Root())
+    assert(local.config.isEmpty && local.rootUri == "warehouse")
+    assert(local.configureOn(spark).isEmpty)
+    // missing bucket rejects loudly (the ConfigurationError contract)
+    intercept[IllegalArgumentException](CloudStorage.forSettings(
+      aws.copy(storage = aws.storage.copy(bucket = ""))))
+    // azure needs its storage.azure section
+    intercept[IllegalArgumentException](CloudStorage.forSettings(
+      Settings.Root(storage = Settings.StorageSettings(provider = "azure", bucket = "c"))))
+  }
+
+  test("forLayer: medallion-layer store roots under the layer path (factory.py:82)") {
+    import graft.sources.Settings
+    val gcp = Settings.Root(storage = Settings.StorageSettings(provider = "gcp", bucket = "b"))
+    assert(CloudStorage.forLayer(gcp, "bronze").rootUri == "gs://b/warehouse/bronze")
+    assert(CloudStorage.forLayer(gcp, "gold").rootUri == "gs://b/warehouse/gold")
+    intercept[IllegalArgumentException](CloudStorage.forLayer(gcp, "platinum"))
+  }
 }

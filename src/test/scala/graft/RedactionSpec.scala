@@ -65,4 +65,72 @@ class RedactionSpec extends SparkSpec {
     assert(red.select(Redaction.hasSensitiveContent(col("a"), Seq(email))).head().getBoolean(0))
     assert(!red.select(Redaction.hasSensitiveContent(col("b"), Seq(email))).head().getBoolean(0))
   }
+
+  test("effectivePatterns: word boundary + case-insensitivity wrap terms; regexes pass through") {
+    val day = TemporalPatterns.find(_.name == "day").get
+    assert(day.effectivePatterns.head == "(?i)\\b(?:Monday)\\b")
+    val date = TemporalPatterns.find(_.name == "date").get
+    assert(date.effectivePatterns.head == "(?i)\\d{1,2}/\\d{1,2}/\\d{2,4}") // regex: no \b wrap
+    // plain terms with metachars get escaped (redaction.py:72 _is_regex
+    // routes them to regex; a term like "Washington D.C." is NOT a regex
+    // under the heuristic, so its dot escapes)
+    val dc = EntityPattern("city", Seq("Washington D.C"), wordBoundary = true)
+    assert(dc.effectivePatterns.head == "\\b(?:Washington D\\.C)\\b")
+  }
+
+  test("temporal patterns: dates outrank day/month words; matching ignores case") {
+    import spark.implicits._
+    val got = Seq("meet FRIDAY 3/14/2024 or monday in january")
+      .toDF("t").select(Redaction.redactColumn(col("t"), TemporalPatterns)).head().getString(0)
+    assert(got == "meet [DAY] [DATE] or [DAY] in [MONTH]")
+  }
+
+  test("location patterns: reference list order is observable — Virginia redacts inside West Virginia") {
+    import spark.implicits._
+    def redact(s: String) = Seq(s).toDF("t")
+      .select(Redaction.redactColumn(col("t"), LocationPatterns)).head().getString(0)
+    // redaction.py applies one compiled pattern per term in list order:
+    // "Virginia" precedes "West Virginia", so the longer term never fires
+    assert(redact("moved to West Virginia") == "moved to West [STATE]")
+    // state list applies before the city list at equal priority, so the
+    // shared term "New York" tags as [STATE]
+    assert(redact("flights to New York and Boston") == "flights to [STATE] and [CITY]")
+    // word boundary: no match inside a larger word
+    assert(redact("the texansaurus") == "the texansaurus")
+  }
+
+  test("groupedPatterns: overlap-free terms collapse to one alternation pass; overlapping terms split") {
+    val state = LocationPatterns.find(_.name == "state").get
+    val grouped = Redaction.groupedPatterns(state)
+    // "West Virginia" word-overlaps the earlier "Virginia" → 2 passes
+    assert(grouped.size == 2, grouped)
+    assert(grouped(1).contains("West Virginia") && !grouped(0).contains("West Virginia"))
+    // days / months / cities: no overlaps → one pass each
+    assert(Redaction.groupedPatterns(TemporalPatterns.find(_.name == "day").get).size == 1)
+    assert(Redaction.groupedPatterns(TemporalPatterns.find(_.name == "month").get).size == 1)
+    assert(Redaction.groupedPatterns(LocationPatterns.find(_.name == "city").get).size == 1)
+    // regex patterns keep one pass per pattern (no grouping proof)
+    assert(Redaction.groupedPatterns(TemporalPatterns.find(_.name == "date").get).size == 3)
+  }
+
+  test("grouped chain is bit-identical to the reference's sequential per-term loop") {
+    import spark.implicits._
+    val pats = TemporalPatterns ++ LocationPatterns
+    // the reference loop: one regexp_replace per term, list order
+    def sequential(c: org.apache.spark.sql.Column) =
+      pats.sortBy(-_.priority)
+        .flatMap(p => p.effectivePatterns.map(p -> _))
+        .foldLeft(c) { case (acc, (p, pat)) => regexp_replace(acc, pat, p.tagText) }
+    val texts = Seq(
+      "West Virginia and Virginia and New York City on monday",
+      "SAN JOSE to san diego 3/14/2024 then 2024-01-15 and 1-2-99",
+      "Fort Worth Texas New Hampshire new york boston MAY may maybe",
+      "Carolina alone; North Carolina; South Dakota; dakota",
+      "nothing to redact at all 123")
+    val df = texts.toDF("t")
+    val got = df.select(Redaction.redactColumn(col("t"), pats).as("g"),
+      sequential(col("t")).as("s")).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"grouped='${r.getString(0)}' sequential='${r.getString(1)}'"))
+  }
 }
