@@ -757,7 +757,16 @@ object TextDedup {
         col("szb") >= lit(threshold) * col("sza"))
       .select("id_a", "id_b")
       .distinct()
-    val members = cand.select(col("id_a"), col("id_b"),
+    verifyContainment(cand, sets, threshold)
+  }
+
+  /** Candidate-bounded exact containment verification — the asymmetric
+    * twin of [[verifyJaccard]]: each ordered candidate explodes into
+    * its two member ids, one equi-join pulls both sets' items, and the
+    * item-level aggregate tracks side membership (max-of-flag) so |A|
+    * needs no extra sizes join. → (id_a, id_b, containment ≥ t) */
+  def verifyContainment(candidates: DataFrame, sets: DataFrame, threshold: Double): DataFrame = {
+    val members = candidates.select(col("id_a"), col("id_b"),
       explode(array(col("id_a"), col("id_b"))).as("id"))
     members.join(sets, "id")
       .groupBy("id_a", "id_b", "item")
@@ -769,6 +778,67 @@ object TextDedup {
       .withColumn("containment", col("_i").cast("double") / col("_sza"))
       .filter(col("containment") >= threshold)
       .select("id_a", "id_b", "containment")
+  }
+
+  /** Banded PRODUCTION path for asymmetric containment — the
+    * [[containmentPairs]] exact prefix×index join replaced by a
+    * bottom-s sketch probe (Cohen 1997 bottom-k sketches; Koslicki et
+    * al.'s containment min-hash is the same estimator): per probe set
+    * A keep only the `sketchSize` items with the smallest portable
+    * hash; for any B, |sketch(A) ∩ B| / |sketch(A)| is an unbiased
+    * estimate of C(A→B) over the sketched universe, so candidates are
+    * pairs whose estimate clears `threshold − slack` and the exact
+    * [[verifyContainment]] pass (over the FULL item sets — estimates
+    * never reach the output) restores exact precision. Recall is the
+    * one traded quantity, and only for pairs whose overlap estimate
+    * misses by more than `slack` (hypergeometric tail: σ ≈
+    * √(c(1−c)/s) ≈ 0.06 at s = 32); when |A| ≤ sketchSize the sketch
+    * IS A and candidate generation is exact.
+    *
+    * Scale shape vs the exact path: probe cost is `sketchSize` rows
+    * per set — CONSTANT — instead of the (1−t)·|A|+1 prefix explode,
+    * so the candidate join shrinks with document size and, unlike the
+    * prefix path, does not grow as the threshold drops (t = 0.5 costs
+    * the same as t = 0.9). Items with df > `hotItemMaxDf` are excluded
+    * from sketch AND probe index (they carry no identifying signal —
+    * the PPJoin rare-prefix argument — and would otherwise fan a
+    * stopword shingle across the corpus: a hash-random sketch has no
+    * rarity bias, so without the cut a boilerplate shingle in 16/|A|
+    * of sketches probes df ≈ N docs each, quadratic at 100 TB);
+    * the exact verify still counts EVERY item, hot included.
+    * → (id_a, id_b, containment) — containment exact. */
+  def containmentPairsBanded(
+      sets0: DataFrame, threshold: Double,
+      sketchSize: Int = 32, slack: Double = 0.2,
+      hotItemMaxDf: Long = 100000L): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"containmentPairsBanded threshold must be in (0, 1], got $threshold")
+    require(sketchSize >= 1, s"sketchSize must be >= 1, got $sketchSize")
+    require(slack >= 0 && slack < threshold,
+      s"slack must be in [0, threshold), got $slack")
+    val sets = sets0.localCheckpoint(true)
+    val freq = sets.groupBy("item").agg(count(lit(1)).as("_df"))
+    // the hot-item set is tiny by construction (items in >hotItemMaxDf
+    // docs) → broadcast anti-join, never a shuffled filter join
+    val hotItems = broadcast(freq.filter(col("_df") > hotItemMaxDf).select("item"))
+    val cold = sets.join(hotItems, Seq("item"), "left_anti")
+      .select(col("id"), col("item"))
+      .localCheckpoint(true) // feeds sketch AND probe index
+    val sketch = cold
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(itemId(col("item")).as("_h"), col("item"))))
+        .as("_sorted"))
+      .select(col("id").as("id_a"),
+        least(size(col("_sorted")), lit(sketchSize)).cast("long").as("_m"),
+        explode(slice(col("_sorted"), 1, sketchSize)("item")).as("item"))
+    val cand = sketch
+      .join(cold.toDF("id_b", "item"), "item")
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b", "_m")
+      .agg(count(lit(1)).as("_k"))
+      .filter(col("_k") >= (lit(threshold) - lit(slack)) * col("_m"))
+      .select("id_a", "id_b")
+    verifyContainment(cand, sets, threshold)
   }
 
   /** Portable 32-bit item id: first 8 hex chars of md5. */

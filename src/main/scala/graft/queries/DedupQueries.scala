@@ -126,6 +126,22 @@ object DedupQueries {
         TextDedup.shingleSets(base.unionByName(snip), "doc_id", "text", N), 0.9)
     }),
 
+    // Banded containment PRODUCTION path (rows-only ⊘ — the sketch
+    // probe is the non-oracle half; every emitted containment value is
+    // still EXACT via the shared verify): q163's corpus through the
+    // bottom-s sketch candidate generator. Snippets carry ≤ 28 shingles
+    // ≤ the 32-item sketch, so candidate generation is exact for them
+    // and DedupSpec pins banded == exact on this very construction;
+    // recall for larger probe sets is the gated estimate trade.
+    "q185_containment_banded" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val snip = base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 30), " ").as("text"))
+      TextDedup.containmentPairsBanded(
+        TextDedup.shingleSets(base.unionByName(snip), "doc_id", "text", N), 0.9)
+    }),
+
     // the PPJoin prefix path under the full hash gate: shingle vocab
     // is >64 and t = 0.8 ≥ the measured 0.7 crossover, so the adaptive
     // chooser routes HERE through jaccardPairsPrefix — the oracle is

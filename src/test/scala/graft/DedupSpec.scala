@@ -616,6 +616,55 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] { TextDedup.containmentPairs(sets, 1.1) }
   }
 
+  test("containmentPairsBanded: exact-equal to containmentPairs when sketches cover the probe sets") {
+    import spark.implicits._
+    // the q163/q185 construction at fixture scale: snippet docs carry
+    // ≤ 28 shingles ≤ the 32-item sketch, so candidate generation is
+    // exact and banded == exact must hold SET-FOR-SET, values included
+    val base = (0L until 40L).map(i =>
+      (i, (0 until 60).map(j => s"w${(i * 131 + j * 17) % 700}").mkString(" ")))
+    val snip = base.filter(_._1 % 4 == 0).map { case (i, t) =>
+      (i + 1000L, t.split(" ").take(30).mkString(" ")) }
+    val docs = (base ++ snip).toDF("doc_id", "text")
+    val sets = TextDedup.shingleSets(docs, "doc_id", "text", 3)
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = collect(TextDedup.containmentPairs(sets, 0.9))
+    val banded = collect(TextDedup.containmentPairsBanded(sets, 0.9))
+    assert(exact.nonEmpty, "fixture must plant containment pairs")
+    assert(banded == exact)
+  }
+
+  test("containmentPairsBanded: estimation path (sketch < |A|) — recall gated, precision exact") {
+    import spark.implicits._
+    // probe sets of ~120 distinct tokens, sketch of 16: candidates are
+    // hypergeometric estimates; emitted pairs must still carry EXACT
+    // containment ≥ t (the verify is exact), and recall on the planted
+    // full-containment pairs must clear the 0.95 family gate
+    val vocab = (0 until 3000).map(i => s"t$i")
+    val docs = (0L until 30L).flatMap { i =>
+      val words = (0 until 120).map(j => vocab(((i * 577 + j * 13) % 3000).toInt)).distinct
+      Seq(i -> words.mkString(" "),
+        // planted: every doc's full token set re-appears inside a
+        // bigger host doc → C(small → host) = 1.0
+        (i + 500L) -> (words ++ (0 until 80).map(j => vocab(((i * 997 + j * 7) % 3000).toInt))).distinct.mkString(" "))
+    }.toDF("doc_id", "text")
+    val sets = TextDedup.tokenSets(docs, "doc_id", "text")
+    val got = TextDedup.containmentPairsBanded(sets, 0.9, sketchSize = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // precision: every emitted value is exact and ≥ t
+    assert(got.forall(_._3 >= 0.9))
+    // recall: the 30 planted (i → i+500) pairs
+    val planted = (0L until 30L).map(i => (i, i + 500L)).toSet
+    val hit = got.map(p => (p._1, p._2)).toSet.intersect(planted)
+    assert(hit.size >= 29, s"recall ${hit.size}/30 below the 0.95 gate")
+    // degenerate parameters reject loudly
+    intercept[IllegalArgumentException] {
+      TextDedup.containmentPairsBanded(sets, 0.5, slack = 0.5) }
+    intercept[IllegalArgumentException] {
+      TextDedup.containmentPairsBanded(sets, 0.9, sketchSize = 0) }
+  }
+
   test("dedupParagraphs: blank-line separators collapse and empty paragraphs never count") {
     import spark.implicits._
     val corpus = Seq(5L -> "\n\nlead para\n\n\ntail para\n\n").toDF("doc_id", "text")
