@@ -54,6 +54,25 @@ object TextQueries {
       graft.text.Retrieval.invertedIndex(
         Tables.documents(s, d), "doc_id", "text", maxPostings = 5)),
 
+    // Mergeable inverted-index store under the FULL hash gate (the
+    // q169 daily-crawl pattern for retrieval): every 10th doc plays
+    // the incoming batch, the rest the signed corpus — only its
+    // (term, doc, tf) POSTINGS STORE exists (materialized once, the
+    // q123 fixture discipline; no history text is re-scanned). The
+    // merged store derives champion lists identical to a full rebuild,
+    // so the oracle is q166's SQL over all documents VERBATIM —
+    // merge == build-of-union as an artifact fact.
+    "q186_index_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val store = graft.text.Retrieval.postingsStore(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+        .localCheckpoint(true)
+      graft.text.Retrieval.indexFromPostings(
+        graft.text.Retrieval.mergePostingsStore(
+          store, docs.filter(col("doc_id") % 10 === 0), "doc_id", "text"),
+        maxPostings = 5)
+    }),
+
     // Pairwise corpus-overlap estimation (full DuckDB oracle): KMV
     // sketches over content hashes — how much do two sources share
     // without joining them. A planted "mix" source (every 3rd doc's
@@ -896,6 +915,9 @@ object TextQueries {
     "q129_lm_perplexity" -> q129Sql,
     "q165_ccnet_buckets" -> q165Sql,
     "q166_inverted_index" -> q166Sql,
+    // q186: the incremental path must land EXACTLY where the full
+    // rebuild lands — the oracle is the q166 replay verbatim
+    "q186_index_incremental" -> q166Sql,
     "q168_corpus_overlap" -> q168Sql,
     "q130_dsir_select" -> q130Sql,
     "q131_tfidf_keywords" -> q131Sql,

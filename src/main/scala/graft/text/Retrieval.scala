@@ -134,13 +134,55 @@ object Retrieval {
     * → (term, df, cf, rnk, doc_id, tf) */
   def invertedIndex(
       docs: DataFrame, idCol: String, textCol: String,
-      maxPostings: Int = 5): DataFrame = {
-    require(maxPostings >= 1, s"maxPostings must be >= 1, got $maxPostings")
-    val byTerm = Window.partitionBy(col("term"))
+      maxPostings: Int = 5): DataFrame =
+    indexFromPostings(postingsStore(docs, idCol, textCol), maxPostings)
+
+  /** The PERSISTED half of the inverted index — the daily-crawl
+    * contract for retrieval (the q169/q133 mergeable-store pattern):
+    * long-format (term, doc_id, tf) postings, the additive
+    * representation every derived artifact ([[indexFromPostings]]'s
+    * champion lists, [[bm25TopK]]'s df and corpus stats) groups out
+    * of. Because tf is a within-document count, postings from
+    * DISJOINT document batches compose by plain union — no re-scan of
+    * signed history, no count reconciliation — which is exactly what
+    * [[mergePostingsStore]] pins. One explode + one (term, doc)
+    * groupBy with map-side partials: THE inverted-index shuffle.
+    * → (term, doc_id, tf) */
+  def postingsStore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .select(col(idCol).as("doc_id"),
         explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+
+  /** Fold one crawl batch into a postings store: the batch's postings
+    * REPLACE any prior postings of re-fetched documents (a re-crawled
+    * page supersedes its old text), then union. The replace step is a
+    * left-anti join against the batch's doc ids — broadcastable when
+    * the batch is small against history, and never a history re-scan
+    * of text. Invariant (RetrievalSpec): for disjoint batches,
+    * merge(build(A), B) == build(A ∪ B) row-for-row; with re-crawls,
+    * == build(A \\ B ∪ B). */
+  def mergePostingsStore(
+      store: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val fresh = postingsStore(batch, idCol, textCol)
+    store
+      .join(batch.select(col(idCol).as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .select("term", "doc_id", "tf")
+      .unionByName(fresh)
+  }
+
+  /** Champion lists from a postings store — [[invertedIndex]]'s
+    * derivation half, runnable on a persisted store WITHOUT touching
+    * any document text: df/cf totals and the posting rank share one
+    * term partitioning (one exchange for all three windows;
+    * `rnk <= maxPostings` is a WindowGroupLimit per-partition top-k
+    * heap). → (term, df, cf, rnk, doc_id, tf) */
+  def indexFromPostings(postings: DataFrame, maxPostings: Int = 5): DataFrame = {
+    require(maxPostings >= 1, s"maxPostings must be >= 1, got $maxPostings")
+    val byTerm = Window.partitionBy(col("term"))
+    postings
       .withColumn("df", count(lit(1)).over(byTerm))
       .withColumn("cf", sum(col("tf")).over(byTerm))
       .withColumn("rnk", row_number().over(

@@ -104,4 +104,35 @@ class RetrievalSpec extends SparkSpec {
       graft.text.Retrieval.invertedIndex(docs, "doc_id", "text", maxPostings = 0)
     }
   }
+
+  private def storeSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("term", "doc_id", "tf").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("postings store: merge of a disjoint batch == build-of-union, store-level and index-level") {
+    import spark.implicits._
+    import graft.text.Retrieval._
+    val history = Seq((1L, "x x y"), (2L, "x z"), (3L, "y y w")).toDF("doc_id", "text")
+    val batch = Seq((4L, "x y q"), (5L, "z z")).toDF("doc_id", "text")
+    val all = history.unionByName(batch)
+    val merged = mergePostingsStore(postingsStore(history, "doc_id", "text"),
+      batch, "doc_id", "text")
+    assert(storeSet(merged) == storeSet(postingsStore(all, "doc_id", "text")))
+    // the derived artifact lands identically too — df/cf/rank included
+    val viaMerge = indexFromPostings(merged, 2).collect().map(_.toSeq).toSet
+    val viaFull = invertedIndex(all, "doc_id", "text", 2).collect().map(_.toSeq).toSet
+    assert(viaMerge == viaFull)
+  }
+
+  test("postings store: a re-crawled doc's postings REPLACE its old ones, never double-count") {
+    import spark.implicits._
+    import graft.text.Retrieval._
+    val history = Seq((1L, "x x y"), (2L, "x z")).toDF("doc_id", "text")
+    val recrawl = Seq((2L, "w w"), (6L, "y")).toDF("doc_id", "text")
+    val merged = mergePostingsStore(postingsStore(history, "doc_id", "text"),
+      recrawl, "doc_id", "text")
+    // doc 2's old (x, z) postings are gone; its new text stands alone
+    assert(storeSet(merged) == Set(
+      ("x", 1L, 2L), ("y", 1L, 1L), ("w", 2L, 2L), ("y", 6L, 1L)))
+  }
 }
