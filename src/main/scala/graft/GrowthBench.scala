@@ -72,6 +72,7 @@ object GrowthBench {
     "q122_coverage" -> (10.3, "gram explode vs broadcast |alphabet|^3 model: gram-linear; budget = measured gram ratio 10.26x (chars/doc flat)"),
     "q123_incremental_dedup" -> (3.0, "incremental contract: batch-scaled probe, near-FLAT (r8: 1.2x)"),
     "q184_redact_locales" -> (10.3, "temporal+location scrub: shuffle-free narrow projection like q162, regex work ∝ chars; budget = measured char ratio 10.26x (chars/doc flat)"),
+    "q180_corpus_pipeline" -> (10.3, "end-to-end pipeline: every stage linear (extract/C4 projections, paragraph groupBys, vocab-bounded LM, split projection); budget = the char ratio, the binding stage being the char-linear extract"),
     "q146_incremental_fingerprint" -> (3.0, "incremental fingerprint probe: batch-scaled asymmetric band join (the q123 contract on the simhash family); the fixture's in-query store build is the corpus-linear term, overhead-dominated like q93 (r13 measured 1.39x)"),
     "q125_dedup_prefix" -> (8.0, "PPJoin: prefix explode bounded by (1-t)|set|, candidate-linear"),
     "q185_containment_banded" -> (8.0, "bottom-s sketch probe x cold index: constant sketch rows per set, candidate-bounded exact verify - candidate-linear like q125"),

@@ -22,7 +22,8 @@ object SparkEntry {
       ValidationQueries.queries ++ QualityQueries.queries ++ ExtractionQueries.queries ++
       RedactionQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++
       TextQueries.queries ++ ImageQueries.queries ++ WebQueries.queries ++
-      TimeQueries.queries ++ TimeQueries.rollingAndPivot ++ TimeQueries.rangeJoinQueries
+      TimeQueries.queries ++ TimeQueries.rollingAndPivot ++ TimeQueries.rangeJoinQueries ++
+      PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
       ValidationQueries.oracles ++ QualityQueries.oracles ++ ExtractionQueries.oracles ++
       RedactionQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles ++
       TextQueries.oracles ++ ImageQueries.oracles ++ WebQueries.oracles ++
-      TimeQueries.oracles ++ TimeQueries.rollingAndPivotOracles ++ TimeQueries.rangeJoinOracles
+      TimeQueries.oracles ++ TimeQueries.rollingAndPivotOracles ++ TimeQueries.rangeJoinOracles ++
+      PipelineQueries.oracles
 }

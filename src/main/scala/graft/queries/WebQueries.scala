@@ -216,19 +216,8 @@ object WebQueries {
     // text and a quote paragraph are the content blocks. One narrow
     // projection, no shuffle (golden-plan-pinned).
     "q148_main_content" -> ((s, d) => {
-      val html = concat(
-        lit("<html><head><title>Doc "), col("doc_id"), lit("</title></head><body>"),
-        lit("<nav><a href=\"/\">Home</a> <a href=\"/c"), col("doc_id") % 7,
-        lit("\">Cat "), col("doc_id") % 7, lit("</a> <a href=\"/about\">About</a></nav>"),
-        lit("<div>Sponsored: <a href=\"/buy\">Buy now</a> <a href=\"/deal\">Hot deal</a> <a href=\"/win\">Win big</a></div>"),
-        lit("<p>"), col("text"), lit("</p>"),
-        lit("<blockquote>Readers said that it was one of the better pages about topic "),
-        col("doc_id") % 7, lit(" and that the site is worth a second look.</blockquote>"),
-        lit("<div>tag"), col("doc_id") % 5, lit(" tag"), col("doc_id") % 11, lit("</div>"),
-        lit("<footer>Copyright 2024 Example Corp - <a href=\"/tos\">Terms of use</a> <a href=\"/privacy\">Privacy</a></footer>"),
-        lit("</body></html>"))
       Tables.documents(s, d)
-        .select(col("doc_id"), html.as("_html"))
+        .select(col("doc_id"), fixturePage.as("_html"))
         .select(col("doc_id"),
           DocumentExtract.htmlTitle(col("_html")).as("title"),
           Boilerplate.blockStats(col("_html")).as("_st"))
@@ -599,16 +588,26 @@ object WebQueries {
   /** The deterministic fixture webgraph q151/q152 rank (the corpus
     * carries no hyperlinks): page i → (31·i + 7·j) mod N for
     * j = 1..(i mod 3)+1 — out-degrees 1-3, skewed in-degrees. */
-  private def webgraph(docs: DataFrame, n: Long): DataFrame = docs
-    .select(col("doc_id").as("src"),
-      explode(sequence(lit(1L), col("doc_id") % 3 + 1)).as("j"))
-    .select(col("src"), ((col("src") * 31 + col("j") * 7) % n).as("dst"))
+  /** The fixture page every doc renders to (q148's construction,
+    * shared with the q180 pipeline composition): chrome is boilerplate
+    * by construction, the doc text and a quote paragraph are content. */
+  private[queries] def fixturePage: org.apache.spark.sql.Column = concat(
+    lit("<html><head><title>Doc "), col("doc_id"), lit("</title></head><body>"),
+    lit("<nav><a href=\"/\">Home</a> <a href=\"/c"), col("doc_id") % 7,
+    lit("\">Cat "), col("doc_id") % 7, lit("</a> <a href=\"/about\">About</a></nav>"),
+    lit("<div>Sponsored: <a href=\"/buy\">Buy now</a> <a href=\"/deal\">Hot deal</a> <a href=\"/win\">Win big</a></div>"),
+    lit("<p>"), col("text"), lit("</p>"),
+    lit("<blockquote>Readers said that it was one of the better pages about topic "),
+    col("doc_id") % 7, lit(" and that the site is worth a second look.</blockquote>"),
+    lit("<div>tag"), col("doc_id") % 5, lit(" tag"), col("doc_id") % 11, lit("</div>"),
+    lit("<footer>Copyright 2024 Example Corp - <a href=\"/tos\">Terms of use</a> <a href=\"/privacy\">Privacy</a></footer>"),
+    lit("</body></html>"))
 
-  /** The q148 oracle re-derives the page construction AND the block
-    * algebra: same split pattern, same strip/collapse chain, same
-    * density arithmetic (single IEEE divisions), same fold sums. */
-  private val q148Sql =
-    """WITH h AS (
+  /** The q148 block-algebra oracle CTEs, parameterized on nothing —
+    * shared verbatim with the q180 composition oracle. Ends with the
+    * `s2` CTE carrying (doc_id, html, st). */
+  private[queries] val fixtureExtractSql: String =
+    """h AS (
          SELECT doc_id,
            '<html><head><title>Doc ' || doc_id || '</title></head><body>'
            || '<nav><a href="/">Home</a> <a href="/c' || (doc_id % 7) || '">Cat ' || (doc_id % 7) || '</a> <a href="/about">About</a></nav>'
@@ -649,8 +648,21 @@ object WebQueries {
              content := s.len >= 40
                AND (CASE WHEN s.len > 0 THEN CAST(s.link AS DOUBLE) / CAST(s.len AS DOUBLE) ELSE 1.0 END) <= 0.25
                AND (CASE WHEN s.ntok > 0 THEN CAST(s.nstop AS DOUBLE) / CAST(s.ntok AS DOUBLE) ELSE 0.0 END) >= 0.05)) AS st
-         FROM s1)
-       SELECT doc_id,
+         FROM s1)"""
+
+  private def webgraph(docs: DataFrame, n: Long): DataFrame = docs
+    .select(col("doc_id").as("src"),
+      explode(sequence(lit(1L), col("doc_id") % 3 + 1)).as("j"))
+    .select(col("src"), ((col("src") * 31 + col("j") * 7) % n).as("dst"))
+
+  /** The q148 oracle re-derives the page construction AND the block
+    * algebra: same split pattern, same strip/collapse chain, same
+    * density arithmetic (single IEEE divisions), same fold sums. */
+  // plain concatenation, NOT s-interpolation: the SQL bodies carry
+  // regex escapes (\s, \1) that the s-interpolator would reject
+  private val q148Sql =
+    "WITH " + fixtureExtractSql + "\n" +
+    """SELECT doc_id,
          trim(regexp_replace(regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1), '\s+', ' ', 'g')) AS title,
          array_to_string(list_transform(list_filter(st, s -> s.content), s -> s.txt), ' ') AS main_text,
          CAST(len(st) AS BIGINT) AS n_blocks,

@@ -232,4 +232,44 @@ class CorpusPipelineSpec extends SparkSpec {
       }
     }
   }
+
+  test("CorpusPipeline.curate (q180): deterministic, schema-stable, checkpoint-bounded plan") {
+    val q = SparkEntry.queries("q180_corpus_pipeline")
+    val out = q(spark, "/root/testdata/sf0.001")
+    assert(out.columns.toSeq == Seq("doc_id", "text", "n_kept", "n_tokens",
+      "n_oov", "sum_nll_micro", "avg_nll_micro", "split"))
+    val rows = out.collect()
+    assert(rows.nonEmpty, "the pipeline must keep survivors")
+    // survivors are a subset of the input corpus and every split valid
+    assert(rows.forall(r => Set("train", "test", "val")(r.getString(7))))
+    // bit-determinism: a second full construction lands identically
+    val again = q(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+    // the gated plan reads ONLY the checkpointed dedup intermediate —
+    // a parquet scan here means the extract chain re-executes per
+    // consumer (model build / scoring / final join)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan parquet"), s"page scan leaked past the checkpoint:\n$plan")
+  }
+
+  test("CorpusPipeline stages 1-2 fuse into one scan with no shuffle") {
+    import graft.text.{Boilerplate, TextAnalysis}
+    // the extract + C4 projection exactly as curate composes it, over
+    // a real parquet scan: one FileScan, zero Exchange — the whole
+    // hygiene front of the pipeline pipelines into the page read
+    val pages = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"),
+        concat(lit("<html><body><p>"), col("text"), lit("</p></body></html>")).as("html"))
+    val fused = pages
+      .select(col("doc_id"), Boilerplate.blockStats(col("html")).as("_st"))
+      .select(col("doc_id"),
+        array_join(transform(filter(col("_st"), s => s.getField("content")),
+          s => s.getField("text")), " ").as("_main"))
+      .select(col("doc_id"), TextAnalysis.c4Metrics(col("_main")).as("_c"))
+      .filter(col("_c.passes"))
+      .select(col("doc_id"), col("_c.clean_text").as("text"))
+    val plan = fused.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"extract+filter must not shuffle:\n$plan")
+    assert(plan.split("Scan parquet").length - 1 == 1, s"exactly one page scan:\n$plan")
+  }
 }

@@ -48,7 +48,8 @@ object PlanGolden {
     "q159_anchor_text", "q161_lpa_communities", "q163_containment",
     "q164_robots", "q165_ccnet_buckets", "q166_inverted_index",
     "q169_domain_stats_incremental", "q170_html_links",
-    "q172_langid_learned", "q176_hits")
+    "q172_langid_learned", "q176_hits",
+    "q180_corpus_pipeline", "q185_containment_banded", "q186_index_incremental")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSpec.session

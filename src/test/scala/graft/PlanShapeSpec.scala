@@ -326,6 +326,30 @@ class PlanShapeSpec extends SparkSpec {
     // totals-crossJoin doubles subtree references twice per half-step
     // and this tree grows ~8x PER ROUND (2984 expr nodes at 2 rounds
     // when it was caught) — the pin holds the round-bounded shape
+    // end-to-end corpus pipeline: stages 1-3 (extract + C4 + paragraph
+    // dedup) live BEHIND the eager checkpoint (the LogicalRDD leaves —
+    // one execution for three consumers), so the gated plan is the LM
+    // model Aggregate + broadcast score join + the split projection;
+    // a LogicalRelation leaf appearing here means the checkpoint was
+    // lost and the page scan re-executes per consumer
+    "q180_corpus_pipeline" -> PlanGolden.Shape(
+      "Project>Join>Project>LogicalRDD>Project>Aggregate>Project>Join>Project>Generate>Project>LogicalRDD>Aggregate>Generate>Project>LogicalRDD",
+      148),
+    // banded containment: sketch Aggregate + ONE probe Join + the
+    // candidate-count Aggregate feeding the exact-verify join chain;
+    // a second probe-side Join or a Window appearing is the regression
+    // (the prefix-explode path sneaking back in)
+    "q185_containment_banded" -> PlanGolden.Shape(
+      "Project>Filter>Aggregate>Aggregate>Project>Join>Filter>Generate>Project>Filter>Aggregate>Project>Join>Project>Generate>Aggregate>Filter>LogicalRDD>Project>Filter>LogicalRDD>Filter>LogicalRDD",
+      152),
+    // mergeable postings store: the store leg is the LogicalRDD
+    // checkpoint, the batch leg one explode+Aggregate, the merge an
+    // anti-Join + Union, and the derivation shares ONE term
+    // partitioning (Window>WindowGroupLimit>Window); a second
+    // LogicalRelation on the store leg = history text re-scan
+    "q186_index_incremental" -> PlanGolden.Shape(
+      "Project>Filter>Window>WindowGroupLimit>Window>Union>Join>LogicalRDD>Aggregate>Project>Filter>LogicalRelation>Aggregate>Generate>Project>Filter>LogicalRelation",
+      121),
     "q176_hits" -> PlanGolden.Shape(
       "Project>Join>Project>Join>Project>Join>Project>Filter>LogicalRelation>Aggregate>Project>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Join>Project>Join>Project>Filter>LogicalRelation>Aggregate>Project>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD>Aggregate>Aggregate>Project>Join>Project>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD>Aggregate>Aggregate>Project>Join>Project>Filter>Generate>Project>LogicalRelation>Project>Join>Project>Join>Project>Filter>LogicalRelation>Aggregate>Project>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD>Aggregate>Aggregate>Project>Join>Project>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD>Project>Join>Project>Join>Project>Filter>LogicalRelation>Aggregate>Project>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD>Aggregate>Aggregate>Project>Join>Project>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD",
       554))
