@@ -573,6 +573,29 @@ object WebQueries {
         iters = 2)
     }),
 
+    // Incremental webgraph + warm-start PageRank (full DuckDB oracle):
+    // the daily-crawl contract for the graph family — edges with
+    // src % 10 != 0 are the signed history (present as its mergeable
+    // adjacency STORE), the rest arrive as today's batch; ranks seed
+    // from the previous round's published output (3 fixture rounds on
+    // the old graph) and run 2 reconvergence rounds on the merged
+    // store. The oracle unrolls all 5 half-steps on the q151 integer
+    // grid — the warm phase must land digit-for-digit where the
+    // arithmetic says, so "incremental" can never drift from "batch".
+    "q187_pagerank_warm" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      val all = webgraph(docs, n)
+      val old = all.filter(col("src") % 10 =!= 0)
+      val store = LinkGraph.mergeAdjacency(
+        LinkGraph.adjacencyStore(old, "src", "dst").localCheckpoint(true),
+        all.filter(col("src") % 10 === 0), "src", "dst")
+      val seed = LinkGraph.pageRank(docs, "doc_id", old, "src", "dst", iters = 3)
+        .localCheckpoint(true) // the previous round's published ranks
+      LinkGraph.pageRankFromStore(docs, "doc_id", store, iters = 2,
+        seed = Some(seed))
+    }),
+
     // HyperBall harmonic (rows-only ⊘ — DataSketches HLL is not
     // DuckDB-replayable): the webgraph-scale path, one mergeable
     // sketch per node instead of the exact pair set. LinkGraphSpec
@@ -705,6 +728,56 @@ object WebQueries {
                   + (85 * coalesce(c3.i, 0)) // 100 AS r
               FROM nodes n LEFT JOIN c3 ON c3.v = n.v)
        SELECT v AS doc_id, CAST(r AS BIGINT) AS rank_micro FROM r3"""
+
+  /** The q187 oracle: q151's integer grid over BOTH phases — 3
+    * cold rounds on the old graph (src % 10 ≠ 0) from uniform, then 2
+    * warm rounds on the FULL graph seeded by round 3. Degrees per
+    * phase come from that phase's edge set, exactly as the adjacency
+    * store replays raw-edge counts. */
+  private val q187Sql =
+    """WITH nn AS (SELECT count(*) AS n FROM documents),
+       nodes AS (SELECT doc_id AS v FROM documents),
+       e AS (
+         SELECT doc_id AS src,
+           (doc_id * 31 + 7 * j) % (SELECT n FROM nn) AS dst
+         FROM documents, unnest(range(1, doc_id % 3 + 2)) AS t(j)),
+       eo AS (SELECT * FROM e WHERE src % 10 <> 0),
+       dego AS (SELECT src, count(*) AS d FROM eo GROUP BY src),
+       edo AS (SELECT eo.src, eo.dst, dego.d FROM eo JOIN dego USING (src)),
+       r0 AS (SELECT v, (SELECT 1000000000000 // n FROM nn) AS r FROM nodes),
+       c1 AS (SELECT edo.dst AS v, CAST(sum(r0.r // edo.d) AS BIGINT) AS i
+              FROM edo JOIN r0 ON r0.v = edo.src GROUP BY edo.dst),
+       r1 AS (SELECT n.v,
+                (SELECT ((100 - 85) * (1000000000000 // n)) // 100 FROM nn)
+                  + (85 * coalesce(c1.i, 0)) // 100 AS r
+              FROM nodes n LEFT JOIN c1 ON c1.v = n.v),
+       c2 AS (SELECT edo.dst AS v, CAST(sum(r1.r // edo.d) AS BIGINT) AS i
+              FROM edo JOIN r1 ON r1.v = edo.src GROUP BY edo.dst),
+       r2 AS (SELECT n.v,
+                (SELECT ((100 - 85) * (1000000000000 // n)) // 100 FROM nn)
+                  + (85 * coalesce(c2.i, 0)) // 100 AS r
+              FROM nodes n LEFT JOIN c2 ON c2.v = n.v),
+       c3 AS (SELECT edo.dst AS v, CAST(sum(r2.r // edo.d) AS BIGINT) AS i
+              FROM edo JOIN r2 ON r2.v = edo.src GROUP BY edo.dst),
+       r3 AS (SELECT n.v,
+                (SELECT ((100 - 85) * (1000000000000 // n)) // 100 FROM nn)
+                  + (85 * coalesce(c3.i, 0)) // 100 AS r
+              FROM nodes n LEFT JOIN c3 ON c3.v = n.v),
+       dega AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+       eda AS (SELECT e.src, e.dst, dega.d FROM e JOIN dega USING (src)),
+       w1 AS (SELECT eda.dst AS v, CAST(sum(r3.r // eda.d) AS BIGINT) AS i
+              FROM eda JOIN r3 ON r3.v = eda.src GROUP BY eda.dst),
+       r4 AS (SELECT n.v,
+                (SELECT ((100 - 85) * (1000000000000 // n)) // 100 FROM nn)
+                  + (85 * coalesce(w1.i, 0)) // 100 AS r
+              FROM nodes n LEFT JOIN w1 ON w1.v = n.v),
+       w2 AS (SELECT eda.dst AS v, CAST(sum(r4.r // eda.d) AS BIGINT) AS i
+              FROM eda JOIN r4 ON r4.v = eda.src GROUP BY eda.dst),
+       r5 AS (SELECT n.v,
+                (SELECT ((100 - 85) * (1000000000000 // n)) // 100 FROM nn)
+                  + (85 * coalesce(w2.i, 0)) // 100 AS r
+              FROM nodes n LEFT JOIN w2 ON w2.v = n.v)
+       SELECT v AS doc_id, CAST(r AS BIGINT) AS rank_micro FROM r5"""
 
   /** The q152 oracle: same fixture graph, self-loops dropped, the
     * radius-3 frontier expansion unrolled — f_r holds the (u, v)
@@ -1183,6 +1256,7 @@ object WebQueries {
     "q179_frontier_schedule" -> q179Sql,
     "q148_main_content" -> q148Sql,
     "q151_pagerank" -> q151Sql,
+    "q187_pagerank_warm" -> q187Sql,
     "q152_harmonic" -> q152Sql,
     "q157_url_frontier_filter" -> q157Sql,
     "q158_triangles" -> q158Sql,
