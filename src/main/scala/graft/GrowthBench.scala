@@ -148,6 +148,7 @@ object GrowthBench {
     "q165_ccnet_buckets" -> (6.0, "CCNet percentile buckets: the q129 scoring shape (explode + vocab-bounded broadcast + one id groupBy) + lang attach + one percent_rank window per language partition; row-linear with a per-group sort; budget = the 6.0 linear allowance"),
     "q166_inverted_index" -> (10.0, "inverted index: one token explode + (term,doc) map-side-partial groupBy + df/cf/rank windows sharing one term partitioning (WindowGroupLimit caps postings); token-linear; budget = token ratio (the q117 derivation: tokens/doc flat)"),
     "q186_index_incremental" -> (10.0, "mergeable postings store: history store build is the corpus-linear fixture term; the MERGE itself is batch-scaled (anti-join on batch doc ids + batch postings); budget = token ratio like q166"),
+    "q188_bm25_store" -> (10.0, "store-served BM25: store build is the corpus-linear fixture term; probe derivation is a 34-row TakeOrdered over the term census, scoring query-vocab-bounded; budget = token ratio like q156/q166"),
     "q167_weighted_sample" -> (6.0, "A-Res weighted sample: narrow per-row draw/key projection + TakeOrdered top-k (per-partition heaps, k rows move); row-linear; budget = the 6.0 linear allowance"),
     "q168_corpus_overlap" -> (6.0, "KMV corpus overlap: one distinct (group,hash) projection + per-group k-min window (WindowGroupLimit) + a pair stage bounded by groups^2*k; row-linear build, constant-size merge; budget = the 6.0 linear allowance"),
     "q169_domain_stats_incremental" -> (6.0, "incremental domain rollup: two store groupBys + one merge groupBy + the stats groupBy over a FIXED domain set; store rows bounded by distinct content; row-linear; budget = the 6.0 linear allowance"),

@@ -54,6 +54,25 @@ object TextQueries {
       graft.text.Retrieval.invertedIndex(
         Tables.documents(s, d), "doc_id", "text", maxPostings = 5)),
 
+    // BM25 served entirely from the MERGED postings store (full hash
+    // gate — q156's oracle VERBATIM): the retrieval freshness story.
+    // History docs exist only as their postings store; today's batch
+    // folds in via mergePostingsStore; probe queries AND ranking both
+    // derive from the store with zero document-text reads — and must
+    // land digit-for-digit where q156's full text scan lands.
+    "q188_bm25_store" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val store = graft.text.Retrieval.postingsStore(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+        .localCheckpoint(true)
+      val merged = graft.text.Retrieval.mergePostingsStore(
+        store, docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+        .localCheckpoint(true) // feeds probe derivation, dl, tf
+      graft.text.Retrieval.bm25TopKFromPostings(
+        merged, graft.text.Retrieval.frequencyProbeQueriesFromPostings(merged),
+        topK = 10)
+    }),
+
     // Mergeable inverted-index store under the FULL hash gate (the
     // q169 daily-crawl pattern for retrieval): every 10th doc plays
     // the incoming batch, the rest the signed corpus — only its
@@ -918,6 +937,8 @@ object TextQueries {
     // q186: the incremental path must land EXACTLY where the full
     // rebuild lands — the oracle is the q166 replay verbatim
     "q186_index_incremental" -> q166Sql,
+    // q188: store-served BM25 == the full text-scan retrieval
+    "q188_bm25_store" -> q156Sql,
     "q168_corpus_overlap" -> q168Sql,
     "q130_dsir_select" -> q130Sql,
     "q131_tfidf_keywords" -> q131Sql,

@@ -47,17 +47,24 @@ object Retrieval {
     * window then runs over those 34 rows, not the full vocabulary
     * (which is merely Heaps-bounded, not constant). → (qid, term)
     */
-  def frequencyProbeQueries(docs: DataFrame, textCol: String): DataFrame = {
-    val cnts = docs
+  def frequencyProbeQueries(docs: DataFrame, textCol: String): DataFrame =
+    probeBands(docs
       .select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .groupBy("term").agg(count(lit(1)).as("cnt")))
+
+  /** [[frequencyProbeQueries]] off a postings store alone — global
+    * term occurrence counts are Σ tf, so probe derivation needs no
+    * document text. */
+  def frequencyProbeQueriesFromPostings(postings: DataFrame): DataFrame =
+    probeBands(postings.groupBy("term").agg(sum(col("tf")).as("cnt")))
+
+  private def probeBands(cnts: DataFrame): DataFrame =
     cnts
       .orderBy(col("cnt").desc, col("term").asc).limit(34)
       .withColumn("rk",
         row_number().over(Window.orderBy(col("cnt").desc, col("term").asc)))
       .filter(col("rk") >= 11 && col("rk") % 10 >= 1 && col("rk") % 10 <= 4)
       .select(expr("CAST(rk div 10 AS BIGINT)").as("qid"), col("term"))
-  }
 
   /** BM25 top-`k` documents per query. `queryTerms` is (qid, term) —
     * one row per query term; duplicate terms within a query score
@@ -87,8 +94,41 @@ object Retrieval {
       .select(col("doc_id"), col("dl"), explode(col("_qtk")).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    bm25ScoreTail(tf, stats, queryTerms, topK, k1, b)
+  }
+
+  /** BM25 served ENTIRELY from a postings store — no document text is
+    * read: dl is Σ tf per doc, df is the store's term row count over
+    * the query vocabulary, corpus stats fold off the dl frame. With
+    * [[mergePostingsStore]] this is the retrieval freshness story —
+    * today's crawl batch becomes searchable by folding its postings
+    * in, and results land digit-for-digit where a full rebuild lands
+    * (q188's oracle is q156's SQL verbatim). A doc with zero tokens
+    * has no postings, so the store-side corpus stats count
+    * posting-bearing docs — identical unless a corpus contains
+    * token-free documents, which can't match a query anyway. */
+  def bm25TopKFromPostings(
+      postings: DataFrame, queryTerms: DataFrame, topK: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val vocab = queryTerms.select(col("term")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val dl = postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val tf = postings.filter(col("term").isInCollection(vocab))
+      .join(dl, "doc_id")
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    bm25ScoreTail(tf, stats, queryTerms, topK, k1, b)
+  }
+
+  /** The shared scoring tail: micro-grid per-term partials, per-(query,
+    * doc) sums, the WindowGroupLimit top-k. `tf` = (doc_id, dl, term,
+    * tf); `stats` = 1-row (n_docs, sum_dl). */
+  private def bm25ScoreTail(
+      tf: DataFrame, stats: DataFrame, queryTerms: DataFrame,
+      topK: Int, k1: Double, b: Double): DataFrame = {
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // the micro-grid per-term partial — textually mirrored in the oracle
     val termMicro = expr(
       s"""CAST(floor(

@@ -49,7 +49,8 @@ object PlanGolden {
     "q164_robots", "q165_ccnet_buckets", "q166_inverted_index",
     "q169_domain_stats_incremental", "q170_html_links",
     "q172_langid_learned", "q176_hits",
-    "q180_corpus_pipeline", "q185_containment_banded", "q186_index_incremental")
+    "q180_corpus_pipeline", "q185_containment_banded", "q186_index_incremental",
+    "q188_bm25_store")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSpec.session

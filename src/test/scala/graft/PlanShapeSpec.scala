@@ -21,10 +21,10 @@ class PlanShapeSpec extends SparkSpec {
   private val intentionalCross =
     Set("q41_outliers", "q41a_outliers_approx", "q60_qa_compare", "q95_knn_brute",
       "q91_dedup_jaccard", "q116_embed_neardup",
-      // q156: the SINGLE-ROW corpus-stats frame (n_docs, sum_dl)
+      // q156/q188: the SINGLE-ROW corpus-stats frame (n_docs, sum_dl)
       // broadcast-crossed into the scored frame — 1 row by
       // construction, never a data-sized cross
-      "q156_bm25",
+      "q156_bm25", "q188_bm25_store",
       // q168: the g1 < g2 SOURCE-pair join — both sides are the
       // distinct group list (bounded source/dump count, k-row
       // sketches), never corpus rows
@@ -350,6 +350,13 @@ class PlanShapeSpec extends SparkSpec {
     "q186_index_incremental" -> PlanGolden.Shape(
       "Project>Filter>Window>WindowGroupLimit>Window>Union>Join>LogicalRDD>Aggregate>Project>Filter>LogicalRelation>Aggregate>Generate>Project>Filter>LogicalRelation",
       121),
+    // store-served BM25: every leaf is the checkpointed postings store
+    // (LogicalRDD) — a LogicalRelation appearing means document text
+    // leaked back into the retrieval path; the WindowGroupLimit top-k
+    // and the vocab-bounded broadcast joins are the q156 contract
+    "q188_bm25_store" -> PlanGolden.Shape(
+      "Project>Filter>Window>WindowGroupLimit>Aggregate>Project>Join>Project>Join>Project>Join>Project>Join>Filter>LogicalRDD>Aggregate>Project>LogicalRDD>Aggregate>Project>Join>Project>Filter>LogicalRDD>Aggregate>Project>LogicalRDD>Project>Filter>Window>GlobalLimit>LocalLimit>Sort>Aggregate>Project>LogicalRDD>Aggregate>Aggregate>Project>LogicalRDD",
+      259),
     "q176_hits" -> PlanGolden.Shape(
       "Project>Join>Project>Join>Project>Join>Project>Filter>LogicalRelation>Aggregate>Project>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Join>Project>Join>Project>Filter>LogicalRelation>Aggregate>Project>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD>Aggregate>Aggregate>Project>Join>Project>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD>Aggregate>Aggregate>Project>Join>Project>Filter>Generate>Project>LogicalRelation>Project>Join>Project>Join>Project>Filter>LogicalRelation>Aggregate>Project>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD>Aggregate>Aggregate>Project>Join>Project>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD>Project>Join>Project>Join>Project>Filter>LogicalRelation>Aggregate>Project>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD>Aggregate>Aggregate>Project>Join>Project>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD",
       554))

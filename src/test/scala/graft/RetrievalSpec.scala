@@ -124,6 +124,43 @@ class RetrievalSpec extends SparkSpec {
     assert(viaMerge == viaFull)
   }
 
+  test("bm25TopKFromPostings: store-served retrieval == the text-scan path, probes included") {
+    import spark.implicits._
+    import graft.text.Retrieval._
+    val docs = Seq(
+      (1L, "x x x y spark spark catalyst plan"), (2L, "x x y tungsten codegen"),
+      (3L, "x y plan plan plan"), (4L, "x spark"), (5L, "z z y catalyst")).toDF("doc_id", "text")
+    val store = postingsStore(docs, "doc_id", "text")
+    val qts = Seq((1L, "spark"), (1L, "plan"), (2L, "catalyst"), (2L, "x"))
+      .toDF("qid", "term")
+    val viaStore = bm25TopKFromPostings(store, qts, topK = 3)
+      .collect().map(_.toSeq).toSet
+    val viaText = bm25TopK(docs, "doc_id", "text", qts, topK = 3)
+      .collect().map(_.toSeq).toSet
+    assert(viaStore == viaText && viaStore.nonEmpty)
+    // probe DERIVATION equality needs ≥ 34 ranked terms: doc i holds
+    // terms t1..ti, so term tj's count is 41−j — a strict total order
+    val wide = (1L to 40L).map(i => (i, (1L to i).map(j => s"t$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val probesStore = frequencyProbeQueriesFromPostings(
+      postingsStore(wide, "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val probesText = frequencyProbeQueries(wide, "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(probesStore == probesText && probesStore.size == 12)
+    // and through a re-crawl merge: results match a rebuild on the
+    // superseding corpus
+    val recrawl = Seq((3L, "y catalyst catalyst"), (6L, "x z plan")).toDF("doc_id", "text")
+    val after = docs.filter(org.apache.spark.sql.functions.col("doc_id") =!= 3L)
+      .unionByName(recrawl)
+    val mergedRes = bm25TopKFromPostings(
+      mergePostingsStore(store, recrawl, "doc_id", "text"), qts, topK = 3)
+      .collect().map(_.toSeq).toSet
+    val rebuilt = bm25TopK(after, "doc_id", "text", qts, topK = 3)
+      .collect().map(_.toSeq).toSet
+    assert(mergedRes == rebuilt && mergedRes.nonEmpty)
+  }
+
   test("postings store: a re-crawled doc's postings REPLACE its old ones, never double-count") {
     import spark.implicits._
     import graft.text.Retrieval._

@@ -230,6 +230,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming index maintenance: micro-batches append the postings store; derived index == full rebuild") {
+    import spark.implicits._
+    import graft.text.Retrieval
+    import graft.sources.VersionedTable
+    implicit val sqlCtx = spark.sqlContext
+    val storeTable = java.nio.file.Files.createTempDirectory("graft_stream_idx").toString + "/postings"
+    val in = MemoryStream[(Long, String)]
+    // the daily-crawl loop for RETRIEVAL: each micro-batch's postings
+    // fold into the persisted store exactly-once; champion lists
+    // derive from the store alone — history text is never re-read
+    val q = in.toDF().toDF("doc_id", "text").writeStream.queryName("crawl_idx")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val delta = Retrieval.postingsStore(batch.toDF(), "doc_id", "text")
+        VersionedTable.appendIdempotent(s, storeTable, delta, s"crawl-idx-$batchId")
+        ()
+      }.start()
+    val all = Seq(
+      (1L, "x x y spark catalyst"), (2L, "x z tungsten"),
+      (10L, "x y q catalyst catalyst"), (11L, "z z spark"))
+    try {
+      in.addData(all(0), all(1))
+      drain(q)
+      in.addData(all(2), all(3))
+      drain(q)
+      assert(VersionedTable.versions(spark, storeTable).size == 2)
+      val viaStream = Retrieval.indexFromPostings(
+        VersionedTable.read(spark, storeTable), maxPostings = 2)
+        .collect().map(_.toSeq).toSet
+      val viaBatch = Retrieval.invertedIndex(
+        all.toDF("doc_id", "text"), "doc_id", "text", maxPostings = 2)
+        .collect().map(_.toSeq).toSet
+      assert(viaStream == viaBatch,
+        "the streamed store's derived index must equal the full rebuild")
+    } finally q.stop()
+  }
+
   test("streaming chunking: the stateless window transform runs directly on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
