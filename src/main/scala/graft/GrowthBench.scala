@@ -117,6 +117,8 @@ object GrowthBench {
     // regression the gate exists for overshoots by 28%+.
     "q145_video_neardup" -> (10.5, "video frame-fingerprint near-dup: per-clip container parse + 4 render/pHash map tasks; clip-linear, measured 9.90x AT the 10x clip-ratio bound (compute-saturated both sizes, overhead ~14ms); budget = bound x 1.05 noise allowance; aligned 4x16-bit banding shuffles (id, idx, hash) only — 16-bit keys keep band collisions subdominant (8-bit measurably went quadratic, 12.8x)"),
     "q141_bpe_encode" -> (10.0, "BPE encode: train + per-DISTINCT-word greedy encode + word-keyed occurrence join + per-doc agg: token-linear; budget = token ratio"),
+    "q189_wordpiece_train" -> (10.0, "WordPiece train: the q140 shape with likelihood scores - one corpus word-count pass + vocabulary-bounded merge loop; token-linear; budget = token ratio"),
+    "q190_wordpiece_encode" -> (10.0, "WordPiece encode: train + alphabet-bounded vocab + per-DISTINCT-word longest-match encode + word-keyed occurrence join: token-linear; budget = token ratio"),
     "q177_unigram_train" -> (10.0, "unigram (Kudo) train: one corpus word-count pass + vocabulary-bounded EM/prune driver loop (vocab grows 30k->50k at 10x docs): token-linear; budget = token ratio"),
     "q178_unigram_encode" -> (10.0, "unigram encode: train + per-DISTINCT-word Viterbi DP + word-keyed occurrence join + per-doc agg: token-linear; budget = token ratio"),
     // q147/q148 budgets (the q122 derivation): chars/doc is near-flat

@@ -397,6 +397,28 @@ object TextQueries {
       graft.text.Bpe.tokenCounts(docs, "doc_id", "text", merges)
     }),
 
+    // WordPiece tokenizer training (Schuster & Nakajima 2012; BERT) —
+    // rows-only ⊘: iterative like q140 (each rank's likelihood scores
+    // depend on the previous rewrite). Completes the subword-family
+    // trio: BPE (q140), unigram (q177), WordPiece. WordpieceSpec pins
+    // the driver and distributed paths bit-identical and the score /
+    // tie semantics on hand-traced fixtures.
+    "q189_wordpiece_train" -> ((s, d) =>
+      graft.text.Wordpiece.mergesDf(s,
+        graft.text.Wordpiece.train(Tables.documents(s, d), "text",
+          nMerges = 60, minFreq = 2L))),
+
+    // WordPiece encoding — rows-only ⊘: greedy longest-match-first
+    // over the corpus-trained vocabulary (training is part of the
+    // measured operator, the q141 stance); the encoder runs once per
+    // DISTINCT word, per-occurrence work is the word-keyed join + agg.
+    "q190_wordpiece_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.text.Wordpiece.train(docs, "text", nMerges = 40, minFreq = 2L)
+      graft.text.Wordpiece.tokenCounts(docs, "doc_id", "text",
+        graft.text.Wordpiece.vocabularyFromCorpus(docs, "text", merges))
+    }),
+
     // Unigram (SentencePiece-style) tokenizer training (Kudo 2018) —
     // rows-only ⊘: the EM + prune loop is iterative like q140's merge
     // loop, not replayable in SQL. UnigramSpec pins the E-step kernel
