@@ -76,6 +76,7 @@ object GrowthBench {
     "q146_incremental_fingerprint" -> (3.0, "incremental fingerprint probe: batch-scaled asymmetric band join (the q123 contract on the simhash family); the fixture's in-query store build is the corpus-linear term, overhead-dominated like q93 (r13 measured 1.39x)"),
     "q125_dedup_prefix" -> (8.0, "PPJoin: prefix explode bounded by (1-t)|set|, candidate-linear"),
     "q185_containment_banded" -> (8.0, "bottom-s sketch probe x cold index: constant sketch rows per set, candidate-bounded exact verify - candidate-linear like q125"),
+    "q191_containment_dedup" -> (8.0, "containment apply: the exact-pair oracle path + sizes attach + anti-join, all pair-linear; budget = the q125/q185 candidate-linear allowance"),
     "q126_repeated_spans" -> (8.0, "positional gram groupBy + hot/cold rejoin: gram-linear"),
     "q126a_repeated_spans_fast" -> (8.0, "q126 minus oracle scaffolding: gram-linear"),
     "q127_chunk" -> (6.0, "pure narrow projection: token-linear"),

@@ -841,6 +841,41 @@ object TextDedup {
     verifyContainment(cand, sets, threshold)
   }
 
+  /** The APPLY half of the containment family: drop every set that is
+    * `threshold`-contained in a KEEPER-ORDER-greater set — the
+    * curation move for excerpt/quote farms (the container document
+    * retains the content; the excerpt adds nothing). Keeper order is
+    * (size desc, id asc): a contained set is dropped when its
+    * container is strictly larger, or equal-sized with a smaller id
+    * (equal-sized mutual containment = identical sets — exactly one
+    * survives). Chains (a ⊂ b ⊂ c) resolve transitively: a and b both
+    * drop, c retains the content — the standard dedup stance.
+    *
+    * `banded = true` routes candidate generation through
+    * [[containmentPairsBanded]] (the production path — recall-gated,
+    * emitted containments still exact); false replays the exact
+    * prefix×index join, which is what the q191 oracle hashes.
+    * → (id, n_items) — the surviving sets. */
+  def removeContained(
+      sets0: DataFrame, threshold: Double, banded: Boolean = false,
+      sketchSize: Int = 32, slack: Double = 0.2,
+      hotItemMaxDf: Long = 100000L): DataFrame = {
+    val sets = sets0.localCheckpoint(true) // feeds pairs AND sizes AND survivors
+    val pairs =
+      if (banded) containmentPairsBanded(sets, threshold, sketchSize, slack, hotItemMaxDf)
+      else containmentPairs(sets, threshold, hotItemMaxDf)
+    val sizes = sets.groupBy("id").agg(count(lit(1)).as("n_items"))
+    val dropped = pairs
+      .join(sizes.select(col("id").as("id_a"), col("n_items").as("_sza")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_items").as("_szb")), "id_b")
+      .filter(col("_szb") > col("_sza") ||
+        (col("_szb") === col("_sza") && col("id_b") < col("id_a")))
+      .select(col("id_a").as("id"))
+      .distinct()
+    sizes.join(dropped, Seq("id"), "left_anti")
+      .select(col("id"), col("n_items"))
+  }
+
   /** Portable 32-bit item id: first 8 hex chars of md5. */
   def itemId(item: Column): Column = conv(substring(md5(item), 1, 8), 16, 10).cast("long")
 

@@ -142,6 +142,21 @@ object DedupQueries {
         TextDedup.shingleSets(base.unionByName(snip), "doc_id", "text", N), 0.9)
     }),
 
+    // The APPLY half of the containment family under the FULL hash
+    // gate: q163's corpus with every t-contained doc dropped in favor
+    // of its container (size desc, id asc keeper order) — snippets
+    // vanish, their source docs and all unrelated docs survive. The
+    // oracle replays the brute-force pairs + sizes + the keeper rule.
+    "q191_containment_dedup" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val snip = base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 30), " ").as("text"))
+      TextDedup.removeContained(
+        TextDedup.shingleSets(base.unionByName(snip), "doc_id", "text", N), 0.9)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // the PPJoin prefix path under the full hash gate: shingle vocab
     // is >64 and t = 0.8 ≥ the measured 0.7 crossover, so the adaptive
     // chooser routes HERE through jaccardPairsPrefix — the oracle is
@@ -697,6 +712,36 @@ object DedupQueries {
           SELECT id_a, id_b, CAST(i AS DOUBLE) / sz.sz AS containment
           FROM inter JOIN sz ON sz.id = id_a
           WHERE CAST(i AS DOUBLE) / sz.sz >= 0.9""",
+    // q191: the q163 pair replay + sizes + the (size desc, id asc)
+    // keeper rule; survivors are the anti-join
+    "q191_containment_dedup" ->
+      s"""WITH docs AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000,
+              array_to_string(list_slice(string_split(text, ' '), 1, 30), ' ')
+            FROM documents WHERE doc_id % 11 = 0),
+          w AS (SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws
+                FROM docs),
+          sh AS (SELECT DISTINCT doc_id AS id,
+                        ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS item
+                 FROM w, unnest(range(1, len(ws) - 1)) AS t(i)
+                 WHERE len(ws) >= $N),
+          sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+          inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+                    FROM sh a JOIN sh b ON a.item = b.item AND a.id <> b.id
+                    GROUP BY 1, 2),
+          pairs AS (SELECT id_a, id_b
+                    FROM inter JOIN sz ON sz.id = id_a
+                    WHERE CAST(i AS DOUBLE) / sz.sz >= 0.9),
+          dropped AS (SELECT DISTINCT p.id_a
+                      FROM pairs p
+                      JOIN sz sa ON sa.id = p.id_a
+                      JOIN sz sb ON sb.id = p.id_b
+                      WHERE sb.sz > sa.sz OR (sb.sz = sa.sz AND p.id_b < p.id_a))
+          SELECT id AS doc_id, CAST(sz AS BIGINT) AS n_items
+          FROM sz WHERE id NOT IN (SELECT id_a FROM dropped)""",
     // q149: replay the paragraph construction, the (id, pos)-first
     // keeper rule, and the position-ordered reassembly exactly.
     "q149_paragraph_dedup" ->

@@ -616,6 +616,25 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] { TextDedup.containmentPairs(sets, 1.1) }
   }
 
+  test("removeContained: excerpts drop in favor of containers; identical sets keep the min id; chains resolve") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "a b c d e f g h i j k l",  // container — survives
+      2L -> "a b c d e f g h i j",      // excerpt of 1 — drops
+      3L -> "q r s t u v w x y z",      // unrelated — survives
+      4L -> "m n o p",                  // identical twin, min id — survives
+      5L -> "m n o p",                  // identical twin — drops
+      6L -> "a b c d e f g h").toDF("doc_id", "text") // excerpt of 2 (and 1) — drops
+    val sets = TextDedup.tokenSets(docs, "doc_id", "text")
+    val got = TextDedup.removeContained(sets, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 12L, 3L -> 10L, 4L -> 4L), got.toString)
+    // the banded production path lands identically on this fixture
+    val banded = TextDedup.removeContained(sets, 0.9, banded = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(banded == got)
+  }
+
   test("containmentPairsBanded: exact-equal to containmentPairs when sketches cover the probe sets") {
     import spark.implicits._
     // the q163/q185 construction at fixture scale: snippet docs carry

@@ -50,7 +50,7 @@ object PlanGolden {
     "q169_domain_stats_incremental", "q170_html_links",
     "q172_langid_learned", "q176_hits",
     "q180_corpus_pipeline", "q185_containment_banded", "q186_index_incremental",
-    "q188_bm25_store")
+    "q188_bm25_store", "q191_containment_dedup")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSpec.session

@@ -357,6 +357,12 @@ class PlanShapeSpec extends SparkSpec {
     "q188_bm25_store" -> PlanGolden.Shape(
       "Project>Filter>Window>WindowGroupLimit>Aggregate>Project>Join>Project>Join>Project>Join>Project>Join>Filter>LogicalRDD>Aggregate>Project>LogicalRDD>Aggregate>Project>Join>Project>Filter>LogicalRDD>Aggregate>Project>LogicalRDD>Project>Filter>Window>GlobalLimit>LocalLimit>Sort>Aggregate>Project>LogicalRDD>Aggregate>Aggregate>Project>LogicalRDD",
       259),
+    // containment apply: the exact pair join + sizes attach + the
+    // keeper-rule anti-Join, sets checkpointed once for pairs/sizes/
+    // survivors; a second pair-generation subtree is the regression
+    "q191_containment_dedup" -> PlanGolden.Shape(
+      "Project>Join>Aggregate>Project>LogicalRDD>Aggregate>Project>Join>Project>Join>Project>Filter>Aggregate>Aggregate>Project>Join>Filter>Generate>Aggregate>Project>Join>Project>Generate>Project>Aggregate>Union>Project>Join>Filter>LogicalRDD>Filter>Aggregate>Project>LogicalRDD>Project>Join>Project>Join>Filter>LogicalRDD>Project>Filter>Aggregate>Project>LogicalRDD>Filter>Aggregate>Project>LogicalRDD>Project>Join>Filter>LogicalRDD>Aggregate>Project>Filter>LogicalRDD>Filter>LogicalRDD>Aggregate>Project>Filter>LogicalRDD>Aggregate>Project>Filter>LogicalRDD",
+      278),
     "q176_hits" -> PlanGolden.Shape(
       "Project>Join>Project>Join>Project>Join>Project>Filter>LogicalRelation>Aggregate>Project>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Join>Project>Join>Project>Filter>LogicalRelation>Aggregate>Project>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD>Aggregate>Aggregate>Project>Join>Project>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD>Aggregate>Aggregate>Project>Join>Project>Filter>Generate>Project>LogicalRelation>Project>Join>Project>Join>Project>Filter>LogicalRelation>Aggregate>Project>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD>Aggregate>Aggregate>Project>Join>Project>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD>Project>Join>Project>Join>Project>Filter>LogicalRelation>Aggregate>Project>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD>Aggregate>Aggregate>Project>Join>Project>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD",
       554))
