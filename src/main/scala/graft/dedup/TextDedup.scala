@@ -847,8 +847,9 @@ object TextDedup {
     * retains the content; the excerpt adds nothing). Keeper order is
     * (size desc, id asc): a contained set is dropped when its
     * container is strictly larger, or equal-sized with a smaller id
-    * (equal-sized mutual containment = identical sets — exactly one
-    * survives). Chains (a ⊂ b ⊂ c) resolve transitively: a and b both
+    * (equal-sized mutual t-containment — exactly one survives;
+    * the two are identical sets when t = 1, merely ≥t-overlapping
+    * below it). Chains (a ⊂ b ⊂ c) resolve transitively: a and b both
     * drop, c retains the content — the standard dedup stance.
     *
     * `banded = true` routes candidate generation through

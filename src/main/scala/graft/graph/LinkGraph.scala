@@ -55,7 +55,11 @@ object LinkGraph {
     // empty graph → empty ranks (schema preserved), not a crash
     if (n == 0)
       return nodes.select(col(idCol)).withColumn("rank_micro", lit(0L))
-    val r0 = scale / n
+    // Underflow floor, same stance as hits: with n > scale, scale/n
+    // truncates to 0 and every rank (and the teleport term) would
+    // silently stay 0. Flooring at 1 changes NO result on any graph
+    // where scale/n >= 1 and keeps the iteration live on larger ones.
+    val r0 = math.max(scale / n, 1L)
     val teleport = (100L - dampingPct) * r0 / 100L
     val deg = edges.groupBy(col(srcCol).as("_src")).agg(count(lit(1)).as("_deg"))
     val edgesDeg = edges
@@ -121,7 +125,8 @@ object LinkGraph {
     val n = nodes.select(col(idCol)).distinct().count()
     if (n == 0)
       return nodes.select(col(idCol)).withColumn("rank_micro", lit(0L))
-    val r0 = scale / n
+    // Same underflow floor as pageRank/hits — see the comment there.
+    val r0 = math.max(scale / n, 1L)
     val teleport = (100L - dampingPct) * r0 / 100L
     val deg = store.groupBy(col("src").as("_src")).agg(sum(col("n_links")).as("_deg"))
     val edgesDeg = store

@@ -145,7 +145,7 @@ object RedactionQueries {
           when(k % 3 === 0, concat(lit(" meeting "), (k % 12 + 1).cast("string"),
             lit("/"), (k % 28 + 1).cast("string"), lit("/2024"))).otherwise(""),
           when(k % 2 === 0, concat(lit(" in "), pick(localeCities, 30),
-            lit(", "), pick(localeStates, 49))).otherwise("")).as("text"))
+            lit(", "), pick(localeStates, localeStates.size))).otherwise("")).as("text"))
       Redaction.scrubTexts(planted, "doc_id", "text", localePatterns)
     }),
 
@@ -272,7 +272,7 @@ object RedactionQueries {
            || CASE WHEN doc_id % 3 = 0 THEN ' meeting ' || CAST(doc_id % 12 + 1 AS VARCHAR)
                 || '/' || CAST(doc_id % 28 + 1 AS VARCHAR) || '/2024' ELSE '' END
            || CASE WHEN doc_id % 2 = 0 THEN ' in ' || (${sqlList(localeCities)})[CAST(doc_id % 30 AS INT) + 1]
-                || ', ' || (${sqlList(localeStates)})[CAST(doc_id % 49 AS INT) + 1] ELSE '' END
+                || ', ' || (${sqlList(localeStates)})[CAST(doc_id % ${localeStates.size} AS INT) + 1] ELSE '' END
            AS text
          FROM documents),
        c AS (

@@ -124,8 +124,12 @@ object Redaction {
     * match appears, so the merged pass is bit-identical to the
     * reference's one-compiled-pattern-per-term loop. */
   private[services] def canOverlap(a: String, b: String): Boolean = {
-    val aw = a.toLowerCase.split("\\s+")
-    val bw = b.toLowerCase.split("\\s+")
+    // \b fires at EVERY word/non-word transition, not just whitespace,
+    // so a punctuation-bearing literal ("Washington D.C") exposes
+    // interior boundaries — tokenize on \W+ (what \b actually
+    // delimits), else two grouped terms could overlap undetected.
+    val aw = a.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    val bw = b.toLowerCase.split("\\W+").filter(_.nonEmpty)
     def sufPre(x: Array[String], y: Array[String]) =
       (1 to math.min(x.length, y.length))
         .exists(k => x.takeRight(k).sameElements(y.take(k)))

@@ -202,18 +202,33 @@ object Jdbc {
     }
   }
 
-  /** Executor-JVM-wide connection pools, one per (url, user) target
-    * (ref core/resources.py:136 ResourcePool). Stale connections are
+  /** Executor-JVM-wide connection pools, one per effective
+    * CONFIGURATION — url, pool size, and a digest of every connection
+    * property (ref core/resources.py:136 ResourcePool). Keying on the
+    * full config (not just url+user) means a later call with a
+    * different `maxPoolSize` or rotated credentials gets its own pool
+    * instead of silently inheriting the first caller's frozen cap and
+    * captured password; the digest keeps secrets out of the key
+    * string. Stale connections are
     * validated out on acquire (isValid(2) — the 2 s liveness probe);
     * the pool bounds IDLE retention, so a burst past `maxPoolSize`
     * creates short-lived extras rather than blocking tasks. */
   private val pools =
     new java.util.concurrent.ConcurrentHashMap[String, graft.ops.ResourcePool[java.sql.Connection]]()
 
+  private def poolKey(url: String, props: java.util.Properties, maxSize: Int): String = {
+    import scala.jdk.CollectionConverters._
+    val digest = java.security.MessageDigest.getInstance("MD5").digest(
+      props.stringPropertyNames().asScala.toSeq.sorted
+        .map(k => k + "=" + props.getProperty(k)).mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    s"$url $maxSize $digest"
+  }
+
   private[sources] def connectionPool(
       url: String, props: java.util.Properties,
       maxSize: Int): graft.ops.ResourcePool[java.sql.Connection] =
-    pools.computeIfAbsent(url + " " + props.getProperty("user", ""), _ =>
+    pools.computeIfAbsent(poolKey(url, props, maxSize), _ =>
       new graft.ops.ResourcePool[java.sql.Connection](
         factory = () => java.sql.DriverManager.getConnection(url, props),
         maxSize = maxSize,
