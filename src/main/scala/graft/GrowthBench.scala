@@ -77,6 +77,7 @@ object GrowthBench {
     "q125_dedup_prefix" -> (8.0, "PPJoin: prefix explode bounded by (1-t)|set|, candidate-linear"),
     "q185_containment_banded" -> (8.0, "bottom-s sketch probe x cold index: constant sketch rows per set, candidate-bounded exact verify - candidate-linear like q125"),
     "q191_containment_dedup" -> (8.0, "containment apply: the exact-pair oracle path + sizes attach + anti-join, all pair-linear; budget = the q125/q185 candidate-linear allowance"),
+    "q191a_containment_dedup_banded" -> (8.0, "banded containment apply (the production composition): q185's constant-sketch probe + sizes attach + anti-join, candidate-linear; budget = the q185/q191 allowance"),
     "q126_repeated_spans" -> (8.0, "positional gram groupBy + hot/cold rejoin: gram-linear"),
     "q126a_repeated_spans_fast" -> (8.0, "q126 minus oracle scaffolding: gram-linear"),
     "q127_chunk" -> (6.0, "pure narrow projection: token-linear"),

@@ -126,13 +126,15 @@ object DedupQueries {
         TextDedup.shingleSets(base.unionByName(snip), "doc_id", "text", N), 0.9)
     }),
 
-    // Banded containment PRODUCTION path (rows-only ⊘ — the sketch
-    // probe is the non-oracle half; every emitted containment value is
-    // still EXACT via the shared verify): q163's corpus through the
-    // bottom-s sketch candidate generator. Snippets carry ≤ 28 shingles
-    // ≤ the 32-item sketch, so candidate generation is exact for them
-    // and DedupSpec pins banded == exact on this very construction;
-    // recall for larger probe sets is the gated estimate trade.
+    // Banded containment PRODUCTION path under the FULL hash gate
+    // (r16, the r15 verdict's #3): every stage is deterministic —
+    // md5-derived item ids, bottom-32 sketch by (hash, item), the
+    // k ≥ (t−slack)·m count filter in double arithmetic, exact verify
+    // over the full sets — so the oracle replays sketch + probe +
+    // verify stage-for-stage in DuckDB (the q93/q123 discipline).
+    // Snippets carry ≤ 28 shingles ≤ the 32-item sketch, so candidate
+    // generation is exact for them; recall for larger probe sets is
+    // the gated estimate trade (DedupSpec).
     "q185_containment_banded" -> ((s, d) => {
       val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val snip = base.filter(col("doc_id") % 11 === 0)
@@ -140,6 +142,22 @@ object DedupQueries {
           array_join(slice(split(col("text"), " "), 1, 30), " ").as("text"))
       TextDedup.containmentPairsBanded(
         TextDedup.shingleSets(base.unionByName(snip), "doc_id", "text", N), 0.9)
+    }),
+
+    // The banded APPLY path as a per-round bench artifact (rows-only ⊘
+    // by the r15 verdict's ask: q191 hashes the keeper RULE on the
+    // exact pairs; this row RUNS removeContained(banded = true) — the
+    // production composition — every round. DedupSpec pins banded ==
+    // exact on this very fixture, so the two rows must agree).
+    "q191a_containment_dedup_banded" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val snip = base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 30), " ").as("text"))
+      TextDedup.removeContained(
+        TextDedup.shingleSets(base.unionByName(snip), "doc_id", "text", N), 0.9,
+        banded = true)
+        .withColumnRenamed("id", "doc_id")
     }),
 
     // The APPLY half of the containment family under the FULL hash
@@ -712,6 +730,51 @@ object DedupQueries {
           SELECT id_a, id_b, CAST(i AS DOUBLE) / sz.sz AS containment
           FROM inter JOIN sz ON sz.id = id_a
           WHERE CAST(i AS DOUBLE) / sz.sz >= 0.9""",
+    // q185: the BANDED containment replay, stage-for-stage — hot-item
+    // cut (df > 100000, vacuous at this scale but replayed), bottom-32
+    // sketch ordered by (md5-derived 32-bit id, item), the
+    // k ≥ (0.9−0.2)·m candidate count filter (CAST AS DOUBLE on both
+    // constants so DuckDB's decimal literals don't round what Spark's
+    // constant-folded double subtraction doesn't), then the exact
+    // verify over the FULL item sets restricted to candidates.
+    "q185_containment_banded" ->
+      s"""WITH docs AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000,
+              array_to_string(list_slice(string_split(text, ' '), 1, 30), ' ')
+            FROM documents WHERE doc_id % 11 = 0),
+          w AS (SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws
+                FROM docs),
+          sh AS (SELECT DISTINCT doc_id AS id,
+                        ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS item
+                 FROM w, unnest(range(1, len(ws) - 1)) AS t(i)
+                 WHERE len(ws) >= $N),
+          freq AS (SELECT item, count(*) AS df FROM sh GROUP BY item),
+          cold AS (SELECT id, item FROM sh
+                   WHERE item NOT IN (SELECT item FROM freq WHERE df > 100000)),
+          ranked AS (SELECT id, item,
+                       row_number() OVER (PARTITION BY id
+                         ORDER BY CAST(concat('0x', substr(md5(item), 1, 8)) AS BIGINT), item) AS rn,
+                       count(*) OVER (PARTITION BY id) AS n
+                     FROM cold),
+          sketch AS (SELECT id AS id_a, least(n, 32) AS m, item
+                     FROM ranked WHERE rn <= 32),
+          cand AS (SELECT s.id_a, c.id AS id_b, s.m, count(*) AS k
+                   FROM sketch s JOIN cold c ON s.item = c.item AND s.id_a <> c.id
+                   GROUP BY 1, 2, 3),
+          candf AS (SELECT id_a, id_b FROM cand
+                    WHERE k >= (CAST(0.9 AS DOUBLE) - CAST(0.2 AS DOUBLE)) * m),
+          sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+          inter AS (SELECT cf.id_a, cf.id_b, count(*) AS i
+                    FROM candf cf
+                    JOIN sh a ON a.id = cf.id_a
+                    JOIN sh b ON b.id = cf.id_b AND b.item = a.item
+                    GROUP BY 1, 2)
+          SELECT i.id_a, i.id_b, CAST(i.i AS DOUBLE) / sz.sz AS containment
+          FROM inter i JOIN sz ON sz.id = i.id_a
+          WHERE CAST(i.i AS DOUBLE) / sz.sz >= 0.9""",
     // q191: the q163 pair replay + sizes + the (size desc, id asc)
     // keeper rule; survivors are the anti-join
     "q191_containment_dedup" ->
