@@ -283,10 +283,27 @@ object LinkGraph {
     */
   def triangleCounts(
       nodes: DataFrame, idCol: String,
-      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val und = edges
-      .select(least(col(srcCol), col(dstCol)).as("_a"),
-        greatest(col(srcCol), col(dstCol)).as("_b"))
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    triangleCountsUnd(nodes, idCol,
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+
+  /** [[triangleCounts]] over an [[adjacencyStore]] — the incremental-
+    * webgraph contract for the STRUCTURE signal: a crawl batch folds
+    * into the store (work ∝ batch) and triangle counting reads the
+    * store directly. Triangles live on the undirected SIMPLE graph, so
+    * direction and `n_links` multiplicity collapse in the same
+    * canonicalization raw edges get — store-fed counts are
+    * row-identical to the raw-edge path (spec-pinned).
+    * → (idCol, degree, triangles, clustering) */
+  def triangleCountsFromStore(
+      nodes: DataFrame, idCol: String, store: DataFrame): DataFrame =
+    triangleCountsUnd(nodes, idCol, store.select(col("src"), col("dst")))
+
+  private def triangleCountsUnd(
+      nodes: DataFrame, idCol: String, rawEdges: DataFrame): DataFrame = {
+    val und = rawEdges
+      .select(least(col("src"), col("dst")).as("_a"),
+        greatest(col("src"), col("dst")).as("_b"))
       .filter(col("_a") =!= col("_b")).distinct()
       .localCheckpoint(true) // feeds degree, orientation, closure and count branches
     val deg = und
@@ -403,16 +420,77 @@ object LinkGraph {
   def labelPropagation(
       nodes: DataFrame, idCol: String,
       edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 3, checkpointEvery: Int = 0): DataFrame = {
+      iters: Int = 3, checkpointEvery: Int = 0): DataFrame =
+    lpaSweeps(nodes, idCol,
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")),
+      iters, checkpointEvery, seed = None)
+
+  /** [[labelPropagation]] over an [[adjacencyStore]], with optional
+    * WARM START from previously published labels — the q187
+    * incremental-webgraph contract for the community signal: the store
+    * folds a crawl batch in (work ∝ batch) and sweeps seed from the
+    * previous round's labels instead of each node's own id, so only
+    * the perturbed neighborhoods move (the absorbing state is a sweep
+    * fixed point: re-running on an unchanged graph is a no-op).
+    * Labels live on the undirected SIMPLE graph — `n_links`
+    * multiplicity collapses in the distinct, exactly as parallel raw
+    * edges do, so store-fed sweeps are row-identical to the raw-edge
+    * path (spec-pinned). Nodes absent from the seed (newly discovered
+    * pages) start at their own id, the cold rule. → (idCol, label) */
+  def labelPropagationFromStore(
+      nodes: DataFrame, idCol: String, store: DataFrame,
+      iters: Int = 3, checkpointEvery: Int = 0,
+      seed: Option[DataFrame] = None): DataFrame =
+    lpaSweeps(nodes, idCol, store.select(col("src"), col("dst")),
+      iters, checkpointEvery, seed)
+
+  /** Sweep [[labelPropagationFromStore]] to the synchronous fixed
+    * point (no label moves) and report how many sweeps it took — the
+    * warm-start instrument, mirroring [[pageRankFixedPoint]]. One
+    * bounded driver action per sweep (the changed-count probe).
+    * Synchronous LPA can 2-cycle on bipartite-ish structures, which is
+    * why the published algorithm is asynchronous; `maxSweeps` bounds
+    * that here (callers get the last state and the bound back).
+    * → (labels at the fixed point, sweeps used) */
+  def labelPropagationFixedPoint(
+      nodes: DataFrame, idCol: String, store: DataFrame,
+      maxSweeps: Int = 50, seed: Option[DataFrame] = None): (DataFrame, Int) = {
+    require(maxSweeps >= 1, s"maxSweeps must be >= 1, got $maxSweeps")
+    var prev = seed.getOrElse(nodes.select(col(idCol), col(idCol).as("label")))
+      .localCheckpoint(true)
+    var i = 0
+    while (i < maxSweeps) {
+      val next = labelPropagationFromStore(nodes, idCol, store,
+        iters = 1, seed = Some(prev)).localCheckpoint(true)
+      i += 1
+      val moved = next.withColumnRenamed("label", "_new")
+        .join(prev.withColumnRenamed(idCol, "_pv"), col(idCol) === col("_pv"))
+        .filter(col("_new") =!= col("label")).limit(1).count()
+      prev = next
+      if (moved == 0L) return (prev, i)
+    }
+    (prev, i)
+  }
+
+  private def lpaSweeps(
+      nodes: DataFrame, idCol: String, rawEdges: DataFrame,
+      iters: Int, checkpointEvery: Int, seed: Option[DataFrame]): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val und = edges
-      .select(least(col(srcCol), col(dstCol)).as("_a"),
-        greatest(col(srcCol), col(dstCol)).as("_b"))
+    val und = rawEdges
+      .select(least(col("src"), col("dst")).as("_a"),
+        greatest(col("src"), col("dst")).as("_b"))
       .filter(col("_a") =!= col("_b")).distinct()
     val nbrs = und.select(col("_a").as("_u"), col("_b").as("_w"))
       .unionByName(und.select(col("_b").as("_u"), col("_a").as("_w")))
       .localCheckpoint(true) // read once per sweep; edges never re-derive
-    var labels = nodes.select(col(idCol).as("_v"), col(idCol).as("_l"))
+    var labels = seed match {
+      case Some(sd) =>
+        nodes.select(col(idCol).as("_v"))
+          .join(sd.select(col(idCol).as("_sv"), col("label").as("_sl")),
+            col("_v") === col("_sv"), "left")
+          .select(col("_v"), coalesce(col("_sl"), col("_v")).as("_l"))
+      case None => nodes.select(col(idCol).as("_v"), col(idCol).as("_l"))
+    }
     var i = 1
     while (i <= iters) {
       // min_by's ordering struct is unique per group (labels are
@@ -594,5 +672,110 @@ object LinkGraph {
     }
     hub.join(auth.withColumnRenamed("_v", "_v2"), col("_v") === col("_v2"))
       .select(col("_v").as(idCol), col("_h").as("hub_micro"), col("_a").as("auth_micro"))
+  }
+
+  /** [[hits]] over an [[adjacencyStore]], with optional WARM START —
+    * the q187 incremental-webgraph contract for the hub/authority
+    * pair: the store folds a crawl batch in (work ∝ batch) and hub
+    * scores seed from the PREVIOUS round's published output instead of
+    * uniform (only the hub vector is state — each round's first
+    * half-step derives auth from hub, so a seed carrying `hub_micro`
+    * is the complete warm start; HITS' power iteration converges from
+    * any non-degenerate start, and seeding near the fixed point
+    * shrinks the initial error, the Langville & Meyer updating
+    * argument). Nodes absent from the seed start at the uniform floor,
+    * the cold rule. Sum arithmetic replays [[hits]] exactly: each
+    * (src,dst,n_links) row contributes score·n_links where the raw
+    * loop sums the score once per parallel edge — bit-identical
+    * (spec-pinned). → (idCol, hub_micro, auth_micro) */
+  def hitsFromStore(
+      nodes: DataFrame, idCol: String, store: DataFrame,
+      iters: Int = 2, scale: Long = 1000000L,
+      checkpointEvery: Int = 1, seed: Option[DataFrame] = None): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    val n = nodes.select(col(idCol)).distinct().count()
+    if (n == 0)
+      return nodes.select(col(idCol))
+        .withColumn("hub_micro", lit(0L)).withColumn("auth_micro", lit(0L))
+    val e = store.select(col("src").as("_s"), col("dst").as("_d"), col("n_links").as("_w"))
+    val vs = nodes.select(col(idCol).as("_v"))
+    // same underflow floor as hits — see the comment there
+    val h0 = math.max(scale / n, 1L)
+    var hub = seed match {
+      case Some(sd) =>
+        vs.join(sd.select(col(idCol).as("_sv"), col("hub_micro").as("_sh")),
+            col("_v") === col("_sv"), "left")
+          .select(col("_v"), coalesce(col("_sh"), lit(h0)).as("_h"))
+      case None => vs.withColumn("_h", lit(h0))
+    }
+    var auth = vs.withColumn("_a", lit(0L))
+    var i = 1
+    while (i <= iters) {
+      val aU = e.join(hub.withColumnRenamed("_v", "_hv"), col("_s") === col("_hv"))
+        .groupBy(col("_d")).agg(sum(col("_h") * col("_w")).as("_au"))
+      val aTot = aU.agg(coalesce(sum(col("_au")), lit(0L)).as("_tot"))
+      auth = vs.join(aU, col("_v") === col("_d"), "left")
+        .crossJoin(broadcast(aTot))
+        .select(col("_v"),
+          when(col("_tot") > 0,
+            expr(s"(coalesce(_au, 0L) * ${scale}L) div _tot"))
+            .otherwise(lit(0L)).as("_a"))
+      val hU = e.join(auth.withColumnRenamed("_v", "_av"), col("_d") === col("_av"))
+        .groupBy(col("_s")).agg(sum(col("_a") * col("_w")).as("_hu"))
+      val hTot = hU.agg(coalesce(sum(col("_hu")), lit(0L)).as("_tot"))
+      hub = vs.join(hU, col("_v") === col("_s"), "left")
+        .crossJoin(broadcast(hTot))
+        .select(col("_v"),
+          when(col("_tot") > 0,
+            expr(s"(coalesce(_hu, 0L) * ${scale}L) div _tot"))
+            .otherwise(lit(0L)).as("_h"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters) {
+        hub = hub.localCheckpoint(true)
+        auth = auth.localCheckpoint(true)
+      }
+      i += 1
+    }
+    hub.join(auth.withColumnRenamed("_v", "_v2"), col("_v") === col("_v2"))
+      .select(col("_v").as(idCol), col("_h").as("hub_micro"), col("_a").as("auth_micro"))
+  }
+
+  /** Iterate [[hitsFromStore]] to the integer-grid fixed point (hub
+    * vector unchanged round-over-round) and report the rounds used —
+    * the warm-start instrument, mirroring [[pageRankFixedPoint]]: the
+    * hub vector is the complete state, so its L1 movement is the
+    * convergence test. One bounded driver action per round. Unlike
+    * PageRank (whose teleport affine term pins a unique absorbing
+    * state), the renormalizing truncation admits NEIGHBORING absorbing
+    * states differing by 1 grid unit per score, so different seeds may
+    * absorb one micro apart — start-independence holds up to the
+    * quantization band (spec-pinned).
+    * → ((hub, auth) at the fixed point, rounds used) */
+  def hitsFixedPoint(
+      nodes: DataFrame, idCol: String, store: DataFrame,
+      maxIters: Int = 100, scale: Long = 1000000L,
+      tolMicro: Long = 0L, seed: Option[DataFrame] = None): (DataFrame, Int) = {
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    require(tolMicro >= 0, s"tolMicro must be >= 0, got $tolMicro")
+    var prev = seed.getOrElse {
+      val n = math.max(nodes.select(col(idCol)).distinct().count(), 1L)
+      nodes.select(col(idCol))
+        .withColumn("hub_micro", lit(math.max(scale / n, 1L)))
+        .withColumn("auth_micro", lit(0L))
+    }.localCheckpoint(true)
+    var i = 0
+    while (i < maxIters) {
+      val next = hitsFromStore(nodes, idCol, store, iters = 1,
+        scale = scale, seed = Some(prev)).localCheckpoint(true)
+      i += 1
+      val l1 = next.withColumnRenamed("hub_micro", "_new")
+        .join(prev.select(col(idCol).as("_pv"), col("hub_micro")),
+          col(idCol) === col("_pv"))
+        .agg(coalesce(sum(abs(col("_new") - col("hub_micro"))), lit(0L)))
+        .head().getLong(0)
+      prev = next
+      if (l1 <= tolMicro) return (prev, i)
+    }
+    (prev, i)
   }
 }

@@ -596,6 +596,69 @@ object WebQueries {
         seed = Some(seed))
     }),
 
+    // Incremental webgraph + warm-start HITS (full DuckDB oracle, the
+    // q187 discipline applied to the hub/authority pair — r15 verdict
+    // #4): 2 cold rounds on the signed history graph (src % 10 ≠ 0)
+    // publish hub scores; the batch folds into the mergeable adjacency
+    // store and 2 warm rounds run seeded from the published hubs (the
+    // hub vector is the complete state — each round's first half-step
+    // derives auth from hub). The oracle unrolls all 8 half-steps on
+    // the micro grid, cold phase on the old edges, warm on the full
+    // graph — digit-for-digit, so incremental can never drift.
+    "q192_hits_warm" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      val all = webgraph(docs, n)
+      val old = all.filter(col("src") % 10 =!= 0)
+      val store = LinkGraph.mergeAdjacency(
+        LinkGraph.adjacencyStore(old, "src", "dst").localCheckpoint(true),
+        all.filter(col("src") % 10 === 0), "src", "dst")
+      val seed = LinkGraph.hits(docs, "doc_id", old, "src", "dst", iters = 2)
+        .localCheckpoint(true) // the previous round's published scores
+      LinkGraph.hitsFromStore(docs, "doc_id", store, iters = 2,
+        seed = Some(seed))
+    }),
+
+    // Incremental webgraph + warm-start LPA (full DuckDB oracle, the
+    // q187 discipline on the community signal): 3 cold sweeps on the
+    // history graph publish labels; the batch folds into the store and
+    // 2 warm sweeps run seeded from them (LPA's absorbing state is a
+    // sweep fixed point — unchanged neighborhoods are no-ops). The
+    // oracle unrolls all 5 sweeps, cold on the old undirected simple
+    // graph, warm on the merged one.
+    "q193_lpa_warm" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      val all = webgraph(docs, n)
+      val old = all.filter(col("src") % 10 =!= 0)
+      val store = LinkGraph.mergeAdjacency(
+        LinkGraph.adjacencyStore(old, "src", "dst").localCheckpoint(true),
+        all.filter(col("src") % 10 === 0), "src", "dst")
+      val seed = LinkGraph.labelPropagation(docs, "doc_id", old, "src", "dst",
+        iters = 3).localCheckpoint(true)
+      LinkGraph.labelPropagationFromStore(docs, "doc_id", store, iters = 2,
+        seed = Some(seed))
+    }),
+
+    // Store-fed triangle counting (full DuckDB oracle — q158's SQL
+    // VERBATIM on the incrementally merged store, the q186 pattern):
+    // the STRUCTURE signal joins the daily-crawl contract — history is
+    // present only as its adjacency store, the batch folds in with one
+    // groupBy-sum, and triangle counts read the store directly.
+    // Triangles live on the undirected simple graph, so direction and
+    // n_links multiplicity collapse exactly as raw parallel edges do —
+    // the merged-store answer must hash-equal the full raw-edge q158.
+    "q194_triangles_store" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      val all = webgraph(docs, n)
+      val old = all.filter(col("src") % 10 =!= 0)
+      val store = LinkGraph.mergeAdjacency(
+        LinkGraph.adjacencyStore(old, "src", "dst").localCheckpoint(true),
+        all.filter(col("src") % 10 === 0), "src", "dst")
+      LinkGraph.triangleCountsFromStore(docs, "doc_id", store)
+    }),
+
     // HyperBall harmonic (rows-only ⊘ — DataSketches HLL is not
     // DuckDB-replayable): the webgraph-scale path, one mergeable
     // sketch per node instead of the exact pair set. LinkGraphSpec
@@ -952,12 +1015,12 @@ object WebQueries {
          e0 AS (
            SELECT doc_id AS src, (doc_id * 31 + 7 * j) % (SELECT n FROM nn) AS dst
            FROM documents, unnest(range(1, doc_id % 3 + 2)) AS t(j)),
-         und AS (
+         und AS MATERIALIZED (
            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
            FROM e0 WHERE src <> dst),
-         nbr AS (SELECT a AS u, b AS w FROM und
+         nbr AS MATERIALIZED (SELECT a AS u, b AS w FROM und
                  UNION ALL SELECT b AS u, a AS w FROM und),
-         l0 AS (SELECT doc_id AS v, doc_id AS l FROM documents)"""
+         l0 AS MATERIALIZED (SELECT doc_id AS v, doc_id AS l FROM documents)"""
     val sweeps = (1 to 3).map { i =>
       s"""c$i AS (
            SELECT n.u AS v, l.l AS lbl, count(*) AS c
@@ -1214,6 +1277,97 @@ object WebQueries {
        SELECT h2.v AS doc_id, h2.h AS hub_micro, a2.a AS auth_micro
        FROM h2 JOIN a2 ON a2.v = h2.v"""
 
+  /** One HITS round as oracle CTEs: auth half-step (sum hub over
+    * `edge` src→dst, renormalize `* scale // total`) then hub
+    * half-step — q176Sql's arithmetic parameterized on the edge CTE
+    * and the previous hub CTE so the q192 warm unroll can switch edge
+    * sets mid-chain. Emits CTEs a{tag}u/a{tag}t/a{tag}/h{tag}u/
+    * h{tag}t/h{tag}. */
+  private def hitsRoundSql(tag: String, edge: String, prevHub: String): String =
+    s"""a${tag}u AS MATERIALIZED (SELECT $edge.dst AS v, CAST(sum(p.h) AS BIGINT) AS au
+               FROM $edge JOIN $prevHub p ON p.v = $edge.src GROUP BY $edge.dst),
+       a${tag}t AS MATERIALIZED (SELECT CAST(coalesce(sum(au), 0) AS BIGINT) AS tot FROM a${tag}u),
+       a$tag AS MATERIALIZED (SELECT n.v,
+                CASE WHEN (SELECT tot FROM a${tag}t) > 0
+                  THEN CAST((coalesce(a${tag}u.au, 0) * 1000000) // (SELECT tot FROM a${tag}t) AS BIGINT)
+                  ELSE 0 END AS a
+              FROM nodes n LEFT JOIN a${tag}u ON a${tag}u.v = n.v),
+       h${tag}u AS MATERIALIZED (SELECT $edge.src AS v, CAST(sum(a$tag.a) AS BIGINT) AS hu
+               FROM $edge JOIN a$tag ON a$tag.v = $edge.dst GROUP BY $edge.src),
+       h${tag}t AS MATERIALIZED (SELECT CAST(coalesce(sum(hu), 0) AS BIGINT) AS tot FROM h${tag}u),
+       h$tag AS MATERIALIZED (SELECT n.v,
+                CASE WHEN (SELECT tot FROM h${tag}t) > 0
+                  THEN CAST((coalesce(h${tag}u.hu, 0) * 1000000) // (SELECT tot FROM h${tag}t) AS BIGINT)
+                  ELSE 0 END AS h
+              FROM nodes n LEFT JOIN h${tag}u ON h${tag}u.v = n.v)"""
+
+  /** q192 oracle: q176's integer grid over BOTH phases — 2 cold HITS
+    * rounds on the old graph (src % 10 ≠ 0) from the uniform floor,
+    * then 2 warm rounds on the FULL graph seeded by the cold hubs
+    * (auth restarts at 0 each round's first half-step, exactly the
+    * Spark loop). All 8 half-steps unrolled. */
+  private val q192Sql = {
+    val base =
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+         nodes AS (SELECT doc_id AS v FROM documents),
+         e AS MATERIALIZED (
+           SELECT doc_id AS src,
+             (doc_id * 31 + 7 * j) % (SELECT n FROM nn) AS dst
+           FROM documents, unnest(range(1, doc_id % 3 + 2)) AS t(j)),
+         eo AS MATERIALIZED (SELECT * FROM e WHERE src % 10 <> 0),
+         hz AS MATERIALIZED (SELECT v, (SELECT greatest(1000000 // n, 1) FROM nn) AS h FROM nodes)"""
+    val rounds = Seq(
+      hitsRoundSql("c1", "eo", "hz"),
+      hitsRoundSql("c2", "eo", "hc1"),
+      hitsRoundSql("w1", "e", "hc2"),
+      hitsRoundSql("w2", "e", "hw1")).mkString(",\n")
+    s"""$base,
+       $rounds
+       SELECT hw2.v AS doc_id, hw2.h AS hub_micro, aw2.a AS auth_micro
+       FROM hw2 JOIN aw2 ON aw2.v = hw2.v"""
+  }
+
+  /** One LPA sweep as oracle CTEs (q161Sql's shape parameterized on
+    * the neighbor CTE): neighbor-label count groupBy + (cnt desc,
+    * label asc) argmax window + keep-own-label fallback. */
+  private def lpaSweepSql(i: Int, nbr: String): String =
+    s"""c$i AS MATERIALIZED (
+         SELECT n.u AS v, l.l AS lbl, count(*) AS c
+         FROM $nbr n JOIN l${i - 1} l ON l.v = n.w GROUP BY n.u, l.l),
+       p$i AS MATERIALIZED (
+         SELECT v, lbl FROM (
+           SELECT v, lbl, row_number() OVER (PARTITION BY v
+             ORDER BY c DESC, lbl ASC) AS rn FROM c$i) WHERE rn = 1),
+       l$i AS MATERIALIZED (
+         SELECT a.v, coalesce(p$i.lbl, a.l) AS l
+         FROM l${i - 1} a LEFT JOIN p$i ON p$i.v = a.v)"""
+
+  /** q193 oracle: 3 cold LPA sweeps on the old undirected simple graph
+    * from own-id labels, then 2 warm sweeps on the FULL graph from the
+    * cold labels — all 5 sweeps unrolled CTE-for-CTE. */
+  private val q193Sql = {
+    val base =
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+         e0 AS (
+           SELECT doc_id AS src, (doc_id * 31 + 7 * j) % (SELECT n FROM nn) AS dst
+           FROM documents, unnest(range(1, doc_id % 3 + 2)) AS t(j)),
+         undo AS MATERIALIZED (
+           SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           FROM e0 WHERE src <> dst AND src % 10 <> 0),
+         nbro AS MATERIALIZED (SELECT a AS u, b AS w FROM undo
+                  UNION ALL SELECT b AS u, a AS w FROM undo),
+         und AS (
+           SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           FROM e0 WHERE src <> dst),
+         nbr AS (SELECT a AS u, b AS w FROM und
+                 UNION ALL SELECT b AS u, a AS w FROM und),
+         l0 AS (SELECT doc_id AS v, doc_id AS l FROM documents)"""
+    val sweeps = (
+      (1 to 3).map(i => lpaSweepSql(i, "nbro")) ++
+      (4 to 5).map(i => lpaSweepSql(i, "nbr"))).mkString(",\n")
+    s"$base,\n$sweeps\nSELECT v AS doc_id, CAST(l AS BIGINT) AS label FROM l5"
+  }
+
   /** q179 oracle: identical host/priority/last-fetch construction,
     * identical slot arithmetic (integral `//`), the same two windows
     * and the same budget cut. */
@@ -1253,6 +1407,11 @@ object WebQueries {
     "q173_cdx_parse" -> q173Sql,
     "q175_host_graph" -> q175Sql,
     "q176_hits" -> q176Sql,
+    "q192_hits_warm" -> q192Sql,
+    "q193_lpa_warm" -> q193Sql,
+    // q158's SQL verbatim: the merged store replays the full raw-edge
+    // graph, so the store-fed counts must hash-equal the batch answer
+    "q194_triangles_store" -> q158Sql,
     "q179_frontier_schedule" -> q179Sql,
     "q148_main_content" -> q148Sql,
     "q151_pagerank" -> q151Sql,

@@ -350,4 +350,116 @@ class LinkGraphSpec extends SparkSpec {
     assert(got == Map("host0" -> "host0", "host1" -> "host0", "host2" -> "host0",
       "host3" -> "host2", "host4" -> "host2", "host5" -> "host2"))
   }
+
+  test("hitsFromStore: bit-identical to the raw-edge hits, multi-edges included") {
+    import spark.implicits._
+    val nodes = (0L to 6L).toDF("id")
+    // duplicate edges exercise the n_links-weighted sums
+    val edges = Seq(0L -> 1L, 0L -> 1L, 1L -> 2L, 2L -> 0L, 3L -> 2L,
+      4L -> 5L, 5L -> 4L, 6L -> 0L, 0L -> 3L).toDF("src", "dst")
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val viaStore = LinkGraph.hitsFromStore(nodes, "id",
+      LinkGraph.adjacencyStore(edges, "src", "dst"), iters = 3)
+    assert(scores(viaStore) ==
+      scores(LinkGraph.hits(nodes, "id", edges, "src", "dst", iters = 3)))
+  }
+
+  test("hits seeding decomposes: 1 cold round + 1 seeded round == 2 cold rounds") {
+    import spark.implicits._
+    val nodes = (0L to 6L).toDF("id")
+    val edges = Seq(0L -> 1L, 1L -> 2L, 2L -> 0L, 3L -> 2L,
+      4L -> 5L, 5L -> 4L, 6L -> 0L, 0L -> 3L).toDF("src", "dst")
+    val store = LinkGraph.adjacencyStore(edges, "src", "dst").localCheckpoint(true)
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // the hub vector is the COMPLETE state: seeding round 2 with round
+    // 1's output must land exactly where 2 straight rounds land
+    val r1 = LinkGraph.hits(nodes, "id", edges, "src", "dst", iters = 1)
+      .localCheckpoint(true)
+    assert(scores(LinkGraph.hitsFromStore(nodes, "id", store, iters = 1, seed = Some(r1))) ==
+      scores(LinkGraph.hits(nodes, "id", edges, "src", "dst", iters = 2)))
+  }
+
+  test("warm-start hits: start-independent fixed point; warm tolerance stop never later; replay no-op") {
+    import spark.implicits._
+    val nodes = (0L to 9L).toDF("id")
+    // the warm-start pageRank test's asymmetric graph
+    val oldEdges = ((0L to 9L).map(i => i -> ((i + 1) % 10)) ++
+      Seq(1L, 4L, 7L).map(i => i -> 0L)).toDF("src", "dst")
+    val oldStore = LinkGraph.adjacencyStore(oldEdges, "src", "dst").localCheckpoint(true)
+    val (oldFp0, _) = LinkGraph.hitsFixedPoint(nodes, "id", oldStore)
+    val oldFp = oldFp0.localCheckpoint(true)
+    val batch = Seq(0L -> 5L, 7L -> 2L).toDF("src", "dst")
+    val store = LinkGraph.mergeAdjacency(oldStore, batch, "src", "dst")
+      .localCheckpoint(true)
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val (coldFp, coldRounds) = LinkGraph.hitsFixedPoint(nodes, "id", store)
+    val (warmFp, _) = LinkGraph.hitsFixedPoint(nodes, "id", store, seed = Some(oldFp))
+    // start-independent UP TO THE GRID: the renormalizing `div`
+    // truncation admits neighboring absorbing states, so warm and cold
+    // limits may differ by 1 micro per score (measured: they do, on
+    // exactly this graph) — the band is the quantization unit, never
+    // wider. (PageRank's teleport affine term collapses the band to a
+    // single state; HITS' pure renormalization doesn't.)
+    val (w, c) = (scores(warmFp), scores(coldFp))
+    for (v <- 0L to 9L)
+      assert(math.abs(w(v)._1 - c(v)._1) <= 1L && math.abs(w(v)._2 - c(v)._2) <= 1L,
+        s"node $v outside the quantization band: warm ${w(v)} vs cold ${c(v)}")
+    assert(coldRounds < 100, s"cold run must absorb, used $coldRounds")
+    // tolerance stop from the warm seed never fires later than cold
+    val (_, rWarm) = LinkGraph.hitsFixedPoint(nodes, "id", store,
+      tolMicro = 10000L, seed = Some(oldFp))
+    val (_, rCold) = LinkGraph.hitsFixedPoint(nodes, "id", store, tolMicro = 10000L)
+    assert(rWarm <= rCold, s"warm tolerance stop fired later: $rWarm vs $rCold")
+    // replay: seeding with the fixed point itself is a one-round no-op
+    val (fpAgain, rReplay) = LinkGraph.hitsFixedPoint(nodes, "id", store,
+      seed = Some(coldFp.localCheckpoint(true)))
+    assert(rReplay == 1 && scores(fpAgain) == scores(coldFp))
+  }
+
+  test("labelPropagationFromStore: identical to raw-edge LPA; multiplicity inert; seeding decomposes") {
+    import spark.implicits._
+    val nodes = (0L to 5L).toDF("id")
+    val noisy = (twoTris ++ Seq(1L -> 0L, 2L -> 1L, 0L -> 0L, 4L -> 4L)).toDF("src", "dst")
+    val store = LinkGraph.adjacencyStore(noisy, "src", "dst").localCheckpoint(true)
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(LinkGraph.labelPropagationFromStore(nodes, "id", store, iters = 3)) ==
+      lpa(0L to 5L, twoTris, iters = 3))
+    // sweeps decompose: 2 cold + 1 seeded == 3 cold
+    val l2 = LinkGraph.labelPropagation(nodes, "id", noisy, "src", "dst", iters = 2)
+      .localCheckpoint(true)
+    assert(labels(LinkGraph.labelPropagationFromStore(nodes, "id", store,
+      iters = 1, seed = Some(l2))) == lpa(0L to 5L, twoTris, iters = 3))
+  }
+
+  test("labelPropagationFixedPoint: absorbing state; replay from the fixed point is a one-sweep no-op") {
+    import spark.implicits._
+    val nodes = (0L to 5L).toDF("id")
+    val store = LinkGraph.adjacencyStore(twoTris.toDF("src", "dst"), "src", "dst")
+      .localCheckpoint(true)
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (fp, sweeps) = LinkGraph.labelPropagationFixedPoint(nodes, "id", store)
+    assert(sweeps < 50, s"must absorb, used $sweeps")
+    assert(labels(fp) == lpa(0L to 5L, twoTris, iters = 3),
+      "the fixed point is the converged cold state")
+    val (fpAgain, sReplay) = LinkGraph.labelPropagationFixedPoint(nodes, "id", store,
+      seed = Some(fp.localCheckpoint(true)))
+    assert(sReplay == 1 && labels(fpAgain) == labels(fp))
+  }
+
+  test("triangleCountsFromStore: identical to raw-edge counts — direction and multiplicity collapse") {
+    import spark.implicits._
+    val clean = Seq(0L -> 1L, 1L -> 2L, 2L -> 0L, 2L -> 3L)
+    val noisy = clean ++ Seq(1L -> 0L, 0L -> 1L, 2L -> 2L, 0L -> 0L)
+    val store = LinkGraph.adjacencyStore(noisy.toDF("src", "dst"), "src", "dst")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows(LinkGraph.triangleCountsFromStore((0L to 4L).toDF("id"), "id", store)) ==
+      rows(LinkGraph.triangleCounts((0L to 4L).toDF("id"), "id",
+        clean.toDF("src", "dst"), "src", "dst")))
+  }
 }
