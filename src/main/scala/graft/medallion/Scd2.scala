@@ -156,13 +156,52 @@ object Scd2 {
     import graft.sources.VersionedTable
     val existing = VersionedTable.read(spark, table)
     val merged = merge(existing, source, businessKeys, trackedCols, effectiveDate, deleteIndicator)
-    VersionedTable.commit(spark, table, merged, audit = staged => {
-      val dupCurrent = staged.filter(col("_scd_is_current"))
-        .groupBy(businessKeys.map(col): _*).count()
-        .filter(col("count") > 1).limit(1).count()
-      require(dupCurrent == 0,
-        "SCD2 audit failed: a business key has more than one current row")
-    })
+    VersionedTable.commit(spark, table, merged, audit = scd2Audit(businessKeys))
+  }
+
+  /** The one-current-row-per-key audit [[mergeIntoVersioned]] and the
+    * streaming loop share — the SCD2 invariant every commit must hold. */
+  def scd2Audit(businessKeys: Seq[String]): DataFrame => Unit = staged => {
+    val dupCurrent = staged.filter(col("_scd_is_current"))
+      .groupBy(businessKeys.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).count()
+    require(dupCurrent == 0,
+      "SCD2 audit failed: a business key has more than one current row")
+  }
+
+  /** One IDEMPOTENT merge step into a versioned SCD2 dimension — the
+    * exactly-once streaming contract ([[graft.streaming.Streaming
+    * .foreachBatchVersioned]]'s token discipline applied to REPLACE
+    * semantics): read the current dimension (an empty SCD2 frame when
+    * the table doesn't exist yet, so the first batch IS the initial
+    * load — [[merge]] against an empty `existing` reduces to
+    * [[initialLoad]] row-for-row), merge the batch snapshot, commit
+    * the merged dimension as the next version behind the audit —
+    * keyed by `token`, so a replayed micro-batch (foreachBatch's
+    * at-least-once delivery) collapses to a no-op returning the
+    * original version. N tokens of CDC snapshots fold to exactly the
+    * sequential batch merges, bit-identical (spec-pinned).
+    * Returns the committed (or replayed) version. */
+  def mergeIntoVersionedIdempotent(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      source: DataFrame,
+      businessKeys: Seq[String],
+      trackedCols: Seq[String],
+      effectiveDate: Column,
+      token: String,
+      deleteIndicator: Option[String] = None): Int = {
+    import graft.sources.VersionedTable
+    val existing = VersionedTable.currentVersion(spark, table)
+      .map(_ => VersionedTable.read(spark, table))
+      .getOrElse {
+        val noInd = deleteIndicator.map(source.drop(_)).getOrElse(source)
+        initialLoad(noInd.limit(0), businessKeys, trackedCols, effectiveDate)
+      }
+    val merged = merge(existing, source, businessKeys, trackedCols,
+      effectiveDate, deleteIndicator)
+    VersionedTable.replaceIdempotent(spark, table, merged, token,
+      audit = scd2Audit(businessKeys))
   }
 
   /** scd.py:321 `get_current_records`. */

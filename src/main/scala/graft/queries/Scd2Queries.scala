@@ -33,7 +33,18 @@ object Scd2Queries {
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))
 
     val scd1 = Scd2.initialLoad(base, keys, tracked, t1)
+    Scd2.merge(scd1, t2Source(base), keys, tracked, t2, deleteIndicator = Some("_deleted"))
+  }
 
+  private def output(df: DataFrame): DataFrame =
+    df.select(
+      col("c_custkey"), col("c_name"), col("c_mktsegment"),
+      round(col("c_acctbal"), 2).as("c_acctbal"),
+      col("_scd_effective_from"), col("_scd_effective_to"),
+      col("_scd_is_current"), col("_scd_version"))
+
+  /** The q20 fixture's t2 source snapshot (upserts + fresh + deletes). */
+  private def t2Source(base: DataFrame): DataFrame = {
     val upserts = base.filter(col("c_custkey") % 11 =!= 0).select(
       col("c_custkey"), col("c_name"),
       when(col("c_custkey") % 5 === 0, lit("MACHINERY")).otherwise(col("c_mktsegment")).as("c_mktsegment"),
@@ -45,20 +56,32 @@ object Scd2Queries {
       .withColumn("_deleted", lit(false))
     val dels = base.filter(col("c_custkey") % 11 === 0)
       .withColumn("_deleted", lit(true))
-    val source = upserts.unionByName(fresh).unionByName(dels)
-
-    Scd2.merge(scd1, source, keys, tracked, t2, deleteIndicator = Some("_deleted"))
+    upserts.unionByName(fresh).unionByName(dels)
   }
-
-  private def output(df: DataFrame): DataFrame =
-    df.select(
-      col("c_custkey"), col("c_name"), col("c_mktsegment"),
-      round(col("c_acctbal"), 2).as("c_acctbal"),
-      col("_scd_effective_from"), col("_scd_effective_to"),
-      col("_scd_is_current"), col("_scd_version"))
 
   val queries: Map[String, Q] = Map(
     "q20_scd2" -> ((s, d) => output(merged(s, d))),
+
+    // Incremental SCD2 under the FULL hash gate (q20's oracle
+    // VERBATIM on the folded store — the q186/q194 pattern, the r15
+    // verdict's #5): the t2 snapshot arrives as TWO micro-batch
+    // slices (key parity; every business key appears in exactly one
+    // slice, the CDC-snapshot contract) folding sequentially into the
+    // dimension, each fold localCheckpoint-materialized (the store
+    // discipline — a real dimension is a VersionedTable snapshot
+    // between merges, exercised exactly-once in StreamingSpec). Keys
+    // untouched by a slice pass through its merge unchanged, so the
+    // folded end-state must hash-equal the one-shot q20 merge.
+    "q195_scd2_incremental" -> ((s, d) => {
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+      val scd1 = Scd2.initialLoad(base, keys, tracked, t1).localCheckpoint(true)
+      val src = t2Source(base)
+      val fold1 = Scd2.merge(scd1, src.filter(col("c_custkey") % 2 === 0),
+        keys, tracked, t2, deleteIndicator = Some("_deleted")).localCheckpoint(true)
+      output(Scd2.merge(fold1, src.filter(col("c_custkey") % 2 =!= 0),
+        keys, tracked, t2, deleteIndicator = Some("_deleted")))
+    }),
     // point-in-time read between the two snapshots: every entity's v1
     // row (scd.py:335) — closed rows qualify while t < effective_to
     "q21_scd2_point_in_time" -> ((s, d) =>
@@ -97,6 +120,9 @@ object Scd2Queries {
 
   val oracles: Map[String, String] = Map(
     "q20_scd2" -> q20Sql,
+    // q20's end-state verbatim: the folded two-slice merge must land
+    // exactly where the one-shot merge lands
+    "q195_scd2_incremental" -> q20Sql,
     "q21_scd2_point_in_time" ->
       s"""SELECT * FROM ($q20Sql)
           WHERE _scd_effective_from <= TIMESTAMP '2024-01-15 00:00:00'

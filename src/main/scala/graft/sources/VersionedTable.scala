@@ -156,6 +156,26 @@ object VersionedTable {
     }
   }
 
+  /** Idempotent full-snapshot commit keyed by a caller token — the
+    * [[appendIdempotent]] contract for REPLACE semantics: if any
+    * committed version already carries `token`, the call is a no-op
+    * returning that version; otherwise `rows` becomes the next
+    * version's complete snapshot. This is the streaming
+    * dimension-maintenance primitive (an SCD2 merge REPLACES the
+    * dimension rather than appending to it), with the same
+    * single-writer-per-token-namespace contract. */
+  def replaceIdempotent(
+      spark: SparkSession, table: String, rows: DataFrame, token: String,
+      audit: DataFrame => Unit = _ => ()): Int = {
+    require(token.matches("[A-Za-z0-9._-]+"), s"token must be filename-safe, got '$token'")
+    val f = fs(spark, table)
+    val existing = versions(spark, table).find(v =>
+      f.exists(new Path(versionDir(table, v), s"_TXN_$token")))
+    existing.getOrElse {
+      commitWithExtras(spark, table, rows, audit, extraMarkers = Seq(s"_TXN_$token"))
+    }
+  }
+
   /** [[commit]] plus extra marker files created before `_COMMITTED`
     * (visible exactly when the version is). */
   private def commitWithExtras(

@@ -43,6 +43,40 @@ object Streaming {
         ()
       }
 
+  /** Exactly-once streaming SCD2 dimension maintenance — the
+    * reference's flagship operator under the lakehouse loop: each
+    * micro-batch is a CDC SNAPSHOT slice (at most one row per business
+    * key, carrying its effective timestamp in `effectiveDateCol` — one
+    * scalar date per batch, read with a bounded single-row aggregate)
+    * that folds into the versioned dimension via
+    * [[graft.medallion.Scd2.mergeIntoVersionedIdempotent]]: the first
+    * batch is the initial load, every later batch a merge, each commit
+    * keyed by `<queryName>-<batchId>` so foreachBatch's replay-on-
+    * recovery collapses to a no-op — end-to-end exactly-once, N
+    * micro-batches ≡ the same merges run as batch jobs, bit-identical
+    * (StreamingSpec pins it against the q20 fixture). Empty batches
+    * commit nothing. */
+  def foreachBatchScd2(
+      stream: DataFrame,
+      table: String,
+      queryName: String,
+      businessKeys: Seq[String],
+      trackedCols: Seq[String],
+      effectiveDateCol: String,
+      deleteIndicator: Option[String] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .queryName(queryName)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val eff = batch.agg(max(col(effectiveDateCol))).head().get(0)
+          graft.medallion.Scd2.mergeIntoVersionedIdempotent(
+            batch.sparkSession, table, batch.toDF().drop(effectiveDateCol),
+            businessKeys, trackedCols,
+            lit(eff), s"$queryName-$batchId", deleteIndicator)
+        }
+        ()
+      }
+
   /** Windowed aggregation with a watermark. Reuses [[Gold.AggSpec]] so
     * batch and streaming compute identical aggregate expressions
     * (append mode: a window emits once, when the watermark passes its

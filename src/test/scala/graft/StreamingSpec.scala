@@ -473,6 +473,70 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatchScd2: CDC micro-batches fold to the sequential batch merges bit-identically; replay no-op") {
+    import spark.implicits._
+    import graft.medallion.Scd2
+    import graft.sources.VersionedTable
+    implicit val sqlCtx = spark.sqlContext
+    val table = java.nio.file.Files.createTempDirectory("graft_scd2_vt").toString + "/dim"
+    val keys = Seq("id"); val tracked = Seq("seg", "bal")
+    val b1 = Seq((1L, "A", 10.0, false, "2024-01-01 00:00:00"),
+      (2L, "B", 20.0, false, "2024-01-01 00:00:00"),
+      (3L, "C", 30.0, false, "2024-01-01 00:00:00"))
+    val b2 = Seq((2L, "BX", 25.0, false, "2024-02-01 00:00:00"), // update
+      (3L, "C", 30.0, true, "2024-02-01 00:00:00"),              // soft delete
+      (4L, "D", 40.0, false, "2024-02-01 00:00:00"))             // brand new
+    val in = MemoryStream[(Long, String, Double, Boolean, String)]
+    val q = Streaming.foreachBatchScd2(
+      in.toDF().toDF("id", "seg", "bal", "_deleted", "eff"), table, "dim_sink",
+      keys, tracked, "eff", deleteIndicator = Some("_deleted")).start()
+    try {
+      in.addData(b1: _*); drain(q)
+      in.addData(b2: _*); drain(q)
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("id"), col("seg"), col("bal"), col("_scd_effective_from"),
+      col("_scd_effective_to"), col("_scd_is_current"), col("_scd_version"))
+      .collect().map(_.toSeq).toSet
+    // the equivalent batch path: the same two merges run as batch jobs
+    // (the first against the empty dimension — merge reduces to the
+    // initial load there by construction)
+    def batchMerge(existing: org.apache.spark.sql.DataFrame, rows: Seq[(Long, String, Double, Boolean, String)]) =
+      Scd2.merge(existing, rows.toDF("id", "seg", "bal", "_deleted", "eff").drop("eff"),
+        keys, tracked, lit(rows.head._5), deleteIndicator = Some("_deleted"))
+    val empty = Scd2.initialLoad(
+      b1.toDF("id", "seg", "bal", "_deleted", "eff").drop("_deleted", "eff").limit(0),
+      keys, tracked, lit(b1.head._5))
+    val expected = batchMerge(batchMerge(empty, b1).localCheckpoint(true), b2)
+    assert(rows(VersionedTable.read(spark, table)) == rows(expected),
+      "stream-folded dimension must equal the sequential batch merges bit-for-bit")
+    // sanity on the end-state semantics: 3 current rows (1 unchanged,
+    // 2's v2, 4's v1), 2 closed (2's v1, deleted 3's v1)
+    val cur = VersionedTable.read(spark, table).filter(col("_scd_is_current"))
+    assert(cur.count() == 3 && VersionedTable.read(spark, table).count() == 5)
+    // exactly-once: replaying batch 0's token is a no-op returning the
+    // original version — the dimension state does not move
+    val vBefore = VersionedTable.currentVersion(spark, table).get
+    val vReplay = Scd2.mergeIntoVersionedIdempotent(spark, table,
+      b1.toDF("id", "seg", "bal", "_deleted", "eff").drop("eff"),
+      keys, tracked, lit(b1.head._5), token = "dim_sink-0",
+      deleteIndicator = Some("_deleted"))
+    assert(vReplay == 1, s"replayed batch 0 must return its original version, got $vReplay")
+    assert(VersionedTable.currentVersion(spark, table).contains(vBefore))
+    assert(rows(VersionedTable.read(spark, table)) == rows(expected), "replay must not move the dimension")
+    // the audit guards every commit: a second current row for a key is refused
+    val bad = Seq((4L, "DX", 41.0, false, "2024-03-01 00:00:00"))
+    intercept[IllegalArgumentException] {
+      VersionedTable.replaceIdempotent(spark, table,
+        VersionedTable.read(spark, table).unionByName(
+          Scd2.initialLoad(bad.toDF("id", "seg", "bal", "_deleted", "eff").drop("_deleted", "eff"),
+            keys, tracked, lit(bad.head._5))),
+        token = "dim_sink-bad", audit = Scd2.scd2Audit(keys))
+    }
+    assert(VersionedTable.currentVersion(spark, table).contains(vBefore),
+      "a failed audit must leave the previous version current")
+  }
+
   test("foreachBatchVersioned: one committed version per micro-batch, replay is a no-op") {
     import spark.implicits._
     import graft.sources.VersionedTable
