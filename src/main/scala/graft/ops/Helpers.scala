@@ -128,6 +128,59 @@ object Helpers {
     MimeTypes.getOrElse(ext, "application/octet-stream")
   }
 
+  // --- core/utils.py:9-55 datetime helpers -------------------------------
+  // The reference pins four tiny timezone rules its connectors and
+  // watermark plumbing rely on; java.time expresses the same semantics,
+  // mirrored here under the reference's names so a user migrating code
+  // finds them. All values are OffsetDateTime at UTC — the JVM's
+  // "timezone-aware datetime".
+
+  /** utils.py:9 `utc_now`: current UTC time, timezone-aware. */
+  def utcNow(): java.time.OffsetDateTime =
+    java.time.OffsetDateTime.now(java.time.Clock.systemUTC())
+
+  /** utils.py:22 `ensure_utc` for an aware value: convert to UTC,
+    * same instant. */
+  def ensureUtc(dt: java.time.OffsetDateTime): java.time.OffsetDateTime =
+    dt.withOffsetSameInstant(java.time.ZoneOffset.UTC)
+
+  /** utils.py:22 `ensure_utc` for a naive value: ASSUME UTC (the
+    * reference's documented rule — a naive timestamp is taken as UTC,
+    * never local time). */
+  def ensureUtc(dt: java.time.LocalDateTime): java.time.OffsetDateTime =
+    dt.atOffset(java.time.ZoneOffset.UTC)
+
+  /** utils.py:40 `format_iso`: ISO 8601 with the reference's exact
+    * rendering — seconds always present, fractional part only when
+    * non-zero (microsecond precision), UTC offset as `+00:00` (the
+    * Python `isoformat` shape, not java.time's `Z`). */
+  def formatIso(dt: java.time.OffsetDateTime): String = {
+    val u = ensureUtc(dt)
+    val base = u.format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss"))
+    val frac = if (u.getNano != 0) f".${u.getNano / 1000}%06d" else ""
+    base + frac + "+00:00"
+  }
+
+  /** utils.py:40 `format_iso()` with no argument: now. */
+  def formatIso(): String = formatIso(utcNow())
+
+  /** utils.py:55 `parse_iso`: accepts `Z` or numeric offsets (aware →
+    * converted to UTC), naive datetimes (assumed UTC), and bare dates
+    * (midnight UTC) — the shapes Python's `fromisoformat` plus the
+    * reference's `Z` replacement accept. */
+  def parseIso(s: String): java.time.OffsetDateTime = {
+    val norm = s.trim.replace("Z", "+00:00")
+    try ensureUtc(java.time.OffsetDateTime.parse(norm))
+    catch {
+      case _: java.time.format.DateTimeParseException =>
+        try ensureUtc(java.time.LocalDateTime.parse(norm))
+        catch {
+          case _: java.time.format.DateTimeParseException =>
+            ensureUtc(java.time.LocalDate.parse(norm).atStartOfDay())
+        }
+    }
+  }
+
   private val MimeTypes = Map(
     ".csv" -> "text/csv",
     ".json" -> "application/json",

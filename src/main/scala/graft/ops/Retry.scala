@@ -16,10 +16,11 @@ package graft.ops
 object Retry {
 
   /** core/exceptions `RetryExhaustedError`: carries the attempt count
-    * and the final failure as the cause. */
-  final case class RetryExhausted(attempts: Int, lastError: Throwable)
-    extends RuntimeException(
-      s"retry exhausted after $attempts attempts: ${lastError.getMessage}", lastError)
+    * and the final failure as the cause. Lives in the [[Errors]]
+    * hierarchy (r16); these aliases keep every existing call/catch
+    * site source-compatible. */
+  type RetryExhausted = Errors.RetryExhaustedError
+  val RetryExhausted = Errors.RetryExhaustedError
 
   /** retry.py:17. Delays: d₁ = initial, dₙ₊₁ = min(dₙ·factor, max);
     * each actual sleep is dₙ·(1 + jitter()) capped at max (jitter ∈

@@ -85,4 +85,77 @@ class HelpersSpec extends AnyFunSuite {
     assert(Helpers.inferMimeType("mystery.bin") == "application/octet-stream")
     assert(Helpers.inferMimeType("no_extension") == "application/octet-stream")
   }
+
+  test("datetime helpers: the utils.py:9-55 rules — naive is UTC, aware converts, ISO shapes round-trip") {
+    import java.time.{LocalDateTime, OffsetDateTime, ZoneOffset}
+    // ensure_utc: naive assumed UTC; aware converted to the same instant
+    val naive = LocalDateTime.parse("2024-01-02T03:04:05")
+    assert(Helpers.ensureUtc(naive) == OffsetDateTime.parse("2024-01-02T03:04:05Z"))
+    val plus5 = OffsetDateTime.parse("2024-01-02T03:04:05+05:00")
+    assert(Helpers.ensureUtc(plus5) == OffsetDateTime.parse("2024-01-01T22:04:05Z"))
+    // parse_iso: Z suffix, numeric offset, naive, bare date (midnight UTC)
+    assert(Helpers.parseIso("2024-01-02T03:04:05Z") ==
+      OffsetDateTime.parse("2024-01-02T03:04:05Z"))
+    assert(Helpers.parseIso("2024-01-02T03:04:05+05:00") ==
+      OffsetDateTime.parse("2024-01-01T22:04:05Z"))
+    assert(Helpers.parseIso("2024-01-02T03:04:05") ==
+      OffsetDateTime.parse("2024-01-02T03:04:05Z"))
+    assert(Helpers.parseIso("2024-01-02") ==
+      OffsetDateTime.parse("2024-01-02T00:00:00Z"))
+    // format_iso: the Python isoformat shape — +00:00 never Z, seconds
+    // always, fractional part only when non-zero (microsecond grid)
+    assert(Helpers.formatIso(OffsetDateTime.parse("2024-01-02T03:04:05Z")) ==
+      "2024-01-02T03:04:05+00:00")
+    assert(Helpers.formatIso(OffsetDateTime.parse("2024-01-02T03:04:00Z")) ==
+      "2024-01-02T03:04:00+00:00")
+    assert(Helpers.formatIso(OffsetDateTime.parse("2024-01-02T03:04:05.123456Z")) ==
+      "2024-01-02T03:04:05.123456+00:00")
+    assert(Helpers.formatIso(plus5) == "2024-01-01T22:04:05+00:00")
+    // round-trip: parse(format(x)) == ensureUtc(x)
+    assert(Helpers.parseIso(Helpers.formatIso(plus5)) == Helpers.ensureUtc(plus5))
+    // utc_now is aware at UTC
+    assert(Helpers.utcNow().getOffset == ZoneOffset.UTC)
+  }
+
+  test("typed error vocabulary: hierarchy, fields, and the details rendering shape") {
+    import graft.ops.Errors
+    // every failure class is catchable as the base
+    val all: Seq[Errors.GraftError] = Seq(
+      Errors.ConfigurationError("bad config"),
+      Errors.ConnectionError("refused", connectorType = Some("postgresql")),
+      Errors.ExtractionError("pull failed", source = Some("orders")),
+      Errors.TransformationError("cast failed", transformation = Some("clean")),
+      Errors.LoadError("write failed", target = Some("warehouse.t")),
+      Errors.StorageError("put failed", provider = Some("s3"), operation = Some("upload")),
+      Errors.VersionedTableError("commit failed", table = Some("dim"), operation = Some("merge")),
+      Errors.LlmError("timeout", provider = Some("x"), model = Some("y")),
+      Errors.DataQualityError("nulls", checkName = Some("not_null"), failedRecords = Some(3L)),
+      Errors.SchemaError("drift", expectedSchema = Some("a:int"), actualSchema = Some("a:string")),
+      Errors.WatermarkError("regressed", watermarkColumn = Some("updated_at")),
+      Errors.RetryExhaustedError(3, new RuntimeException("boom")))
+    all.foreach(e => assert(e.isInstanceOf[RuntimeException]))
+    // the reference __str__ shape: bare message without details,
+    // "msg | Details: {k=v, ...}" (key-sorted) with them
+    assert(Errors.ConfigurationError("bad config").getMessage == "bad config")
+    assert(Errors.ConfigurationError("bad config",
+      details = Map("key" -> "x", "file" -> "s.yml")).getMessage ==
+      "bad config | Details: {file=s.yml, key=x}")
+    // typed fields survive the catch
+    val caught = intercept[Errors.GraftError] {
+      throw Errors.ConnectionError("refused", connectorType = Some("mysql"))
+    }
+    caught match {
+      case Errors.ConnectionError(_, ct, _, _) => assert(ct.contains("mysql"))
+      case other => fail(s"wrong class: $other")
+    }
+    // Retry participates: exhaustion is a GraftError, alias intact
+    val exhausted = intercept[Errors.GraftError] {
+      graft.ops.Retry.withBackoff(maxAttempts = 2, sleep = _ => (),
+        jitter = () => 0.0)(() => throw new RuntimeException("down"))
+    }
+    assert(exhausted.isInstanceOf[graft.ops.Retry.RetryExhausted])
+    assert(exhausted.getMessage == "retry exhausted after 2 attempts: down")
+    // cause chain: the last error rides as the cause
+    assert(exhausted.getCause.getMessage == "down")
+  }
 }
