@@ -21,7 +21,11 @@ import org.apache.spark.sql.functions._
   *
   * Corpora: `SPARK_GRAFT_SMALL` (default /tmp/zipf0.1 — 5k docs, 30k
   * vocab) vs `SPARK_GRAFT_BIG` (default /tmp/zipf10x — 50k docs, 50k
-  * vocab), regenerable with `runMain graft.ZipfCorpus` (TESTDATA.md).
+  * vocab) vs, for the [[xlBudgets]] families, `SPARK_GRAFT_XL`
+  * (default /tmp/zipf100x — 500k docs, 80k vocab), regenerable with
+  * `runMain graft.ZipfCorpus` or `tools/growth.sh` (TESTDATA.md). The
+  * relational fleet ([[relBudgets]]) runs on the driver's own
+  * sf0.01/sf0.1 fixtures (`SPARK_GRAFT_REL_SMALL`/`_REL_BIG`).
   * Timing mirrors [[Bench]]: untimed warm-up, interleaved rounds,
   * per-(query,corpus) MIN, /proc/stat steal sampled per round.
   *
@@ -171,6 +175,82 @@ object GrowthBench {
     "g172_langid_score_docs" -> (10.0, "fixed-model multinomial lang-ID scoring: narrow shuffle-free per-char-n-gram folds with a 200-char prefix cap (work/doc constant once the cap binds) — doc-linear; budget = doc ratio (training is the bounded offline step, not gated)"),
     "g136_semantic_neardup_docs" -> (8.0, "within-cell LSH pairs on (cluster,band,sig) keys: signature-linear like g116; cell assignment deterministic (k-means fit is the bounded offline model-build)"))
 
+  /** THIRD TIER (round 16): second-decade budgets, min(xl)/min(big) at
+    * another 10× docs (big 50k → xl 500k, vocab 50k → 80k continuing
+    * the measured Heaps exponent β ≈ 0.22 between the first two tiers).
+    *
+    * WHY A THIRD POINT: two points define a line and structurally
+    * cannot detect a super-linear bend — an O(n log n) or quadratic
+    * tail looks identical to linear between two points. The heaviest
+    * fleet families get a 500k-doc tier and the SECOND ratio is gated
+    * against the same declared scaling models. Budgets differ from the
+    * first-decade ones on purpose: at 50k docs most of these queries
+    * are already parallel-saturated (the empirical-slack component of
+    * the first-decade budget is gone), so the second-decade bound IS
+    * the data ratio for compute-saturated linear paths, and the
+    * sub-10× measured values are partial overhead amortization, never
+    * an excuse for a >10× bend. Budget = data-ratio bound × a small
+    * noise allowance, tightened below the bound only where the
+    * measured point shows real headroom the model also predicts
+    * (batch-scaled incrementals, candidate-bounded probes). */
+  val xlBudgets: Map[String, (Double, String)] = Map(
+    "q92_dedup_minhash" -> (10.5, "LSH band-bucket join: signature-linear; second-decade bound = doc ratio 10x (sigs/doc fixed) x 1.05 noise; measured r16 5.0x"),
+    "q114_dedup_clusters" -> (10.5, "LSH pairs + bounded union-find: edge-linear, planted pairs grow 10x; bound = pair ratio 10x x 1.05 noise; measured r16 5.3x"),
+    "q126_repeated_spans" -> (10.8, "positional gram groupBy + hot/cold rejoin: gram-linear; bound = char ratio 10.3x x 1.05 noise; measured r16 7.3x"),
+    "q149_paragraph_dedup" -> (10.8, "paragraph explode + keeper groupBy + reassembly: paragraph-linear; bound = char ratio 10.3x x 1.05 noise; measured r16 5.4x"),
+    "q163_containment" -> (10.8, "prefix(rarest)xindex join: candidate-bounded, shingle-linear build; bound = char ratio 10.3x x 1.05 noise; measured r16 7.5x"),
+    "q185_containment_banded" -> (10.8, "bottom-s sketch probe: CONSTANT probe rows per set, candidate-bounded verify; bound = set ratio 10x x 1.05 + char-linear shingle build; measured r16 6.6x"),
+    "q191_containment_dedup" -> (10.8, "containment apply: pair-linear exact join + sizes attach + anti-join; bound = pair ratio 10.3x x 1.05 noise; measured r16 7.9x"),
+    "q151_pagerank" -> (10.5, "3 PR iterations: edge-linear joins, 16-byte rank rows; bound = edge ratio 10x (out-degree fixed) x 1.05 noise; measured r16 4.3x"),
+    "q186_index_incremental" -> (10.5, "mergeable postings store: fixture store build is the corpus-linear term, merge batch-scaled; bound = token ratio 10x x 1.05 noise; measured r16 5.5x"),
+    "q180_corpus_pipeline" -> (10.8, "end-to-end pipeline: every stage linear; bound = char ratio 10.3x x 1.05 noise; measured r16 6.6x"))
+
+  /** RELATIONAL-CORE growth gate (round 16): the medallion / SCD2 /
+    * validation / quality / incremental / event-time family measured
+    * on the driver's OWN fixtures at sf0.01 vs sf0.1 — a ready-made
+    * 10× twin with exact production schemas (TESTDATA.md: lineitem
+    * 60k → 600k rows; orders, customer, events scale with it). Until
+    * round 16 these queries had ZERO scale-trajectory evidence beyond
+    * sf0.1 absolute times; a regression that turns the SCD2 merge
+    * full-outer join into a nested-loop, or lets a window lose its
+    * WindowGroupLimit, now shows up here as a ratio blowing through
+    * its budget. Budgets follow the fleet discipline: measured growth
+    * with slack, CAPPED at the model bound (row-linear paths cannot
+    * exceed the 10× data ratio without a plan-shape regression; many
+    * sit far below it because sf0.01 runs are overhead-dominated). */
+  val relBudgets: Map[String, (Double, String)] = Map(
+    "q01_gold_agg" -> (10.5, "lineitem groupBy: scan-linear, group-bounded output; bound = row ratio 10x x 1.05 noise"),
+    "q02_gold_denorm" -> (10.5, "order-lineitem join + dims: shuffle-linear in fact rows, dims broadcast; bound = row ratio x 1.05"),
+    "q03_gold_metrics_time" -> (10.5, "time-bucketed metrics: scan-linear, bucket-bounded output; bound = row ratio x 1.05"),
+    "q04_gold_having" -> (10.5, "groupBy + having filter: scan-linear; bound = row ratio x 1.05"),
+    "q05_gold_topk_window" -> (10.5, "per-group top-k: WindowGroupLimit caps map output at k per group; bound = row ratio x 1.05"),
+    "q06_gold_feature_table" -> (10.5, "customer feature rollup: fact-keyed groupBys + dim joins; bound = row ratio x 1.05"),
+    "q07_gold_agg_collect" -> (10.5, "collect_list agg: scan-linear, group-bounded lists; bound = row ratio x 1.05"),
+    "q10_silver_clean" -> (10.5, "null/dedup hygiene projection: scan-linear; bound = row ratio x 1.05"),
+    "q11_silver_dedup" -> (10.5, "keyed keep-latest: one row_number window, WindowGroupLimit; bound = row ratio x 1.05"),
+    "q12_silver_normalize_names" -> (10.5, "string normalization projection: scan-linear, shuffle-free; bound = row ratio x 1.05"),
+    "q13_silver_pipeline" -> (10.5, "clean+normalize+dedup composed: scan-linear + one window; bound = row ratio x 1.05"),
+    "q20_scd2" -> (10.5, "SCD2 merge: hash-change detect + full-outer on the key, row-linear both sides; bound = row ratio x 1.05"),
+    "q21_scd2_point_in_time" -> (10.5, "point-in-time snapshot: validity-interval filter, scan-linear; bound = row ratio x 1.05"),
+    "q195_scd2_incremental" -> (10.5, "incremental SCD2 fold: batch-scaled CDC upserts into the versioned dim (fixture batches scale with sf); bound = row ratio x 1.05"),
+    "q30_validation_report" -> (10.5, "rule evaluation: scan-linear boolean projections + one rollup; bound = row ratio x 1.05"),
+    "q31_validate_filter" -> (10.5, "rule filter split: scan-linear; bound = row ratio x 1.05"),
+    "q40_profile" -> (10.5, "column profile: scan-linear aggs, column-bounded output; bound = row ratio x 1.05"),
+    "q40a_profile_approx" -> (10.5, "HLL/approx profile twin: one pass, Expand-free; bound = row ratio x 1.05"),
+    "q41_outliers" -> (10.5, "IQR outliers: percentile agg + filter, scan-linear; bound = row ratio x 1.05"),
+    "q41a_outliers_approx" -> (10.5, "approx-percentile outliers: one-pass sketch + filter; bound = row ratio x 1.05"),
+    "q42_dataset_quality" -> (10.5, "dataset quality score: scan-linear rollup; bound = row ratio x 1.05"),
+    "q42a_dataset_quality_approx" -> (10.5, "approx quality twin: one-pass sketches; bound = row ratio x 1.05"),
+    "q43_profile_drift" -> (10.5, "two-snapshot drift: two scan-linear profiles + column-bounded join; bound = row ratio x 1.05"),
+    "q43a_profile_drift_approx" -> (10.5, "approx drift twin: sketch profiles; bound = row ratio x 1.05"),
+    "q70_incremental" -> (10.5, "watermark incremental extract: pushed-down ts filter + merge; bound = row ratio x 1.05"),
+    "q71_cdc_apply" -> (10.5, "CDC apply: keyed keep-latest window + anti-join of deletes; bound = row ratio x 1.05"),
+    "q110_sessionize" -> (10.5, "sessionize: one user-keyed lag window + running session sum; bound = row ratio x 1.05"),
+    "q111_asof_join" -> (10.5, "as-of join: union + keyed last-observation window, row-linear; bound = row ratio x 1.05"),
+    "q112_rolling" -> (10.5, "rolling window aggs over keyed range frames; bound = row ratio x 1.05"),
+    "q113_pivot_metrics" -> (10.5, "pivot metrics: groupBy + fixed pivot columns; bound = row ratio x 1.05"),
+    "q115_range_join" -> (10.5, "range join: bucketed interval join, candidate-bounded; bound = row ratio x 1.05"))
+
   private val PseudoDim = 16
 
   /** Pseudo-embeddings for the ANN growth rows — the Zipf corpora
@@ -304,8 +384,17 @@ object GrowthBench {
   def main(args: Array[String]): Unit = {
     val small = sys.env.getOrElse("SPARK_GRAFT_SMALL", "/tmp/zipf0.1")
     val big = sys.env.getOrElse("SPARK_GRAFT_BIG", "/tmp/zipf10x")
+    val xlDir = sys.env.getOrElse("SPARK_GRAFT_XL", "/tmp/zipf100x")
+    val relSmall = sys.env.getOrElse("SPARK_GRAFT_REL_SMALL", "/root/testdata/sf0.01")
+    val relBig = sys.env.getOrElse("SPARK_GRAFT_REL_BIG", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt.max(1)
+    // xl runs are 10x longer (30-90 s each), so codegen compile and JVM
+    // phase noise are subdominant: 2 timed trials (no separate warm-up,
+    // the first trial doubles as it) keep the tier affordable while the
+    // min still discards one degraded sample.
+    val xlTrials = sys.env.getOrElse("SPARK_GRAFT_XL_TRIALS", "2").toInt.max(1)
+    val skipXl = sys.env.get("SPARK_GRAFT_SKIP_XL").contains("1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -315,19 +404,34 @@ object GrowthBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
-    val fleet: Seq[(String, (SparkSession, String) => DataFrame)] =
+    // Each fleet entry carries its own (small, big) corpus pair: the
+    // documents fleet runs on the Zipf twins, the relational fleet on
+    // the driver's sf0.01/sf0.1 fixtures (read-only).
+    case class Entry(name: String, fn: (SparkSession, String) => DataFrame,
+                     dSmall: String, dBig: String, family: String)
+    val docsFleet =
       (SparkEntry.queries.filter { case (n, _) => budgets.contains(n) } ++ variants)
         .toSeq.sortBy(_._1)
-        .filter { case (n, _) => only.forall(_.contains(n)) }
-    val missing = budgets.keySet -- fleet.map(_._1).toSet
+        .map { case (n, f) => Entry(n, f, small, big, "docs") }
+    val relFleet =
+      SparkEntry.queries.filter { case (n, _) => relBudgets.contains(n) }
+        .toSeq.sortBy(_._1)
+        .map { case (n, f) => Entry(n, f, relSmall, relBig, "rel") }
+    val fleet = (docsFleet ++ relFleet)
+      .filter(e => only.forall(_.contains(e.name)))
+    val missing = (budgets.keySet ++ relBudgets.keySet) -- fleet.map(_.name).toSet
     if (only.isEmpty && missing.nonEmpty) {
       System.err.println(s"[growth] FATAL: budgeted queries absent from SparkEntry: ${missing.mkString(", ")}")
       sys.exit(1)
     }
-    val dirs = Seq("small" -> small, "big" -> big)
+    val xlOrphans = xlBudgets.keySet -- budgets.keySet
+    if (xlOrphans.nonEmpty) {
+      System.err.println(s"[growth] FATAL: xlBudgets entries outside the docs fleet: ${xlOrphans.mkString(", ")}")
+      sys.exit(1)
+    }
     // untimed warm-up: codegen-compile every (query, corpus) pair
-    for ((_, dir) <- dirs; (_, fn) <- fleet)
-      try fn(spark, dir).write.format("noop").mode("overwrite").save()
+    for (e <- fleet; dir <- Seq(e.dSmall, e.dBig))
+      try e.fn(spark, dir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     def stealTotal(): (Long, Long) =
       try {
@@ -338,46 +442,71 @@ object GrowthBench {
     val samples = scala.collection.mutable.Map.empty[(String, String), List[Double]]
     val roundSteal = Seq.newBuilder[Double]
     var failed = Set.empty[String]
+    def timeOne(e: Entry, tag: String, dir: String): Unit = {
+      val t0 = System.nanoTime()
+      try {
+        e.fn(spark, dir).write.format("noop").mode("overwrite").save()
+        samples((e.name, tag)) =
+          ((System.nanoTime() - t0) / 1e9) :: samples.getOrElse((e.name, tag), Nil)
+      } catch { case ex: Throwable =>
+        failed += e.name
+        System.err.println(s"[growth] ${e.name}@$tag FAILED: ${ex.getMessage}")
+      }
+    }
     for (_ <- 1 to trials) {
       val (s0, t0all) = stealTotal()
-      for ((name, fn) <- fleet; (tag, dir) <- dirs) {
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, dir).write.format("noop").mode("overwrite").save()
-          samples((name, tag)) =
-            ((System.nanoTime() - t0) / 1e9) :: samples.getOrElse((name, tag), Nil)
-        } catch { case e: Throwable =>
-          failed += name
-          System.err.println(s"[growth] $name@$tag FAILED: ${e.getMessage}")
-        }
-      }
+      for (e <- fleet; (tag, dir) <- Seq("small" -> e.dSmall, "big" -> e.dBig))
+        timeOne(e, tag, dir)
+      val (s1, t1all) = stealTotal()
+      roundSteal += (if (t1all > t0all) (s1 - s0) * 100.0 / (t1all - t0all) else 0.0)
+    }
+    // third tier: the xl pass runs AFTER the interleaved small/big
+    // rounds (its 30-90 s rows would stretch every round's epoch),
+    // itself interleaved across its own trials.
+    val xlFleet = fleet.filter(e => xlBudgets.contains(e.name) && !skipXl)
+    for (_ <- 1 to xlTrials) {
+      val (s0, t0all) = stealTotal()
+      for (e <- xlFleet) timeOne(e, "xl", xlDir)
       val (s1, t1all) = stealTotal()
       roundSteal += (if (t1all > t0all) (s1 - s0) * 100.0 / (t1all - t0all) else 0.0)
     }
     def f(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    case class Row(name: String, tSmall: Double, tBig: Double, growth: Double,
-                   budget: Double, model: String) {
-      def ok: Boolean = growth <= budget
+    case class Row(name: String, family: String, tSmall: Double, tBig: Double,
+                   growth: Double, budget: Double, model: String,
+                   xl: Option[(Double, Double, Double)]) { // (tXl, growth2, budget2)
+      def ok: Boolean = growth <= budget && xl.forall { case (_, g2, b2) => g2 <= b2 }
     }
-    val rows = fleet.collect { case (name, _)
-        if samples.contains((name, "small")) && samples.contains((name, "big")) =>
-      val (b, m) = budgets(name)
-      val ts = samples((name, "small")).min; val tb = samples((name, "big")).min
-      Row(name, ts, tb, tb / ts, b, m)
+    val rows = fleet.collect { case e
+        if samples.contains((e.name, "small")) && samples.contains((e.name, "big")) =>
+      val (b, m) = if (e.family == "rel") relBudgets(e.name) else budgets(e.name)
+      val ts = samples((e.name, "small")).min; val tb = samples((e.name, "big")).min
+      val xlPart = samples.get((e.name, "xl")).map { xs =>
+        val tx = xs.min; (tx, tx / tb, xlBudgets(e.name)._1)
+      }
+      Row(e.name, e.family, ts, tb, tb / ts, b, m, xlPart)
     }
     val violations = rows.filterNot(_.ok)
-    val qs = rows.map(r =>
-      "\"" + r.name + "\":{\"small\":" + f(r.tSmall) + ",\"big\":" + f(r.tBig) +
-        ",\"growth\":" + f(r.growth) + ",\"budget\":" + f(r.budget) + "}").mkString("{", ",", "}")
+    val qs = rows.map { r =>
+      val base = "\"" + r.name + "\":{\"family\":\"" + r.family + "\",\"small\":" + f(r.tSmall) +
+        ",\"big\":" + f(r.tBig) + ",\"growth\":" + f(r.growth) + ",\"budget\":" + f(r.budget)
+      base + r.xl.map { case (tx, g2, b2) =>
+        ",\"xl\":" + f(tx) + ",\"growth2\":" + f(g2) + ",\"budget2\":" + f(b2)
+      }.getOrElse("") + "}"
+    }.mkString("{", ",", "}")
     val errs = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val steal = roundSteal.result().map(f).mkString("[", ",", "]")
-    val line = s"""{"metric":"growth_gate","violations":${violations.size},"trials":$trials,"queries":$qs,"errors":$errs,"round_steal_pct":$steal,"small":"$small","big":"$big"}"""
+    val line = s"""{"metric":"growth_gate","violations":${violations.size},"trials":$trials,"xl_trials":$xlTrials,"queries":$qs,"errors":$errs,"round_steal_pct":$steal,"small":"$small","big":"$big","xl":"$xlDir","rel_small":"$relSmall","rel_big":"$relBig"}"""
     val out = java.nio.file.Paths.get("target", "growth.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
     println(line)
     violations.foreach(r => System.err.println(
-      s"[growth] VIOLATION ${r.name}: ${f(r.growth)}x > budget ${f(r.budget)}x (${r.model})"))
+      if (r.growth > r.budget)
+        s"[growth] VIOLATION ${r.name}: ${f(r.growth)}x > budget ${f(r.budget)}x (${r.model})"
+      else {
+        val (tx, g2, b2) = r.xl.get
+        s"[growth] VIOLATION ${r.name} (xl ${f(tx)}s): growth2 ${f(g2)}x > budget2 ${f(b2)}x (${r.model})"
+      }))
     spark.stop()
     if (violations.nonEmpty || failed.nonEmpty) sys.exit(1)
   }

@@ -782,35 +782,50 @@ object TextDedup {
 
   /** Banded PRODUCTION path for asymmetric containment — the
     * [[containmentPairs]] exact prefix×index join replaced by a
-    * bottom-s sketch probe (Cohen 1997 bottom-k sketches; Koslicki et
-    * al.'s containment min-hash is the same estimator): per probe set
-    * A keep only the `sketchSize` items with the smallest portable
-    * hash; for any B, |sketch(A) ∩ B| / |sketch(A)| is an unbiased
-    * estimate of C(A→B) over the sketched universe, so candidates are
-    * pairs whose estimate clears `threshold − slack` and the exact
-    * [[verifyContainment]] pass (over the FULL item sets — estimates
-    * never reach the output) restores exact precision. Recall is the
-    * one traded quantity, and only for pairs whose overlap estimate
-    * misses by more than `slack` (hypergeometric tail: σ ≈
-    * √(c(1−c)/s) ≈ 0.06 at s = 32); when |A| ≤ sketchSize the sketch
-    * IS A and candidate generation is exact.
+    * RAREST-s probe (the PPJoin/SSJoin rare-prefix principle applied
+    * as a fixed-size sketch): per probe set A keep the `sketchSize`
+    * cold items with the LOWEST document frequency (ties broken by
+    * the portable item hash, then the item — fully deterministic);
+    * for any B, |probe(A) ∩ B| / |probe(A)| estimates C(A→B) over the
+    * probed sub-universe, so candidates are pairs whose count clears
+    * `threshold − slack` and the exact [[verifyContainment]] pass
+    * (over the FULL item sets — estimates never reach the output)
+    * restores exact precision.
     *
-    * Scale shape vs the exact path: probe cost is `sketchSize` rows
-    * per set — CONSTANT — instead of the (1−t)·|A|+1 prefix explode,
-    * so the candidate join shrinks with document size and, unlike the
-    * prefix path, does not grow as the threshold drops (t = 0.5 costs
-    * the same as t = 0.9). Items with df > `hotItemMaxDf` are excluded
-    * from sketch AND probe index (they carry no identifying signal —
-    * the PPJoin rare-prefix argument — and would otherwise fan a
-    * stopword shingle across the corpus: a hash-random sketch has no
-    * rarity bias, so without the cut a boilerplate shingle in 16/|A|
-    * of sketches probes df ≈ N docs each, quadratic at 100 TB);
-    * the exact verify still counts EVERY item, hot included.
+    * WHY RARITY AND NOT A HASH-RANDOM BOTTOM-k (r16 — caught by the
+    * three-tier growth gate): the probe join's pre-aggregation volume
+    * is Σ_{i∈probes} df(i). A hash-random sketch (Cohen bottom-k) has
+    * no rarity bias, so that sum is ≈ s/|A|·Σ df² — and under a
+    * Zipfian shingle distribution df_max grows ∝ N, making the join
+    * and its (id_a, id_b) aggregate SUPER-LINEAR in corpus size
+    * (measured on the 500k-doc tier: 1.18 G probe rows, 241 M
+    * candidate groups, 46× wall growth for 10× docs). Probing each
+    * set's RAREST items bounds the fan-out by the df of the corpus'
+    * rare tail (≈ 1–2 regardless of N — the heavy tail is where Zipf
+    * types live), and the binding `hotItemMaxDf` universe cut caps
+    * the worst set (measured: 69 M probe rows, 17× less). Recall for
+    * TRUE containment is free: C(A→B) = 1 means every item of A —
+    * any chosen subset — is in B, so full-containment pairs hit on
+    * every probe; pairs at t ≤ C < 1 rest on the exchangeability of
+    * misses across A's df-ranks, absorbed by `slack` (the
+    * hypergeometric tail σ ≈ √(c(1−c)/s) ≈ 0.06 at s = 32 under
+    * uniform misses); when |cold(A)| ≤ sketchSize the probe IS A's
+    * cold set and candidate generation is exact over it.
+    *
+    * Items with df > `hotItemMaxDf` are excluded from probe AND index
+    * (they carry no identifying signal — a boilerplate shingle would
+    * fan df ≈ N index rows); the default 1000 BINDS at scale by
+    * design: an absolute cut is the only shape that keeps Σ_cold df²
+    * near-linear in N (a fractional cut df ≤ εN re-admits the
+    * quadratic term). A set with no cold items generates no
+    * candidates — at that point every one of its shingles appears in
+    * >1000 documents and containment has no signal to find; the
+    * exact verify still counts EVERY item, hot included.
     * → (id_a, id_b, containment) — containment exact. */
   def containmentPairsBanded(
       sets0: DataFrame, threshold: Double,
       sketchSize: Int = 32, slack: Double = 0.2,
-      hotItemMaxDf: Long = 100000L): DataFrame = {
+      hotItemMaxDf: Long = 1000L): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"containmentPairsBanded threshold must be in (0, 1], got $threshold")
     require(sketchSize >= 1, s"sketchSize must be >= 1, got $sketchSize")
@@ -818,21 +833,21 @@ object TextDedup {
       s"slack must be in [0, threshold), got $slack")
     val sets = sets0.localCheckpoint(true)
     val freq = sets.groupBy("item").agg(count(lit(1)).as("_df"))
-    // the hot-item set is tiny by construction (items in >hotItemMaxDf
-    // docs) → broadcast anti-join, never a shuffled filter join
-    val hotItems = broadcast(freq.filter(col("_df") > hotItemMaxDf).select("item"))
-    val cold = sets.join(hotItems, Seq("item"), "left_anti")
-      .select(col("id"), col("item"))
-      .localCheckpoint(true) // feeds sketch AND probe index
+    // inner join with the cold slice of the df table implements the
+    // universe cut AND attaches the df the rarity sort needs — one
+    // item-keyed shuffle, same key as the probe join that follows
+    val cold = sets.join(freq.filter(col("_df") <= hotItemMaxDf), "item")
+      .select(col("id"), col("item"), col("_df"))
+      .localCheckpoint(true) // feeds probe selection AND probe index
     val sketch = cold
       .groupBy("id")
-      .agg(sort_array(collect_list(struct(itemId(col("item")).as("_h"), col("item"))))
-        .as("_sorted"))
+      .agg(sort_array(collect_list(struct(
+        col("_df"), itemId(col("item")).as("_h"), col("item")))).as("_sorted"))
       .select(col("id").as("id_a"),
         least(size(col("_sorted")), lit(sketchSize)).cast("long").as("_m"),
         explode(slice(col("_sorted"), 1, sketchSize)("item")).as("item"))
     val cand = sketch
-      .join(cold.toDF("id_b", "item"), "item")
+      .join(cold.select(col("id").as("id_b"), col("item")), "item")
       .filter(col("id_a") =!= col("id_b"))
       .groupBy("id_a", "id_b", "_m")
       .agg(count(lit(1)).as("_k"))
@@ -860,7 +875,7 @@ object TextDedup {
   def removeContained(
       sets0: DataFrame, threshold: Double, banded: Boolean = false,
       sketchSize: Int = 32, slack: Double = 0.2,
-      hotItemMaxDf: Long = 100000L): DataFrame = {
+      hotItemMaxDf: Long = 1000L): DataFrame = {
     val sets = sets0.localCheckpoint(true) // feeds pairs AND sizes AND survivors
     val pairs =
       if (banded) containmentPairsBanded(sets, threshold, sketchSize, slack, hotItemMaxDf)

@@ -29,7 +29,7 @@ object DedupQueries {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val withDups = docs.unionByName(
         docs.filter(col("doc_id") % 10 < 2)
-          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+          .select((col("doc_id") + 10000000).as("doc_id"), col("text")))
       TextDedup.exactDedup(withDups, "doc_id", "text")
     }),
 
@@ -113,14 +113,14 @@ object DedupQueries {
 
     // Asymmetric containment (full DuckDB oracle): excerpt/quote
     // detection — snippet docs (first 30 words of every 11th document,
-    // id + 100000) have their 3-gram shingles fully contained in the
+    // id + 10000000) have their 3-gram shingles fully contained in the
     // base doc even though symmetric Jaccard is far below any useful
     // threshold. The prefix×index candidate join replays exactly under
     // the brute-force oracle because the filter chain is EXACT.
     "q163_containment" -> ((s, d) => {
       val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val snip = base.filter(col("doc_id") % 11 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"),
+        .select((col("doc_id") + 10000000).as("doc_id"),
           array_join(slice(split(col("text"), " "), 1, 30), " ").as("text"))
       TextDedup.containmentPairs(
         TextDedup.shingleSets(base.unionByName(snip), "doc_id", "text", N), 0.9)
@@ -128,17 +128,18 @@ object DedupQueries {
 
     // Banded containment PRODUCTION path under the FULL hash gate
     // (r16, the r15 verdict's #3): every stage is deterministic —
-    // md5-derived item ids, bottom-32 sketch by (hash, item), the
-    // k ≥ (t−slack)·m count filter in double arithmetic, exact verify
-    // over the full sets — so the oracle replays sketch + probe +
-    // verify stage-for-stage in DuckDB (the q93/q123 discipline).
+    // the df ≤ 1000 universe cut, the rarest-32 probe ordered by
+    // (df, md5-derived item id, item), the k ≥ (t−slack)·m count
+    // filter in double arithmetic, exact verify over the full sets —
+    // so the oracle replays cut + probe + verify stage-for-stage in
+    // DuckDB (the q93/q123 discipline).
     // Snippets carry ≤ 28 shingles ≤ the 32-item sketch, so candidate
     // generation is exact for them; recall for larger probe sets is
     // the gated estimate trade (DedupSpec).
     "q185_containment_banded" -> ((s, d) => {
       val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val snip = base.filter(col("doc_id") % 11 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"),
+        .select((col("doc_id") + 10000000).as("doc_id"),
           array_join(slice(split(col("text"), " "), 1, 30), " ").as("text"))
       TextDedup.containmentPairsBanded(
         TextDedup.shingleSets(base.unionByName(snip), "doc_id", "text", N), 0.9)
@@ -152,7 +153,7 @@ object DedupQueries {
     "q191a_containment_dedup_banded" -> ((s, d) => {
       val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val snip = base.filter(col("doc_id") % 11 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"),
+        .select((col("doc_id") + 10000000).as("doc_id"),
           array_join(slice(split(col("text"), " "), 1, 30), " ").as("text"))
       TextDedup.removeContained(
         TextDedup.shingleSets(base.unionByName(snip), "doc_id", "text", N), 0.9,
@@ -168,7 +169,7 @@ object DedupQueries {
     "q191_containment_dedup" -> ((s, d) => {
       val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val snip = base.filter(col("doc_id") % 11 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"),
+        .select((col("doc_id") + 10000000).as("doc_id"),
           array_join(slice(split(col("text"), " "), 1, 30), " ").as("text"))
       TextDedup.removeContained(
         TextDedup.shingleSets(base.unionByName(snip), "doc_id", "text", N), 0.9)
@@ -703,7 +704,7 @@ object DedupQueries {
       """WITH all_docs AS (
            SELECT doc_id, text FROM documents
            UNION ALL
-           SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 < 2)
+           SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 10 < 2)
          SELECT min(doc_id) AS doc_id, count(*) AS n_copies
          FROM all_docs GROUP BY md5(text)""",
     "q91_dedup_jaccard" -> jaccardSql(tokSql, "tok", 0.95),
@@ -713,7 +714,7 @@ object DedupQueries {
       s"""WITH docs AS (
             SELECT doc_id, text FROM documents
             UNION ALL
-            SELECT doc_id + 100000,
+            SELECT doc_id + 10000000,
               array_to_string(list_slice(string_split(text, ' '), 1, 30), ' ')
             FROM documents WHERE doc_id % 11 = 0),
           w AS (SELECT doc_id,
@@ -730,18 +731,19 @@ object DedupQueries {
           SELECT id_a, id_b, CAST(i AS DOUBLE) / sz.sz AS containment
           FROM inter JOIN sz ON sz.id = id_a
           WHERE CAST(i AS DOUBLE) / sz.sz >= 0.9""",
-    // q185: the BANDED containment replay, stage-for-stage — hot-item
-    // cut (df > 100000, vacuous at this scale but replayed), bottom-32
-    // sketch ordered by (md5-derived 32-bit id, item), the
-    // k ≥ (0.9−0.2)·m candidate count filter (CAST AS DOUBLE on both
-    // constants so DuckDB's decimal literals don't round what Spark's
-    // constant-folded double subtraction doesn't), then the exact
-    // verify over the FULL item sets restricted to candidates.
+    // q185: the BANDED containment replay, stage-for-stage — the
+    // df ≤ 1000 universe cut (binding by design at scale; vacuous on
+    // this fixture but replayed), the rarest-32 probe ordered by
+    // (df, md5-derived 32-bit id, item), the k ≥ (0.9−0.2)·m candidate
+    // count filter (CAST AS DOUBLE on both constants so DuckDB's
+    // decimal literals don't round what Spark's constant-folded double
+    // subtraction doesn't), then the exact verify over the FULL item
+    // sets restricted to candidates.
     "q185_containment_banded" ->
       s"""WITH docs AS (
             SELECT doc_id, text FROM documents
             UNION ALL
-            SELECT doc_id + 100000,
+            SELECT doc_id + 10000000,
               array_to_string(list_slice(string_split(text, ' '), 1, 30), ' ')
             FROM documents WHERE doc_id % 11 = 0),
           w AS (SELECT doc_id,
@@ -752,11 +754,11 @@ object DedupQueries {
                  FROM w, unnest(range(1, len(ws) - 1)) AS t(i)
                  WHERE len(ws) >= $N),
           freq AS (SELECT item, count(*) AS df FROM sh GROUP BY item),
-          cold AS (SELECT id, item FROM sh
-                   WHERE item NOT IN (SELECT item FROM freq WHERE df > 100000)),
+          cold AS (SELECT s.id, s.item, f.df FROM sh s
+                   JOIN freq f ON f.item = s.item WHERE f.df <= 1000),
           ranked AS (SELECT id, item,
                        row_number() OVER (PARTITION BY id
-                         ORDER BY CAST(concat('0x', substr(md5(item), 1, 8)) AS BIGINT), item) AS rn,
+                         ORDER BY df, CAST(concat('0x', substr(md5(item), 1, 8)) AS BIGINT), item) AS rn,
                        count(*) OVER (PARTITION BY id) AS n
                      FROM cold),
           sketch AS (SELECT id AS id_a, least(n, 32) AS m, item
@@ -781,7 +783,7 @@ object DedupQueries {
       s"""WITH docs AS (
             SELECT doc_id, text FROM documents
             UNION ALL
-            SELECT doc_id + 100000,
+            SELECT doc_id + 10000000,
               array_to_string(list_slice(string_split(text, ' '), 1, 30), ' ')
             FROM documents WHERE doc_id % 11 = 0),
           w AS (SELECT doc_id,
