@@ -194,8 +194,8 @@ object GrowthBench {
     * measured point shows real headroom the model also predicts
     * (batch-scaled incrementals, candidate-bounded probes). */
   val xlBudgets: Map[String, (Double, String)] = Map(
-    "q92_dedup_minhash" -> (10.5, "LSH band-bucket join: signature-linear; second-decade bound = doc ratio 10x (sigs/doc fixed) x 1.05 noise; measured r16 5.0x"),
-    "q114_dedup_clusters" -> (10.5, "LSH pairs + bounded union-find: edge-linear, planted pairs grow 10x; bound = pair ratio 10x x 1.05 noise; measured r16 5.3x"),
+    "q92_dedup_minhash" -> (10.8, "LSH pairs: shingle explode + verify joins char-linear (10.26x); candidates bucket-capped linear by the df<=1000 signature-universe cut (r16 fix: hash-random minima went quadratic, 939k->328k candidate pairs at xl); bound = char ratio x 1.05"),
+    "q114_dedup_clusters" -> (10.8, "q92 + checkpointed edge set (r16 fix: cache() planned the LSH pipeline without AQE, 97s vs 44s at xl) + bounded union-find + one broadcast label join; bound = q92's char ratio x 1.05"),
     "q126_repeated_spans" -> (10.8, "positional gram groupBy + hot/cold rejoin: gram-linear; bound = char ratio 10.3x x 1.05 noise; measured r16 7.3x"),
     "q149_paragraph_dedup" -> (10.8, "paragraph explode + keeper groupBy + reassembly: paragraph-linear; bound = char ratio 10.3x x 1.05 noise; measured r16 5.4x"),
     "q163_containment" -> (10.8, "prefix(rarest)xindex join: candidate-bounded, shingle-linear build; bound = char ratio 10.3x x 1.05 noise; measured r16 7.5x"),

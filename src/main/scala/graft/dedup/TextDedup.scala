@@ -1017,11 +1017,40 @@ object TextDedup {
     * distinct shuffle to one execution; an explicit checkpoint here was
     * measured SLOWER (q92 2.1 → 3.6 s: pure added materialization).
     * Checkpoint only where plan shape defeats reuse (jaccardPairsItemJoin). */
+  /** Banded near-dup pairs: signatures over the COLD shingle universe
+    * (df ≤ `maxShingleDf`), candidates from the band join, then exact
+    * Jaccard verification over the FULL sets — emitted values are
+    * unaffected by the cut.
+    *
+    * WHY THE UNIVERSE CUT (r16 — the q185 lesson in MinHash form,
+    * caught by the three-tier growth gate): a minhash has no rarity
+    * bias, so on a Zipfian corpus the per-band minima concentrate on
+    * the carriers of globally-small-hash COMMON shingles — every doc
+    * containing such a shingle shares that band component, so bucket
+    * sizes grow ∝ df of the captured shingle ∝ N and collision pairs
+    * go quadratic (measured on the 500k-doc tier: 939k candidate
+    * pairs, 61× for 10× docs, biggest bucket 853; verify-join rows
+    * grew 31×). Signing only df ≤ 1000 shingles caps every bucket
+    * (collision pairs ≤ bands·N·cap by Σc ≤ bands·N with c ≤ cap —
+    * linear in N; measured 328k pairs, biggest bucket 179) and costs
+    * nothing on recall at any practical tier: near-dup identity lives
+    * in the rare shingles (the PPJoin argument), J over the cold
+    * universe tracks J for real documents, and a doc whose EVERY
+    * shingle appears in >1000 documents has no distinctive content to
+    * near-dup-match (exact duplicates of it still collapse via
+    * [[exactDedup]]). The cut is ABSOLUTE by design — a fractional
+    * df ≤ εN cut re-admits the quadratic term. */
   def minhashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, k: Int = 16, bands: Int = 8, threshold: Double = 0.5): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol, n)
-    verifyJaccard(lshCandidates(minhashSignatures(sets, k), k, bands), sets, threshold)
+      n: Int = 3, k: Int = 16, bands: Int = 8, threshold: Double = 0.5,
+      maxShingleDf: Long = 1000L): DataFrame = {
+    // sets feeds freq, the cold slice and the exact verify — the
+    // jaccardPairsItemJoin checkpoint discipline
+    val sets = shingleSets(df, idCol, textCol, n).localCheckpoint(true)
+    val freq = sets.groupBy("item").agg(count(lit(1)).as("_df"))
+    val cold = sets.join(freq.filter(col("_df") <= maxShingleDf), "item")
+      .select(col("id"), col("item"))
+    verifyJaccard(lshCandidates(minhashSignatures(cold, k), k, bands), sets, threshold)
   }
 
   /** Train/eval leakage audit: near-duplicate pairs that STRADDLE
@@ -1096,13 +1125,19 @@ object TextDedup {
     // Each pair explodes into its two directed edges in ONE pass over
     // the pair pipeline; the union-of-two-selects formulation would
     // evaluate the entire upstream lineage (e.g. the full LSH pipeline)
-    // twice while filling this cache.
+    // twice. localCheckpoint, NOT cache(): Spark plans a cached
+    // sub-tree without adaptive execution, so the skewed LSH band join
+    // upstream loses AQE's coalesce/skew handling — measured 97 s for
+    // the cache fill vs 44 s for the same pipeline under AQE at the
+    // 500k-doc tier (r16 growth gate catch, q114 at 16.6× vs its 10.5
+    // second-decade budget). The checkpoint executes the plan through
+    // the normal AQE path and leaves a flat RDD-backed relation.
     val edges = pairs.select(explode(array(
         struct(col("id_1").as("a"), col("id_2").as("b")),
         struct(col("id_2").as("a"), col("id_1").as("b")))).as("_e"))
       .select(col("_e.a").as("a"), col("_e.b").as("b"))
-      .cache()
-    // Fast path: bounded collect (the count doubles as the cache fill).
+      .localCheckpoint(true)
+    // Fast path: bounded collect over the materialized edges.
     val edgeCount = edges.count()
     if (edgeCount <= maxDriverEdges) {
       val spark = pairs.sparkSession
@@ -1111,7 +1146,7 @@ object TextDedup {
       // pairs (~64 MB at the 4M-edge default), not boxed Rows.
       val collected = edges.filter(col("a") < col("b"))
         .select(col("a"), col("b")).as[(Long, Long)].collect()
-      edges.unpersist()
+      // (checkpointed edges free via the ContextCleaner once unreferenced)
       // Driver-heap math at maxDriverEdges = 4M: ≤8M distinct nodes →
       // the open-addressing table pre-sizes to the next power of two at
       // ≤50% load = 2^24 slots → keys 128 MB + parents 128 MB + 16 MB
@@ -1162,7 +1197,7 @@ object TextDedup {
       iter += 1
     }
     val finalLabels = labels.select("id", "cluster_id")
-    edges.unpersist()
+    // (checkpointed edges free via the ContextCleaner once unreferenced)
     allIds.join(finalLabels, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }

@@ -387,7 +387,9 @@ object DedupQueries {
           FROM mh"""
     }.mkString("\nUNION ALL\n")
     s"""$shSql,
-        sids AS (SELECT id, CAST(concat('0x', substr(md5(item), 1, 8)) AS BIGINT) AS sid FROM sh),
+        freq92 AS (SELECT item, count(*) AS df FROM sh GROUP BY item),
+        sids AS (SELECT s.id, CAST(concat('0x', substr(md5(s.item), 1, 8)) AS BIGINT) AS sid
+                 FROM sh s JOIN freq92 f ON f.item = s.item WHERE f.df <= 1000),
         mh AS (SELECT id, $mhCols FROM sids GROUP BY id),
         bands AS ($bandSelects),
         cand AS (SELECT DISTINCT b1.id AS id_1, b2.id AS id_2
