@@ -29,10 +29,13 @@ class PlanShapeSpec extends SparkSpec {
       // distinct group list (bounded source/dump count, k-row
       // sketches), never corpus rows
       "q168_corpus_overlap",
-      // q176: the HITS L1 totals — four SINGLE-ROW aggregates
+      // q176/q192: the HITS L1 totals — SINGLE-ROW aggregates
       // broadcast-crossed into the score frames for the renormalizing
-      // division, 1 row by construction, never a data-sized cross
-      "q176_hits")
+      // division (LinkGraph.scala hits/hitsFromStore crossJoin(
+      // broadcast(aTot/hTot))), 1 row by construction, never a
+      // data-sized cross; q192 is the store-fed/warm-start variant
+      // running the same half-step shape
+      "q176_hits", "q192_hits_warm")
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.map { case (name, fn) =>
@@ -104,8 +107,8 @@ class PlanShapeSpec extends SparkSpec {
       "Project>Join>Project>Generate>Aggregate>Project>LogicalRelation>Project>Generate>Aggregate>Union>Project>LogicalRelation>Project>Filter>LogicalRelation",
       1456),
     "q92_dedup_minhash" -> PlanGolden.Shape(
-      "Project>Filter>Aggregate>Aggregate>Project>Join>Filter>Generate>Aggregate>Project>Join>Project>Generate>Aggregate>Generate>Project>Filter>LogicalRelation>Project>Generate>Aggregate>Generate>Project>Filter>LogicalRelation>Aggregate>Generate>Project>Filter>LogicalRelation",
-      1059),
+      "Project>Filter>Aggregate>Aggregate>Project>Join>Filter>Generate>Aggregate>Project>Join>Project>Generate>Aggregate>Project>Join>Filter>LogicalRDD>Project>Filter>Aggregate>Project>LogicalRDD>Project>Generate>Aggregate>Project>Join>Filter>LogicalRDD>Project>Filter>Aggregate>Project>LogicalRDD>Filter>LogicalRDD",
+      911),
     // LogicalRDD = the sigs localCheckpoint: the fingerprint lineage
     // would otherwise plan on BOTH sides of the band self-join, and
     // the broadcast side's exchange can never ReusedExchange-collapse
@@ -341,7 +344,7 @@ class PlanShapeSpec extends SparkSpec {
     // (the prefix-explode path sneaking back in)
     "q185_containment_banded" -> PlanGolden.Shape(
       "Project>Filter>Aggregate>Aggregate>Project>Join>Filter>Generate>Project>Filter>Aggregate>Project>Join>Project>Generate>Aggregate>Filter>LogicalRDD>Project>Filter>LogicalRDD>Filter>LogicalRDD",
-      152),
+      156),
     // mergeable postings store: the store leg is the LogicalRDD
     // checkpoint, the batch leg one explode+Aggregate, the merge an
     // anti-Join + Union, and the derivation shares ONE term
