@@ -194,16 +194,16 @@ object GrowthBench {
     * measured point shows real headroom the model also predicts
     * (batch-scaled incrementals, candidate-bounded probes). */
   val xlBudgets: Map[String, (Double, String)] = Map(
-    "q92_dedup_minhash" -> (10.8, "LSH pairs: shingle explode + verify joins char-linear (10.26x); candidates bucket-capped linear by the df<=1000 signature-universe cut (r16 fix: hash-random minima went quadratic, 939k->328k candidate pairs at xl); bound = char ratio x 1.05"),
-    "q114_dedup_clusters" -> (10.8, "q92 + checkpointed edge set (r16 fix: cache() planned the LSH pipeline without AQE, 97s vs 44s at xl) + bounded union-find + one broadcast label join; bound = q92's char ratio x 1.05"),
-    "q126_repeated_spans" -> (10.8, "positional gram groupBy + hot/cold rejoin: gram-linear; bound = char ratio 10.3x x 1.05 noise; measured r16 7.3x"),
-    "q149_paragraph_dedup" -> (10.8, "paragraph explode + keeper groupBy + reassembly: paragraph-linear; bound = char ratio 10.3x x 1.05 noise; measured r16 5.4x"),
-    "q163_containment" -> (10.8, "prefix(rarest)xindex join: candidate-bounded, shingle-linear build; bound = char ratio 10.3x x 1.05 noise; measured r16 7.5x"),
-    "q185_containment_banded" -> (10.8, "bottom-s sketch probe: CONSTANT probe rows per set, candidate-bounded verify; bound = set ratio 10x x 1.05 + char-linear shingle build; measured r16 6.6x"),
-    "q191_containment_dedup" -> (10.8, "containment apply: pair-linear exact join + sizes attach + anti-join; bound = pair ratio 10.3x x 1.05 noise; measured r16 7.9x"),
-    "q151_pagerank" -> (10.5, "3 PR iterations: edge-linear joins, 16-byte rank rows; bound = edge ratio 10x (out-degree fixed) x 1.05 noise; measured r16 4.3x"),
-    "q186_index_incremental" -> (10.5, "mergeable postings store: fixture store build is the corpus-linear term, merge batch-scaled; bound = token ratio 10x x 1.05 noise; measured r16 5.5x"),
-    "q180_corpus_pipeline" -> (10.8, "end-to-end pipeline: every stage linear; bound = char ratio 10.3x x 1.05 noise; measured r16 6.6x"))
+    "q92_dedup_minhash" -> (10.8, "LSH pairs: shingle explode + verify joins char-linear (10.26x); candidates bucket-capped linear by the df<=1000 signature-universe cut (r16 fix: hash-random minima went quadratic, 939k->328k candidate pairs at xl); bound = char ratio x 1.05; measured r16 3.2x"),
+    "q114_dedup_clusters" -> (10.8, "q92 + checkpointed edge set (r16 fix: cache() planned the LSH pipeline without AQE, 97s vs 44s at xl) + bounded union-find + one broadcast label join; bound = q92's char ratio x 1.05; measured r16 2.8x"),
+    "q126_repeated_spans" -> (10.8, "positional gram groupBy + hot/cold rejoin: gram-linear; bound = char ratio 10.3x x 1.05 noise; measured r16 2.8x"),
+    "q149_paragraph_dedup" -> (10.8, "paragraph explode + keeper groupBy + reassembly: paragraph-linear; bound = char ratio 10.3x x 1.05 noise; measured r16 3.5x"),
+    "q163_containment" -> (10.8, "prefix(rarest)xindex join: candidate-bounded, shingle-linear build; bound = char ratio 10.3x x 1.05 noise; measured r16 4.7x"),
+    "q185_containment_banded" -> (10.8, "bottom-s sketch probe: CONSTANT probe rows per set, candidate-bounded verify; bound = set ratio 10x x 1.05 + char-linear shingle build; measured r16 4.1x"),
+    "q191_containment_dedup" -> (10.8, "containment apply: pair-linear exact join + sizes attach + anti-join; bound = pair ratio 10.3x x 1.05 noise; measured r16 3.8x"),
+    "q151_pagerank" -> (10.5, "3 PR iterations: edge-linear joins, 16-byte rank rows; bound = edge ratio 10x (out-degree fixed) x 1.05 noise; measured r16 1.8x"),
+    "q186_index_incremental" -> (10.5, "mergeable postings store: fixture store build is the corpus-linear term, merge batch-scaled; bound = token ratio 10x x 1.05 noise; measured r16 7.2x"),
+    "q180_corpus_pipeline" -> (10.8, "end-to-end pipeline: every stage linear; bound = char ratio 10.3x x 1.05 noise; measured r16 8.6x"))
 
   /** RELATIONAL-CORE growth gate (round 16): the medallion / SCD2 /
     * validation / quality / incremental / event-time family measured
