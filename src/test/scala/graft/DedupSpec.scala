@@ -616,6 +616,58 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] { TextDedup.containmentPairs(sets, 1.1) }
   }
 
+  test("minhashLshPairs: the signature-universe cut drops hot shingles from banding but never from the verify") {
+    import spark.implicits._
+    // boiler = a universal 3-shingle every doc carries (df = #docs); the
+    // r16 scale fix signs only df <= maxShingleDf shingles so the band
+    // minima cannot concentrate on boiler's carriers. maxShingleDf = 3
+    // makes the cut BIND at fixture scale (defaults bind only at 1000+
+    // docs). Planted near-dups ride their rare shingles; a doc whose
+    // EVERY shingle is hot signs nothing and pairs with nothing.
+    val boiler = "copy right all rights reserved"
+    val docs = Seq(
+      1L -> s"$boiler alpha beta gamma delta epsilon zeta eta theta",
+      2L -> s"$boiler alpha beta gamma delta epsilon zeta eta iota", // near-dup of 1
+      3L -> s"$boiler quebec romeo sierra tango uniform victor whiskey xray",
+      4L -> boiler, // all-hot doc: no cold shingles, no signature
+      5L -> boiler, // exact twin of 4 — invisible to LSH, q90's job
+      6L -> s"$boiler november oscar papa kilo lima mike juliett golf"
+    ).toDF("doc_id", "text")
+    val got = TextDedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, k = 16, bands = 8, threshold = 0.5, maxShingleDf = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(p => (p._1, p._2)).toSet == Set((1L, 2L)), got.mkString(", "))
+    // the emitted jaccard is computed over the FULL sets, hot shingles
+    // included — the cut gates candidates, never values
+    val full = TextDedup.jaccardPairs(
+      TextDedup.shingleSets(docs.filter(col("doc_id") <= 2), "doc_id", "text", 3), 0.5)
+      .collect().map(r => r.getDouble(2)).head
+    assert(math.abs(got.head._3 - full) < 1e-12)
+  }
+
+  test("containmentPairsBanded: probes are the RAREST cold items, so common-item-only overlap yields no candidate") {
+    import spark.implicits._
+    // A carries one very common token plus 4 rare ones; sketchSize = 4
+    // keeps exactly the 4 rares (df-ascending selection — the r16 scale
+    // fix). B ⊇ A is found (C = 1 hits on any probe subset); B' shares
+    // ONLY the common token with A, so with the rares as probes it can
+    // never become a candidate — under hash-random selection the common
+    // token could enter the sketch and generate the (A, B') probe hit.
+    val common = (10L until 30L).map(i => i -> s"shared r$i s$i t$i u$i")
+    val docs = (Seq(
+      1L -> "shared ra rb rc rd",                    // A
+      2L -> "shared ra rb rc rd extra1 extra2",      // B ⊇ A
+      3L -> "shared zz1 zz2 zz3 zz4 zz5"             // B': only 'shared' in common
+    ) ++ common).toDF("doc_id", "text")
+    val sets = TextDedup.tokenSets(docs, "doc_id", "text")
+    val cands = TextDedup.containmentPairsBanded(sets, 0.8, sketchSize = 4, slack = 0.3)
+      .filter(col("id_a") === 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cands.map(p => (p._1, p._2)).toSet == Set((1L, 2L)), cands.mkString(", "))
+    // containment value exact over the FULL set: 5 of A's 5 tokens in B
+    assert(cands.head._3 == 1.0)
+  }
+
   test("removeContained: excerpts drop in favor of containers; identical sets keep the min id; chains resolve") {
     import spark.implicits._
     val docs = Seq(
