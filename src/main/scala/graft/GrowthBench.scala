@@ -203,7 +203,20 @@ object GrowthBench {
     "q191_containment_dedup" -> (10.8, "containment apply: pair-linear exact join + sizes attach + anti-join; bound = pair ratio 10.3x x 1.05 noise; measured r16 3.8x"),
     "q151_pagerank" -> (10.5, "3 PR iterations: edge-linear joins, 16-byte rank rows; bound = edge ratio 10x (out-degree fixed) x 1.05 noise; measured r16 1.8x"),
     "q186_index_incremental" -> (10.5, "mergeable postings store: fixture store build is the corpus-linear term, merge batch-scaled; bound = token ratio 10x x 1.05 noise; measured r16 7.2x"),
-    "q180_corpus_pipeline" -> (10.8, "end-to-end pipeline: every stage linear; bound = char ratio 10.3x x 1.05 noise; measured r16 8.6x"))
+    "q180_corpus_pipeline" -> (10.8, "end-to-end pipeline: every stage linear; bound = char ratio 10.3x x 1.05 noise; measured r16 8.6x"),
+    // Second cohort (landed end of r16 from 1-trial probes, gated in
+    // full from the next tools/growth.sh run): the token/char-linear
+    // text family, WARC, and the graph iteration shapes.
+    "q117_repetition" -> (10.5, "per-doc gram sort projection: token-linear; bound = token ratio x 1.05; probed r16 8.8x (the family's most compute-saturated row)"),
+    "q122_coverage" -> (10.8, "gram explode vs broadcast model: gram-linear; bound = gram ratio 10.26x x 1.05; probed r16 6.7x"),
+    "q133_bigram_perplexity" -> (10.5, "bigram/context tables Heaps-sublinear + token scan: token-linear; bound = token ratio x 1.05; probed r16 3.6x"),
+    "q147_warc_extract" -> (10.8, "per-file record walk: byte-linear; bound = char ratio x 1.05; probed r16 2.4x"),
+    "q148_main_content" -> (10.8, "block-algebra extraction: byte-linear narrow projection; bound = char ratio x 1.05; probed r16 7.8x"),
+    "q150_incremental_paragraphs" -> (10.8, "incremental paragraph dedup: batch+store both scale 10x in this fixture; paragraph-linear; bound = char ratio x 1.05; probed r16 2.0x"),
+    "q152a_harmonic_hyperball" -> (10.5, "HyperBall: per-radius src-keyed join + mergeable HLL groupBy, node-linear; bound = node ratio x 1.05; probed r16 1.8x"),
+    "q156_bm25" -> (10.5, "vocab-filtered tf + broadcast stats + top-k window: token-linear; bound = token ratio x 1.05; probed r16 1.6x"),
+    "q166_inverted_index" -> (10.5, "token explode + postings groupBy + WindowGroupLimit: token-linear; bound = token ratio x 1.05; probed r16 3.4x"),
+    "q176_hits" -> (10.5, "HITS half-steps: endpoint-keyed joins over 16-byte score rows, edge-linear; bound = edge ratio x 1.05; probed r16 2.3x"))
 
   /** RELATIONAL-CORE growth gate (round 16): the medallion / SCD2 /
     * validation / quality / incremental / event-time family measured
