@@ -454,6 +454,7 @@ object GrowthBench {
       } catch { case _: Throwable => (0L, 0L) }
     val samples = scala.collection.mutable.Map.empty[(String, String), List[Double]]
     val roundSteal = Seq.newBuilder[Double]
+    val xlRoundSteal = Seq.newBuilder[Double] // xl rounds tagged apart (r16 ADVICE)
     var failed = Set.empty[String]
     def timeOne(e: Entry, tag: String, dir: String): Unit = {
       val t0 = System.nanoTime()
@@ -481,45 +482,79 @@ object GrowthBench {
       val (s0, t0all) = stealTotal()
       for (e <- xlFleet) timeOne(e, "xl", xlDir)
       val (s1, t1all) = stealTotal()
-      roundSteal += (if (t1all > t0all) (s1 - s0) * 100.0 / (t1all - t0all) else 0.0)
+      xlRoundSteal += (if (t1all > t0all) (s1 - s0) * 100.0 / (t1all - t0all) else 0.0)
     }
     def f(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     case class Row(name: String, family: String, tSmall: Double, tBig: Double,
-                   growth: Double, budget: Double, model: String,
+                   growth: Double, gateGrowth: Double, budget: Double, model: String,
                    xl: Option[(Double, Double, Double)]) { // (tXl, growth2, budget2)
-      def ok: Boolean = growth <= budget && xl.forall { case (_, g2, b2) => g2 <= b2 }
+      def firstOk: Boolean = gateGrowth <= budget
+      def xlOk: Boolean = xl.forall { case (_, g2, b2) => g2 <= b2 }
+      def ok: Boolean = firstOk && xlOk
     }
     val rows = fleet.collect { case e
         if samples.contains((e.name, "small")) && samples.contains((e.name, "big")) =>
       val (b, m) = if (e.family == "rel") relBudgets(e.name) else budgets(e.name)
       val ts = samples((e.name, "small")).min; val tb = samples((e.name, "big")).min
+      // Relational small-side floor (r16 ADVICE): the sf0.01 fixtures
+      // run many rel queries in tens of milliseconds, where JIT/timer
+      // noise — not plan shape — dominates the denominator and a 10.5×
+      // ratio gate on a ~50 ms base flakes for reasons the gate does
+      // not exist to catch. Clamping the denominator at 0.2 s turns
+      // the gate into "tBig ≤ budget × max(tSmall, 0.2)" — an absolute
+      // bound whenever the small side is overhead-noise, the true
+      // ratio otherwise. The docs fleet keeps raw ratios: its budgets
+      // were measured against its own small-corpus times.
+      val tsGate = if (e.family == "rel") math.max(ts, 0.2) else ts
       val xlPart = samples.get((e.name, "xl")).map { xs =>
         val tx = xs.min; (tx, tx / tb, xlBudgets(e.name)._1)
       }
-      Row(e.name, e.family, ts, tb, tb / ts, b, m, xlPart)
+      Row(e.name, e.family, ts, tb, tb / ts, tb / tsGate, b, m, xlPart)
     }
     val violations = rows.filterNot(_.ok)
     val qs = rows.map { r =>
       val base = "\"" + r.name + "\":{\"family\":\"" + r.family + "\",\"small\":" + f(r.tSmall) +
-        ",\"big\":" + f(r.tBig) + ",\"growth\":" + f(r.growth) + ",\"budget\":" + f(r.budget)
+        ",\"big\":" + f(r.tBig) + ",\"growth\":" + f(r.growth) + ",\"budget\":" + f(r.budget) +
+        (if (r.gateGrowth != r.growth) ",\"gate_growth\":" + f(r.gateGrowth) else "")
       base + r.xl.map { case (tx, g2, b2) =>
         ",\"xl\":" + f(tx) + ",\"growth2\":" + f(g2) + ",\"budget2\":" + f(b2)
       }.getOrElse("") + "}"
     }.mkString("{", ",", "}")
     val errs = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val steal = roundSteal.result().map(f).mkString("[", ",", "]")
-    val line = s"""{"metric":"growth_gate","violations":${violations.size},"trials":$trials,"xl_trials":$xlTrials,"queries":$qs,"errors":$errs,"round_steal_pct":$steal,"small":"$small","big":"$big","xl":"$xlDir","rel_small":"$relSmall","rel_big":"$relBig"}"""
+    val xlSteal = xlRoundSteal.result().map(f).mkString("[", ",", "]")
+    val line = s"""{"metric":"growth_gate","violations":${violations.size},"trials":$trials,"xl_trials":$xlTrials,"queries":$qs,"errors":$errs,"round_steal_pct":$steal,"xl_round_steal_pct":$xlSteal,"small":"$small","big":"$big","xl":"$xlDir","rel_small":"$relSmall","rel_big":"$relBig"}"""
     val out = java.nio.file.Paths.get("target", "growth.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
-    println(line)
-    violations.foreach(r => System.err.println(
-      if (r.growth > r.budget)
-        s"[growth] VIOLATION ${r.name}: ${f(r.growth)}x > budget ${f(r.budget)}x (${r.model})"
-      else {
+    // The three-tier cohort as its OWN artifact (r16 verdict #2): the
+    // full-fleet gate lives in growth.json, the xl rows in
+    // growth_xl.json, so BENCHMARKS.md can cite each by name and HEAD
+    // always carries the artifact the certification text points at.
+    val xlRows = rows.filter(_.xl.isDefined)
+    if (xlRows.nonEmpty) {
+      val xqs = xlRows.map { r =>
         val (tx, g2, b2) = r.xl.get
-        s"[growth] VIOLATION ${r.name} (xl ${f(tx)}s): growth2 ${f(g2)}x > budget2 ${f(b2)}x (${r.model})"
-      }))
+        "\"" + r.name + "\":{\"big\":" + f(r.tBig) + ",\"xl\":" + f(tx) +
+          ",\"growth2\":" + f(g2) + ",\"budget2\":" + f(b2) + "}"
+      }.mkString("{", ",", "}")
+      val xlLine = s"""{"metric":"growth_gate_xl","violations":${xlRows.count(!_.xlOk)},"xl_trials":$xlTrials,"queries":$xqs,"xl_round_steal_pct":$xlSteal,"big":"$big","xl":"$xlDir"}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get("target", "growth_xl.json"),
+        (xlLine + "\n").getBytes("UTF-8"))
+    }
+    println(line)
+    // Print EVERY breached gate per row (r16 ADVICE: first-decade and
+    // xl breaches can coincide; reporting only one hid the other).
+    violations.foreach { r =>
+      if (!r.firstOk)
+        System.err.println(
+          s"[growth] VIOLATION ${r.name}: ${f(r.gateGrowth)}x > budget ${f(r.budget)}x (${r.model})")
+      if (!r.xlOk) {
+        val (tx, g2, b2) = r.xl.get
+        System.err.println(
+          s"[growth] VIOLATION ${r.name} (xl ${f(tx)}s): growth2 ${f(g2)}x > budget2 ${f(b2)}x (${r.model})")
+      }
+    }
     spark.stop()
     if (violations.nonEmpty || failed.nonEmpty) sys.exit(1)
   }

@@ -22,6 +22,40 @@ object TextDedup {
 
   val MinhashPrime = 2147483647L // 2^31 − 1, Mersenne
 
+  /** Default ABSOLUTE document-frequency universe cut shared by every
+    * banded signing/probe path ([[minhashLshPairs]],
+    * [[containmentPairsBanded]], [[removeContained]]) AND their DuckDB
+    * oracles — DedupQueries interpolates THIS constant into the replay
+    * SQL, so the Spark default and the oracle literal cannot desync
+    * (r16 ADVICE). Items seen in more than this many documents are
+    * excluded from signatures and probes (they carry no identifying
+    * signal and their df ∝ N fan-out is the measured quadratic term —
+    * see the r16 scaladoc on each consumer); exact verification still
+    * counts every item. MIGRATION NOTE (r16 behavior change): before
+    * r16 the containment probe was hash-random with hotItemMaxDf =
+    * 100000 and minhash signed the full universe — callers relying on
+    * recall for sets whose overlap lives ONLY in items with df > this
+    * cut must pass an explicit higher cut (and accept the measured
+    * super-linear growth) or pre-filter; [[hotOnlyProbeSets]] makes
+    * zero-candidate outcomes diagnosable. */
+  val DefaultMaxItemDf = 1000L
+
+  /** Diagnosability hook for the [[DefaultMaxItemDf]] universe cut: the
+    * ids in `sets` with NO item at df ≤ `maxItemDf` — sets that
+    * generate zero banded candidates BY CONSTRUCTION (every shingle is
+    * boilerplate-hot), so a silent empty result is distinguishable
+    * from a genuine no-duplicates answer. Run it beside a banded path
+    * when auditing recall; same two groupBys the cut itself costs.
+    * → (id, n_items) for the hot-only sets. */
+  def hotOnlyProbeSets(sets: DataFrame, maxItemDf: Long = DefaultMaxItemDf): DataFrame = {
+    val freq = sets.groupBy("item").agg(count(lit(1)).as("_df"))
+    sets.join(freq, "item")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_items"), min(col("_df")).as("_minDf"))
+      .filter(col("_minDf") > maxItemDf)
+      .select(col("id"), col("n_items"))
+  }
+
   /** Lowercased alphanumeric tokens, one row per DISTINCT (id, token). */
   def tokenSets(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"),
@@ -820,12 +854,15 @@ object TextDedup {
     * quadratic term). A set with no cold items generates no
     * candidates — at that point every one of its shingles appears in
     * >1000 documents and containment has no signal to find; the
-    * exact verify still counts EVERY item, hot included.
+    * exact verify still counts EVERY item, hot included. Audit such
+    * sets with [[hotOnlyProbeSets]] (zero-candidate outcomes should
+    * be diagnosable, not silent — see [[DefaultMaxItemDf]]'s
+    * migration note for the r16 default change).
     * → (id_a, id_b, containment) — containment exact. */
   def containmentPairsBanded(
       sets0: DataFrame, threshold: Double,
       sketchSize: Int = 32, slack: Double = 0.2,
-      hotItemMaxDf: Long = 1000L): DataFrame = {
+      hotItemMaxDf: Long = DefaultMaxItemDf): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"containmentPairsBanded threshold must be in (0, 1], got $threshold")
     require(sketchSize >= 1, s"sketchSize must be >= 1, got $sketchSize")
@@ -875,7 +912,7 @@ object TextDedup {
   def removeContained(
       sets0: DataFrame, threshold: Double, banded: Boolean = false,
       sketchSize: Int = 32, slack: Double = 0.2,
-      hotItemMaxDf: Long = 1000L): DataFrame = {
+      hotItemMaxDf: Long = DefaultMaxItemDf): DataFrame = {
     val sets = sets0.localCheckpoint(true) // feeds pairs AND sizes AND survivors
     val pairs =
       if (banded) containmentPairsBanded(sets, threshold, sketchSize, slack, hotItemMaxDf)
@@ -1010,14 +1047,8 @@ object TextDedup {
       .select("id_1", "id_2", "jaccard")
   }
 
-  /** The full MinHash+LSH near-dup pipeline over word n-gram shingles.
-    * The shingle lineage feeds both the signature aggregation and the
-    * verification join, but — unlike the item-join path — those two
-    * subtrees are IDENTICAL, so ReusedExchange already collapses the
-    * distinct shuffle to one execution; an explicit checkpoint here was
-    * measured SLOWER (q92 2.1 → 3.6 s: pure added materialization).
-    * Checkpoint only where plan shape defeats reuse (jaccardPairsItemJoin). */
-  /** Banded near-dup pairs: signatures over the COLD shingle universe
+  /** The full MinHash+LSH near-dup pipeline over word n-gram shingles —
+    * banded near-dup pairs: signatures over the COLD shingle universe
     * (df ≤ `maxShingleDf`), candidates from the band join, then exact
     * Jaccard verification over the FULL sets — emitted values are
     * unaffected by the cut.
@@ -1039,13 +1070,20 @@ object TextDedup {
     * shingle appears in >1000 documents has no distinctive content to
     * near-dup-match (exact duplicates of it still collapse via
     * [[exactDedup]]). The cut is ABSOLUTE by design — a fractional
-    * df ≤ εN cut re-admits the quadratic term. */
+    * df ≤ εN cut re-admits the quadratic term.
+    *
+    * Checkpoint note (r16): the pre-cut pipeline's two shingle
+    * subtrees were IDENTICAL, ReusedExchange collapsed them, and an
+    * explicit checkpoint measured SLOWER (q92 2.1 → 3.6 s — pure
+    * added materialization). The cut changed that: `sets` now feeds
+    * THREE structurally different consumers (the df census, the cold
+    * slice, the full-set verify), which ReusedExchange cannot
+    * collapse, so the checkpoint below is load-bearing — without it
+    * the shingle Generate re-runs per consumer. */
   def minhashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 16, bands: Int = 8, threshold: Double = 0.5,
-      maxShingleDf: Long = 1000L): DataFrame = {
-    // sets feeds freq, the cold slice and the exact verify — the
-    // jaccardPairsItemJoin checkpoint discipline
+      maxShingleDf: Long = DefaultMaxItemDf): DataFrame = {
     val sets = shingleSets(df, idCol, textCol, n).localCheckpoint(true)
     val freq = sets.groupBy("item").agg(count(lit(1)).as("_df"))
     val cold = sets.join(freq.filter(col("_df") <= maxShingleDf), "item")

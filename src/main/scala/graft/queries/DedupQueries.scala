@@ -389,7 +389,8 @@ object DedupQueries {
     s"""$shSql,
         freq92 AS (SELECT item, count(*) AS df FROM sh GROUP BY item),
         sids AS (SELECT s.id, CAST(concat('0x', substr(md5(s.item), 1, 8)) AS BIGINT) AS sid
-                 FROM sh s JOIN freq92 f ON f.item = s.item WHERE f.df <= 1000),
+                 FROM sh s JOIN freq92 f ON f.item = s.item
+                 WHERE f.df <= ${TextDedup.DefaultMaxItemDf}),
         mh AS (SELECT id, $mhCols FROM sids GROUP BY id),
         bands AS ($bandSelects),
         cand AS (SELECT DISTINCT b1.id AS id_1, b2.id AS id_2
@@ -757,7 +758,7 @@ object DedupQueries {
                  WHERE len(ws) >= $N),
           freq AS (SELECT item, count(*) AS df FROM sh GROUP BY item),
           cold AS (SELECT s.id, s.item, f.df FROM sh s
-                   JOIN freq f ON f.item = s.item WHERE f.df <= 1000),
+                   JOIN freq f ON f.item = s.item WHERE f.df <= ${TextDedup.DefaultMaxItemDf}),
           ranked AS (SELECT id, item,
                        row_number() OVER (PARTITION BY id
                          ORDER BY df, CAST(concat('0x', substr(md5(item), 1, 8)) AS BIGINT), item) AS rn,

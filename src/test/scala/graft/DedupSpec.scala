@@ -668,6 +668,22 @@ class DedupSpec extends SparkSpec {
     assert(cands.head._3 == 1.0)
   }
 
+  test("hotOnlyProbeSets: sets with no cold item are enumerated — the universe cut's zero-candidate diagnosability hook") {
+    import spark.implicits._
+    // 12 docs all carry 'hot1 hot2' (df = 12 > the cut of 3); doc 1
+    // carries ONLY those, so the banded paths generate zero candidates
+    // for it BY CONSTRUCTION — hotOnlyProbeSets must name it (and only
+    // it: every other doc keeps a rare token under the cut).
+    val docs = ((2L until 13L).map(i => i -> s"hot1 hot2 rare$i")
+      :+ (1L -> "hot1 hot2")).toDF("doc_id", "text")
+    val sets = TextDedup.tokenSets(docs, "doc_id", "text")
+    val flagged = TextDedup.hotOnlyProbeSets(sets, maxItemDf = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(flagged.toSeq == Seq((1L, 2L)), flagged.mkString(", "))
+    // default-cut call path compiles against DefaultMaxItemDf
+    assert(TextDedup.hotOnlyProbeSets(sets).collect().isEmpty)
+  }
+
   test("removeContained: excerpts drop in favor of containers; identical sets keep the min id; chains resolve") {
     import spark.implicits._
     val docs = Seq(
