@@ -258,6 +258,22 @@ object LinkGraph {
         coalesce(col("_h"), lit(0L)).as("harmonic_micro"))
   }
 
+  /** [[harmonicCentrality]] over an [[adjacencyStore]] — the last graph
+    * member to join the q187/q192/q193/q194 incremental-webgraph
+    * contract: a crawl batch folds into the store (work ∝ batch) and
+    * bounded-radius harmonic centrality reads the (src, dst, n_links)
+    * rows directly. Distance is a property of the SIMPLE graph, so
+    * `n_links` multiplicity and self-loops collapse in the same
+    * distinct/filter canonicalization raw edges get — store-fed values
+    * are row-identical to the raw-edge path (spec-pinned; q196 hashes
+    * the merged-store answer against q152's oracle SQL verbatim).
+    * → (idCol, harmonic_micro) */
+  def harmonicFromStore(
+      nodes: DataFrame, idCol: String, store: DataFrame,
+      radius: Int = 3, scale: Long = 1000000L): DataFrame =
+    harmonicCentrality(nodes, idCol,
+      store.select(col("src"), col("dst")), "src", "dst", radius, scale)
+
   /** Per-node triangle counts + local clustering coefficient over the
     * UNDIRECTED simple graph induced by `edges` (direction dropped,
     * self-loops and parallel edges removed) — the webgraph structure
@@ -534,24 +550,78 @@ object LinkGraph {
   def harmonicApprox(
       nodes: DataFrame, idCol: String,
       edges: DataFrame, srcCol: String, dstCol: String,
-      radius: Int = 3, lgK: Int = 12): DataFrame = {
-    require(radius >= 1, s"radius must be >= 1, got $radius")
-    val e = edges
-      .select(col(srcCol).as("_s"), col(dstCol).as("_t"))
+      radius: Int = 3, lgK: Int = 12): DataFrame =
+    hyperBallSweeps(hyperBallInit(nodes, idCol, lgK),
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")),
+      fromRadius = 1, toRadius = radius)
+      .select(col(idCol), col("harmonic"))
+
+  /** HyperBall state at radius 0: per node, the singleton ball sketch
+    * {v}, zero accumulated harmonic, and |B_0| = 1 as the previous-size
+    * carry. The state schema — (idCol, ball: binary, harmonic: double,
+    * ball_size: double) — is PERSISTABLE (the HLL sketch serializes as
+    * its DataSketches byte image), which is what makes the warm-start
+    * contract work: the published radius-R state IS the checkpoint a
+    * later [[hyperBallGrow]] resumes from. New nodes discovered after a
+    * state was published enter via one more init + unionByName — the
+    * cold rule. */
+  def hyperBallInit(nodes: DataFrame, idCol: String, lgK: Int = 12): DataFrame =
+    nodes.select(col(idCol))
+      .groupBy(col(idCol))
+      .agg(hll_sketch_agg(col(idCol), lit(lgK)).as("ball"))
+      .withColumn("harmonic", lit(0.0))
+      .withColumn("ball_size", hll_sketch_estimate(col("ball")).cast("double"))
+
+  /** Grow a persisted HyperBall state from `fromRadius` to `toRadius`
+    * over an [[adjacencyStore]] — the WARM START the r16 verdict asked
+    * for: ball sketches are mergeable HLLs, so the radius-R state a
+    * previous run published resumes EXACTLY where it stopped
+    * (spec-pinned: grow(grow(init, 1→1), 2→R) ≡ grow(init, 1→R) ≡ the
+    * cold [[harmonicApprox]] at R — the sweep is Markovian in (ball,
+    * harmonic, ball_size)). Radii matter to the 1/r harmonic term, so
+    * the caller states which step range this growth covers; multi-edge
+    * `n_links` multiplicity and self-loops collapse in the distinct,
+    * exactly as [[harmonicFromStore]]'s exact path. Per step the same
+    * two-shuffle shape as a [[pageRank]] iteration: one src-keyed join
+    * + one map-side-mergeable `hll_union_agg` groupBy.
+    * → the grown state, same persistable schema as [[hyperBallInit]]. */
+  def hyperBallGrow(
+      state: DataFrame, idCol: String, store: DataFrame,
+      fromRadius: Int, toRadius: Int): DataFrame =
+    hyperBallSweeps(state, store.select(col("src"), col("dst")),
+      fromRadius, toRadius)
+
+  /** [[harmonicApprox]] over an [[adjacencyStore]]: the HyperBall scale
+    * path joins the store contract — cold start here, or resume a
+    * published state via [[hyperBallGrow]]. → (idCol, harmonic) */
+  def harmonicApproxFromStore(
+      nodes: DataFrame, idCol: String, store: DataFrame,
+      radius: Int = 3, lgK: Int = 12): DataFrame =
+    hyperBallGrow(hyperBallInit(nodes, idCol, lgK), idCol, store, 1, radius)
+      .select(col(idCol), col("harmonic"))
+
+  /** The shared HyperBall sweep: B_r(v) = B_{r-1}(v) ∪ ⋃_{u→v}
+    * B_{r-1}(u), H += (|B_r| − |B_{r-1}|)/r for r in
+    * [fromRadius, toRadius]. Each step is localCheckpoint-materialized
+    * (the Pregel iteration discipline): `state` feeds THREE plan
+    * branches per step, so an unbroken lineage re-derives it 3^r times
+    * by radius r. Column names are the public state schema so a
+    * persisted frame drops straight in. */
+  private def hyperBallSweeps(
+      state0: DataFrame, rawEdges: DataFrame,
+      fromRadius: Int, toRadius: Int): DataFrame = {
+    require(fromRadius >= 1, s"fromRadius must be >= 1, got $fromRadius")
+    require(toRadius >= fromRadius - 1,
+      s"toRadius ($toRadius) must be >= fromRadius - 1 (${fromRadius - 1})")
+    val idCol = state0.columns.head
+    val e = rawEdges
+      .select(col("src").as("_s"), col("dst").as("_t"))
       .filter(col("_s") =!= col("_t")).distinct()
-    // B_0(v) = {v}; carry (ball sketch, accumulated harmonic, |B_{r-1}|).
-    // Each step is localCheckpoint-materialized (the Pregel iteration
-    // discipline): `state` feeds THREE plan branches per step, so an
-    // unbroken lineage re-derives it 3^r times by radius r.
-    var state = nodes.select(col(idCol).as("_v"))
-      .groupBy(col("_v"))
-      .agg(hll_sketch_agg(col("_v"), lit(lgK)).as("_sk"))
-      .withColumn("_h", lit(0.0))
-      .withColumn("_prev", hll_sketch_estimate(col("_sk")).cast("double"))
+    var state = state0.select(col(idCol).as("_v"), col("ball").as("_sk"),
+        col("harmonic").as("_h"), col("ball_size").as("_prev"))
       .localCheckpoint(true)
-    var r = 1
-    while (r <= radius) {
-      // B_r(v) = B_{r-1}(v) ∪ ⋃_{u→v} B_{r-1}(u)
+    var r = fromRadius
+    while (r <= toRadius) {
       val viaEdges = e.join(state, col("_s") === col("_v"))
         .select(col("_t").as("_w"), col("_sk"))
       val grown = state.select(col("_v").as("_w"), col("_sk"))
@@ -567,7 +637,8 @@ object LinkGraph {
         .localCheckpoint(true)
       r += 1
     }
-    state.select(col("_v").as(idCol), col("_h").as("harmonic"))
+    state.select(col("_v").as(idCol), col("_sk").as("ball"),
+      col("_h").as("harmonic"), col("_prev").as("ball_size"))
   }
 
   /** Contract a page-level edge list to a coarser grain — the

@@ -659,6 +659,25 @@ object WebQueries {
       LinkGraph.triangleCountsFromStore(docs, "doc_id", store)
     }),
 
+    // Store-fed harmonic centrality (full DuckDB oracle — q152's SQL
+    // VERBATIM on the incrementally merged store, the q194 pattern):
+    // the LAST graph member joins the daily-crawl contract — history
+    // present only as its adjacency store, the batch folds in with one
+    // groupBy-sum, and bounded-radius harmonic reads the store
+    // directly. Distance lives on the simple graph, so direction
+    // multiplicity and n_links collapse exactly as raw parallel edges
+    // do — the merged-store answer must hash-equal the raw-edge q152.
+    "q196_harmonic_store" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      val all = webgraph(docs, n)
+      val old = all.filter(col("src") % 10 =!= 0)
+      val store = LinkGraph.mergeAdjacency(
+        LinkGraph.adjacencyStore(old, "src", "dst").localCheckpoint(true),
+        all.filter(col("src") % 10 === 0), "src", "dst")
+      LinkGraph.harmonicFromStore(docs, "doc_id", store, radius = 3)
+    }),
+
     // HyperBall harmonic (rows-only ⊘ — DataSketches HLL is not
     // DuckDB-replayable): the webgraph-scale path, one mergeable
     // sketch per node instead of the exact pair set. LinkGraphSpec
@@ -1412,6 +1431,9 @@ object WebQueries {
     // q158's SQL verbatim: the merged store replays the full raw-edge
     // graph, so the store-fed counts must hash-equal the batch answer
     "q194_triangles_store" -> q158Sql,
+    // q196: the store path must land where the raw-edge exact harmonic
+    // lands — q152's SQL verbatim (the q194 verbatim-oracle pattern)
+    "q196_harmonic_store" -> q152Sql,
     "q179_frontier_schedule" -> q179Sql,
     "q148_main_content" -> q148Sql,
     "q151_pagerank" -> q151Sql,

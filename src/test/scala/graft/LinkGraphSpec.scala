@@ -94,6 +94,49 @@ class LinkGraphSpec extends SparkSpec {
         s"node $v: hyperball $h vs exact ${exact(v) / 1e6}")
   }
 
+  test("harmonicFromStore: row-identical to the raw-edge path, multi-edges and self-loops collapsed") {
+    import spark.implicits._
+    val nodes = Seq(0L, 1L, 2L, 3L)
+    // parallel edges + a self-loop: the store carries n_links > 1 rows,
+    // which must collapse exactly as raw duplicates do
+    val noisy = triEdges ++ Seq(0L -> 1L, 0L -> 1L, 2L -> 2L, 1L -> 3L)
+    val store = LinkGraph.adjacencyStore(noisy.toDF("src", "dst"), "src", "dst")
+    assert(store.filter(col("n_links") > 1).count() > 0, "fixture must carry multi-edges")
+    val viaStore = LinkGraph.harmonicFromStore(nodes.toDF("id"), "id", store,
+      radius = 3, scale = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStore == harmonic(nodes, noisy, radius = 3))
+  }
+
+  test("hyperBallGrow: a persisted radius-1 state resumes to the cold radius-3 values — the warm-start contract") {
+    import spark.implicits._
+    val n = 20L
+    val nodes = (0L until n)
+    val edges = nodes.flatMap(i => (1L to (i % 3 + 1)).map(j => i -> ((i * 31 + 7 * j) % n)))
+    val store = LinkGraph.adjacencyStore(edges.toDF("src", "dst"), "src", "dst")
+    def hm(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.select(col("id"), col("harmonic"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val cold = LinkGraph.harmonicApproxFromStore(nodes.toDF("id"), "id", store, radius = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // raw-edge harmonicApprox and the store path agree (multiplicity collapses)
+    val rawEdge = LinkGraph.harmonicApprox(
+      nodes.toDF("id"), "id", edges.toDF("src", "dst"), "src", "dst", radius = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(cold == rawEdge)
+    // publish the radius-1 state THROUGH PARQUET (the persistability
+    // claim is the contract: the HLL ball serializes as bytes), then
+    // resume radii 2..3 from the re-read frame
+    val r1 = LinkGraph.hyperBallGrow(
+      LinkGraph.hyperBallInit(nodes.toDF("id"), "id"), "id", store, 1, 1)
+    val dir = java.nio.file.Files.createTempDirectory("hyperball").toString
+    r1.write.mode("overwrite").parquet(dir)
+    val resumed = LinkGraph.hyperBallGrow(spark.read.parquet(dir), "id", store, 2, 3)
+    assert(hm(resumed) == cold)
+    // zero-step grow is the identity on the harmonic column
+    assert(hm(LinkGraph.hyperBallGrow(r1, "id", store, 2, 1)) == hm(r1))
+  }
+
   private def triangles(nodes: Seq[Long], edges: Seq[(Long, Long)])
       : Map[Long, (Long, Long, Double)] = {
     import spark.implicits._
