@@ -174,7 +174,8 @@ object GrowthBench {
     "q174_warc_indexed" -> (10.3, "CDX-offset WARC reads: one positioned read + single-record parse per index row, byte-linear in record bytes; budget = measured char ratio 10.26x (chars/doc flat); the fleet write is marker-guarded fixture render, paid once in warm-up"),
     "g135_quality_score_docs" -> (10.0, "fixed-model scoring: narrow shuffle-free per-token fold; budget = token ratio (training is the bounded offline step, not gated)"),
     "g172_langid_score_docs" -> (10.0, "fixed-model multinomial lang-ID scoring: narrow shuffle-free per-char-n-gram folds with a 200-char prefix cap (work/doc constant once the cap binds) — doc-linear; budget = doc ratio (training is the bounded offline step, not gated)"),
-    "g136_semantic_neardup_docs" -> (8.0, "within-cell LSH pairs on (cluster,band,sig) keys: signature-linear like g116; cell assignment deterministic (k-means fit is the bounded offline model-build)"))
+    "g136_semantic_neardup_docs" -> (8.0, "within-cell LSH pairs on (cluster,band,sig) keys: signature-linear like g116; cell assignment deterministic (k-means fit is the bounded offline model-build)"),
+    "g197_ann_incremental_docs" -> (8.0, "incremental ANN probe: fixture store signing is the signature-linear term (the g116 allowance); the asymmetric band probe + new-wins anti-join are batch-scaled (batch = docs/50)"))
 
   /** THIRD TIER (round 16): second-decade budgets, min(xl)/min(big) at
     * another 10× docs (big 50k → xl 500k, vocab 50k → 80k continuing
@@ -313,6 +314,24 @@ object GrowthBench {
       graft.similarity.Ann.cosineNearDupLsh(
         pseudoEmbeddings(s, d), "doc_id", "embedding", threshold = 0.98,
         dim = PseudoDim, bands = 4, bitsPerBand = 16)),
+    // The incremental ANN probe (q197) growth-gated on the same
+    // pseudo-embeddings: history = doc_id % 10 != 0 signed into the
+    // LSH signature store; the batch is every planted near-dup carrier
+    // (doc_id % 50 == 49 — each probes its predecessor, and since
+    // 49 % 10 = 9 every batch id is ALSO a re-crawl, so the new-wins
+    // anti-join is on the gated path). Store signing is the
+    // corpus-linear fixture term (the q146 stance: a real deployment
+    // reads the persisted store); the probe itself is batch-scaled.
+    // GrowthVariantSpec pins planted-pair recovery.
+    "g197_ann_incremental_docs" -> ((s, d) => {
+      val emb = pseudoEmbeddings(s, d)
+      val hist = emb.filter(col("doc_id") % 10 =!= 0)
+      val store = graft.similarity.Ann.signatureStore(
+        hist, "doc_id", "embedding", dim = PseudoDim, bands = 4, bitsPerBand = 16)
+      val batch = emb.filter(col("doc_id") % 50 === 49)
+      graft.similarity.Ann.incrementalCosineNearDups(batch, "doc_id", "embedding",
+        store, hist, threshold = 0.98, dim = PseudoDim, bands = 4, bitsPerBand = 16)
+    }),
     // The SemDeDup pair machinery (q136) growth-gated on the same
     // pseudo-embeddings: cell assignment is a DETERMINISTIC pure
     // function of doc_id (blocks of 50 share a cell, so every planted

@@ -66,6 +66,27 @@ object SimilarityQueries {
         "vec_id", "embedding", k = 5, nprobe = 4)
     }),
 
+    // Incremental ANN probe (rows-only ⊘, the q146 daily-crawl contract
+    // for the embedding family — r16 verdict #4): vectors with
+    // vec_id % 10 != 0 are the signed history (present as their LSH
+    // signature STORE + the persisted embedding table); the rest arrive
+    // as today's batch, plus every 37th stored id re-crawls (new-wins
+    // must shadow its store rows). The asymmetric band probe generates
+    // batch×corpus candidates only — old×old pairs never exist — and
+    // the exact verify re-attaches vectors by id. Correctness lives in
+    // SimilaritySpec (batch-restricted equivalence with the full LSH
+    // run, staleness pins, recall vs brute); this row keeps the
+    // incremental plan and timing an artifact fact per round.
+    "q197_ann_incremental" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val hist = emb.filter(col("vec_id") % 10 =!= 0)
+      val store = Ann.signatureStore(hist, "vec_id", "embedding", dim = 64)
+        .localCheckpoint(true) // the persisted store stand-in
+      val batch = emb.filter(col("vec_id") % 10 === 0 || col("vec_id") % 37 === 1)
+      Ann.incrementalCosineNearDups(batch, "vec_id", "embedding",
+        store, hist, threshold = 0.35, dim = 64)
+    }),
+
     // SemDeDup composition (rows-only ⊘): k-means cells + within-cell
     // LSH near-dup + one representative per duplicate cluster —
     // cell-boundary semantics and planted-cluster recovery are pinned

@@ -350,6 +350,104 @@ object Ann {
       indexedCorpus.withColumn(vecCol, Quantize.quantize(col(vecCol)).getField("codes")),
       centers, queries, idCol, vecCol, k, nprobe, roundTo)
 
+  /** Persisted LSH signature store for the embedding family — the
+    * q123/q146 incremental contract's missing member (r16 verdict #4):
+    * (id, band, sig) rows, one per (vector, band), computed ONCE and
+    * appended per crawl batch so the daily near-dup probe never
+    * re-signs the historical corpus (the hyperplane dots over 100 TB
+    * are exactly the work [[cosineNearDupLsh]] re-spends per run).
+    * Same (bands, bitsPerBand, dim, seed) must be used for every
+    * batch signed into one store — the planes ARE the index identity. */
+  def signatureStore(
+      df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      bands: Int = 4, bitsPerBand: Int = 4, seed: Long = 42L): DataFrame =
+    bandSignatures(df, idCol, vecCol, bands, bitsPerBand, dim, seed)
+      .select("id", "band", "sig")
+
+  /** Fold a batch's signatures into a [[signatureStore]] with NEW-WINS
+    * semantics on re-crawled ids: every store row of an id present in
+    * the batch is dropped before the union, so a re-embedded document
+    * carries exactly one signature set — the fresh one (the q146
+    * staleness rule). The anti-join's build side is the batch's ids,
+    * small by the incremental contract → broadcast hash anti-join, no
+    * store-wide shuffle. */
+  def mergeSignatureStore(store: DataFrame, batchSigs: DataFrame): DataFrame =
+    store.join(broadcast(batchSigs.select("id").distinct()), Seq("id"), "left_anti")
+      .unionByName(batchSigs)
+
+  /** Incremental embedding near-dup: detect pairs between a NEW batch
+    * and an already-signed corpus — the daily-crawl shape for the
+    * embedding family, mirroring
+    * [[graft.dedup.TextDedup.incrementalNearDups]] (MinHash) and the
+    * q146 fingerprint store. The band join is ASYMMETRIC: the batch's
+    * signature rows probe the merged store's, so old×old pairs are
+    * never generated — candidate work scales with |batch| · collision
+    * rate, not |corpus|². Re-crawled ids take the batch's fresh
+    * signature AND vector (new-wins, [[mergeSignatureStore]]).
+    *
+    * Verification is EXACT: candidate pairs re-attach vectors by id —
+    * batch vectors from `newBatch`, historical ones from `corpusVecs`
+    * (the persisted embedding table; in a lakehouse the embeddings ARE
+    * already a store, so this reads what exists — only the signature
+    * work is saved, which is the expensive term). The id-keyed attach
+    * joins touch candidate rows only; at cluster scale they are hash
+    * joins moving each candidate vector once. → (id_1, id_2, cosine),
+    * every pair involving ≥1 batch id. */
+  def incrementalCosineNearDups(
+      newBatch: DataFrame, idCol: String, vecCol: String,
+      oldSigs: DataFrame, corpusVecs: DataFrame,
+      threshold: Double, dim: Int,
+      bands: Int = 4, bitsPerBand: Int = 4, seed: Long = 42L,
+      roundTo: Int = 4): DataFrame = {
+    require(Seq("id", "band", "sig").forall(oldSigs.columns.contains),
+      "oldSigs must carry (id, band, sig) — a signatureStore output")
+    // the batch's signature pipeline feeds the probe AND the merge —
+    // small by contract, materialize once (the incrementalNearDups
+    // checkpoint discipline)
+    val newSigs = signatureStore(newBatch, idCol, vecCol, dim, bands, bitsPerBand, seed)
+      .localCheckpoint(true)
+    val all = mergeSignatureStore(oldSigs, newSigs)
+    val cand = newSigs.toDF("_ida", "band", "sig")
+      .join(all.toDF("_idb", "band", "sig"), Seq("band", "sig"))
+      .filter(col("_ida") =!= col("_idb"))
+      .select(least(col("_ida"), col("_idb")).as("id_1"),
+        greatest(col("_ida"), col("_idb")).as("id_2"))
+      .dropDuplicates("id_1", "id_2")
+    // new-wins vector attach: batch vectors shadow corpus rows of the
+    // same id (broadcast anti-join on the batch's ids, as above)
+    val vecs = corpusVecs.select(col(idCol).as("id"), col(vecCol).as("_v"))
+      .join(broadcast(newBatch.select(col(idCol).as("id")).distinct()), Seq("id"), "left_anti")
+      .unionByName(newBatch.select(col(idCol).as("id"), col(vecCol).as("_v")))
+    cand
+      .join(vecs.toDF("id_1", "_v1"), Seq("id_1"))
+      .join(vecs.toDF("id_2", "_v2"), Seq("id_2"))
+      .withColumn("cosine", round(cosineSim(col("_v1"), col("_v2")), roundTo))
+      .filter(col("cosine") >= threshold)
+      .select("id_1", "id_2", "cosine")
+  }
+
+  /** Assign vectors to FROZEN centroids — the incremental half of the
+    * IVF contract (r16 verdict #4): a crawl batch joins an existing
+    * index WITHOUT re-clustering the corpus (k-means refit over 100 TB
+    * per batch is the thing to avoid; periodic offline refits are a
+    * separate, bounded decision). The argmin is the same
+    * nearest-centroid rule [[ivfIndex]]'s model applies — smallest
+    * distance, ties to the lowest cell index — so
+    * `ivfAssign(batch, centers)` rows appended to the old indexed
+    * corpus ARE the index [[ivfIndex]] would have built had the batch
+    * been present (spec-pinned), and [[knnIvf]] reads the merged frame
+    * unchanged. Pure column expressions: one narrow projection, no
+    * shuffle, no driver loop. */
+  def ivfAssign(
+      batch: DataFrame, idCol: String, vecCol: String,
+      centers: Array[Array[Double]]): DataFrame = {
+    require(centers.nonEmpty, "ivfAssign needs at least one centroid")
+    val cellDists = array(centers.zipWithIndex.map { case (ctr, j) =>
+      struct(distSq(col(vecCol), ctr).as("d"), lit(j).as("cell"))
+    }: _*)
+    batch.withColumn("cluster", element_at(array_sort(cellDists), 1).getField("cell"))
+  }
+
   /** Approximate top-k: score only corpus vectors sharing ≥1 band
     * signature with the query. One shuffle on (band, sig); candidate
     * count per query is bucket-bounded, not corpus-bounded. `idCol`

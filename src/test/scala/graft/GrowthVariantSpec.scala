@@ -44,6 +44,18 @@ class GrowthVariantSpec extends SparkSpec {
         s"missing=${(planted -- pairs).take(3)} extra=${(pairs -- planted).take(3)}")
   }
 
+  test("g197 growth variant recovers every planted pair through the incremental probe") {
+    // batch = the planted carriers (doc_id % 50 == 49), history =
+    // % 10 != 0; every carrier probes its predecessor (always % 50 ==
+    // 48, % 10 == 8 → in history) AND is itself a re-crawl (49 % 10 =
+    // 9), so the new-wins path is exercised on every batch row
+    val pairs = GrowthBench.variants("g197_ann_incremental_docs")(spark, corpusDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == planted,
+      s"expected exactly the ${planted.size} planted pairs, got ${pairs.size}: " +
+        s"missing=${(planted -- pairs).take(3)} extra=${(pairs -- planted).take(3)}")
+  }
+
   test("g153 growth variant equals the exact anti-join (bloom guard is exact)") {
     // store = doc_id % 10 != 0, batch = % 5 == 0 → new = ids ≡ 0 (mod 10)
     val got = GrowthBench.variants("g153_bloom_guard_docs")(spark, corpusDir)

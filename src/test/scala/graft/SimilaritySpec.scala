@@ -134,6 +134,87 @@ class SimilaritySpec extends SparkSpec {
       "knnIvf must never emit a (query, neighbor) pair twice")
   }
 
+  test("incrementalCosineNearDups: batch-restricted equivalence with the full LSH run; old-times-old never generated") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val dim = 16
+    val base = (0L until 60L).map(i => i -> Array.fill(dim)(rnd.nextGaussian().toFloat))
+    // plant near-dups BOTH ways: batch→history (found) and
+    // history→history (must NOT appear — old×old is out of contract)
+    val histDup = (3000L, base(5)._2.map(x => x + 0.03f * rnd.nextGaussian().toFloat))
+    val batchDups = (0L until 8L).map { i =>
+      (4000L + i) -> base(i.toInt)._2.map(x => x + 0.03f * rnd.nextGaussian().toFloat)
+    }
+    val hist = (base :+ histDup).toDF("vec_id", "embedding")
+    val batch = batchDups.toDF("vec_id", "embedding")
+    val store = Ann.signatureStore(hist, "vec_id", "embedding", dim)
+    val inc = Ann.incrementalCosineNearDups(batch, "vec_id", "embedding",
+      store, hist, threshold = 0.9, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // equivalence: the full-corpus LSH run restricted to batch-touching
+    // pairs — same planes, same verify, so SET equality, not just recall
+    val batchIds = batchDups.map(_._1).toSet
+    val full = Ann.cosineNearDupLsh(
+      hist.unionByName(batch), "vec_id", "embedding", threshold = 0.9, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == full.filter(p => batchIds(p._1) || batchIds(p._2)))
+    // the planted history-only pair exists in the full run but is not
+    // the incremental path's to re-derive (old x old never generated)
+    assert(full.contains((5L, 3000L)) && !inc.contains((5L, 3000L)))
+    assert(inc.size >= 7, s"batch recall ${inc.size}/8")
+  }
+
+  test("incrementalCosineNearDups: a re-crawled id takes its NEW signature and vector (staleness rule)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val dim = 16
+    val base = (0L until 40L).map(i => i -> Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val hist = base.toDF("vec_id", "embedding")
+    val store = Ann.signatureStore(hist, "vec_id", "embedding", dim)
+    // id 7 re-crawls with a COMPLETELY NEW vector that near-dups id 20;
+    // its old vector did not (and its old signature rows must not leak
+    // stale candidates or stale cosines)
+    val newVec7 = base(20)._2.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+    val batch = Seq(7L -> newVec7).toDF("vec_id", "embedding")
+    val got = Ann.incrementalCosineNearDups(batch, "vec_id", "embedding",
+      store, hist, threshold = 0.9, dim = dim)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.keySet == Set((7L, 20L)), got.keySet.toString)
+    // the emitted cosine is the NEW vector's (≈0.999+), not the old
+    // random one's (≈0 — below any threshold)
+    assert(got((7L, 20L)) >= 0.99)
+  }
+
+  test("ivfAssign: frozen-centroid assignment replays the fitted model; merged incremental index serves knnIvf") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val dim = 16
+    val base = (0L until 60L).map(i => i -> Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val hist = base.toDF("vec_id", "embedding")
+    val (indexedHist, centers) = Ann.ivfIndex(hist, "vec_id", "embedding", k = 8)
+    // transform-equivalence: ivfAssign with the fitted centers lands
+    // every historical vector in the cell the model itself assigned
+    val replayed = Ann.ivfAssign(hist, "vec_id", "embedding", centers)
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val fitted = indexedHist.select(col("vec_id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(replayed == fitted)
+    // incremental flow: a batch of jittered copies assigns to FROZEN
+    // centroids (no refit), appends to the index, and knnIvf recovers
+    // each planted neighbor from the merged frame
+    val batch = (0L until 10L).map { i =>
+      (5000L + i) -> base(i.toInt)._2.map(x => x + 0.03f * rnd.nextGaussian().toFloat)
+    }.toDF("vec_id", "embedding")
+    val merged = indexedHist.unionByName(
+      Ann.ivfAssign(batch, "vec_id", "embedding", centers))
+    val queries = base.take(10).toDF("vec_id", "embedding")
+    val top = Ann.knnIvf(merged, centers, queries, "vec_id", "embedding", k = 1, nprobe = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val recall = (0L until 10L).count(i => top.get(i).contains(5000L + i)) / 10.0
+    assert(recall >= 0.9, s"incremental IVF recall $recall")
+  }
+
   test("quantized ANN: the 4x-shuffle-saving paths cost <= 0.02 recall on real embeddings") {
     val emb = Tables.embeddings(spark, sfDir)
     def pairs(df: org.apache.spark.sql.DataFrame) =
