@@ -103,6 +103,20 @@ object LinkGraph {
     store.unionByName(adjacencyStore(batchEdges, srcCol, dstCol))
       .groupBy("src", "dst").agg(sum(col("n_links")).as("n_links"))
 
+  /** Merge-on-read COMPACTION for an append-only adjacency store: the
+    * streaming loop appends one [[adjacencyStore]] delta per
+    * micro-batch ([[graft.streaming.Streaming.foreachBatchVersioned]]
+    * with this module's adjacencyStore as the transform, exactly-once
+    * via the idempotence token), and the reader folds the appended
+    * rows with one groupBy-sum — counts are additive, so
+    * compact(append(d₁…dₙ)) == adjacencyStore(⊎ batches) row-for-row
+    * (StreamingSpec pins it, plus the bit-identical warm PageRank on
+    * top). Same keys as the store itself: a bucketed table compacts
+    * without a full shuffle, and periodic physical compaction is just
+    * writing this frame back. */
+  def compactAdjacency(appended: DataFrame): DataFrame =
+    appended.groupBy("src", "dst").agg(sum(col("n_links")).as("n_links"))
+
   /** [[pageRank]] over an [[adjacencyStore]], with optional WARM START
     * — the incremental-webgraph contract: a crawl batch updates the
     * store (work ∝ batch), and iteration seeds from the PREVIOUS
