@@ -266,6 +266,29 @@ object GrowthBench {
     "q113_pivot_metrics" -> (10.5, "pivot metrics: groupBy + fixed pivot columns; bound = row ratio x 1.05"),
     "q115_range_join" -> (10.5, "range join: bucketed interval join, candidate-bounded; bound = row ratio x 1.05"))
 
+  /** RELATIONAL THIRD TIER (round 17, the r16 verdict's #7): the
+    * heaviest relational families get a second decade — sf0.1 vs the
+    * [[RelCorpus]] sf1-equivalent 10× twin (`SPARK_GRAFT_REL_XL`,
+    * default /tmp/rel10x; tools/growth.sh generates it) — because two
+    * points cannot show a super-linear bend. Same stance as
+    * [[xlBudgets]]: at sf0.1 these queries are already
+    * parallel-saturated, so the second-decade bound IS the data ratio
+    * for row-linear paths; budget = row ratio 10× × 1.05 noise. The
+    * replica-universe construction preserves join graphs and group
+    * sizes exactly, so any ratio above the bound is a plan-shape
+    * regression, not a data artifact. */
+  val relXlBudgets: Map[String, (Double, String)] = Map(
+    "q02_gold_denorm" -> (10.5, "fact-fact join + broadcast dims: shuffle-linear in fact rows; bound = row ratio x 1.05"),
+    "q20_scd2" -> (10.5, "SCD2 merge: hash-change detect + full-outer on the key, both sides 10x, per-key groups unchanged; bound = row ratio x 1.05"),
+    "q195_scd2_incremental" -> (10.5, "incremental SCD2 fold: batch slices scale with the fixture; bound = row ratio x 1.05"),
+    "q40_profile" -> (10.5, "exact profile: the declared Expand constant multiplies ROWS by a fixed factor, so the ratio stays row-linear; bound = row ratio x 1.05"),
+    "q40a_profile_approx" -> (10.5, "HLL profile twin: one Expand-free pass; bound = row ratio x 1.05"),
+    "q43_profile_drift" -> (10.5, "two exact profiles + column-bounded join: row-linear x the Expand constant; bound = row ratio x 1.05"),
+    "q43a_profile_drift_approx" -> (10.5, "sketch drift twin: two one-pass profiles; bound = row ratio x 1.05"),
+    "q110_sessionize" -> (10.5, "user-keyed lag window: 10x partitions of UNCHANGED size (replica universes), WindowExec sort per partition; bound = row ratio x 1.05"),
+    "q111_asof_join" -> (10.5, "as-of: union + keyed last-observation window, partitions scale in count not size; bound = row ratio x 1.05"),
+    "q115_range_join" -> (10.5, "bucketed interval join: candidate volume scales with rows at fixed bucket geometry; bound = row ratio x 1.05"))
+
   private val PseudoDim = 16
 
   /** Pseudo-embeddings for the ANN growth rows — the Zipf corpora
@@ -420,6 +443,7 @@ object GrowthBench {
     val xlDir = sys.env.getOrElse("SPARK_GRAFT_XL", "/tmp/zipf100x")
     val relSmall = sys.env.getOrElse("SPARK_GRAFT_REL_SMALL", "/root/testdata/sf0.01")
     val relBig = sys.env.getOrElse("SPARK_GRAFT_REL_BIG", "/root/testdata/sf0.1")
+    val relXlDir = sys.env.getOrElse("SPARK_GRAFT_REL_XL", "/tmp/rel10x")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt.max(1)
     // xl runs are 10x longer (30-90 s each), so codegen compile and JVM
@@ -457,9 +481,10 @@ object GrowthBench {
       System.err.println(s"[growth] FATAL: budgeted queries absent from SparkEntry: ${missing.mkString(", ")}")
       sys.exit(1)
     }
-    val xlOrphans = xlBudgets.keySet -- budgets.keySet
+    val xlOrphans = (xlBudgets.keySet -- budgets.keySet) ++
+      (relXlBudgets.keySet -- relBudgets.keySet)
     if (xlOrphans.nonEmpty) {
-      System.err.println(s"[growth] FATAL: xlBudgets entries outside the docs fleet: ${xlOrphans.mkString(", ")}")
+      System.err.println(s"[growth] FATAL: xl budget entries outside their fleet: ${xlOrphans.mkString(", ")}")
       sys.exit(1)
     }
     // untimed warm-up: codegen-compile every (query, corpus) pair
@@ -496,11 +521,14 @@ object GrowthBench {
     }
     // third tier: the xl pass runs AFTER the interleaved small/big
     // rounds (its 30-90 s rows would stretch every round's epoch),
-    // itself interleaved across its own trials.
-    val xlFleet = fleet.filter(e => xlBudgets.contains(e.name) && !skipXl)
+    // itself interleaved across its own trials. Docs-fleet xl rows run
+    // on the 500k-doc Zipf tier, relational xl rows on the RelCorpus
+    // sf1-equivalent twin.
+    val xlFleet = fleet.filter(e => !skipXl &&
+      (if (e.family == "rel") relXlBudgets.contains(e.name) else xlBudgets.contains(e.name)))
     for (_ <- 1 to xlTrials) {
       val (s0, t0all) = stealTotal()
-      for (e <- xlFleet) timeOne(e, "xl", xlDir)
+      for (e <- xlFleet) timeOne(e, "xl", if (e.family == "rel") relXlDir else xlDir)
       val (s1, t1all) = stealTotal()
       xlRoundSteal += (if (t1all > t0all) (s1 - s0) * 100.0 / (t1all - t0all) else 0.0)
     }
@@ -527,7 +555,9 @@ object GrowthBench {
       // were measured against its own small-corpus times.
       val tsGate = if (e.family == "rel") math.max(ts, 0.2) else ts
       val xlPart = samples.get((e.name, "xl")).map { xs =>
-        val tx = xs.min; (tx, tx / tb, xlBudgets(e.name)._1)
+        val tx = xs.min
+        val b2 = if (e.family == "rel") relXlBudgets(e.name)._1 else xlBudgets(e.name)._1
+        (tx, tx / tb, b2)
       }
       Row(e.name, e.family, ts, tb, tb / ts, tb / tsGate, b, m, xlPart)
     }
@@ -543,7 +573,7 @@ object GrowthBench {
     val errs = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val steal = roundSteal.result().map(f).mkString("[", ",", "]")
     val xlSteal = xlRoundSteal.result().map(f).mkString("[", ",", "]")
-    val line = s"""{"metric":"growth_gate","violations":${violations.size},"trials":$trials,"xl_trials":$xlTrials,"queries":$qs,"errors":$errs,"round_steal_pct":$steal,"xl_round_steal_pct":$xlSteal,"small":"$small","big":"$big","xl":"$xlDir","rel_small":"$relSmall","rel_big":"$relBig"}"""
+    val line = s"""{"metric":"growth_gate","violations":${violations.size},"trials":$trials,"xl_trials":$xlTrials,"queries":$qs,"errors":$errs,"round_steal_pct":$steal,"xl_round_steal_pct":$xlSteal,"small":"$small","big":"$big","xl":"$xlDir","rel_small":"$relSmall","rel_big":"$relBig","rel_xl":"$relXlDir"}"""
     val out = java.nio.file.Paths.get("target", "growth.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))

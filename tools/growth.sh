@@ -8,7 +8,8 @@
 # Tiers (docs fleet): small 5k docs / 30k vocab, big 50k / 50k, xl
 # 500k / 80k — vocab follows the measured Heaps exponent (~0.22)
 # between the first two tiers. The relational fleet reads the driver's
-# sf0.01/sf0.1 fixtures directly (read-only).
+# sf0.01/sf0.1 fixtures directly (read-only); its xl tier is the
+# RelCorpus sf1-equivalent replica twin generated under /tmp.
 set -e
 cd "$(dirname "$0")/.."
 export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32}
@@ -28,6 +29,12 @@ gen "${SPARK_GRAFT_SMALL:-/tmp/zipf0.1}" 5000 30000
 gen "${SPARK_GRAFT_BIG:-/tmp/zipf10x}" 50000 50000
 if [ "${SPARK_GRAFT_SKIP_XL:-0}" != "1" ]; then
   gen "${SPARK_GRAFT_XL:-/tmp/zipf100x}" 500000 80000
+  # relational second decade: the RelCorpus sf1-equivalent 10x twin
+  RELXL="${SPARK_GRAFT_REL_XL:-/tmp/rel10x}"
+  if [ ! -d "$RELXL/lineitem.parquet" ]; then
+    java $OPENS -Xmx24g -Dspark.sql.legacy.parquet.nanosAsLong=true \
+      -cp "$CP" graft.RelCorpus "$RELXL" "${SPARK_GRAFT_REL_BIG:-/root/testdata/sf0.1}" 10
+  fi
 fi
 exec java $OPENS -Xmx48g -XX:ReservedCodeCacheSize=512m \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
