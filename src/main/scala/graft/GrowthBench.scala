@@ -447,10 +447,14 @@ object GrowthBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt.max(1)
     // xl runs are 10x longer (30-90 s each), so codegen compile and JVM
-    // phase noise are subdominant: 2 timed trials (no separate warm-up,
-    // the first trial doubles as it) keep the tier affordable while the
-    // min still discards one degraded sample.
-    val xlTrials = sys.env.getOrElse("SPARK_GRAFT_XL_TRIALS", "2").toInt.max(1)
+    // phase noise are subdominant per-sample — but r17 measured that a
+    // single multi-minute host phase can cover the SAME row in both of
+    // 2 xl rounds (q166 read 27.3 s in one full run vs 5.8 s focused;
+    // q186 15.5-18.7 vs 9.7-10.3 — the index-family rows that mix IO
+    // and shuffle are the sensitive ones), so the default is 3 timed
+    // trials (no separate warm-up, the first doubles as it): the min
+    // now survives one full-phase round at +50% tier cost.
+    val xlTrials = sys.env.getOrElse("SPARK_GRAFT_XL_TRIALS", "3").toInt.max(1)
     val skipXl = sys.env.get("SPARK_GRAFT_SKIP_XL").contains("1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -3,7 +3,7 @@
 # geometry as tools/bench.sh, generating any missing Zipf corpus tier
 # first. Usage: tools/growth.sh
 # Env passthrough: SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_TRIALS
-# (default 3), SPARK_GRAFT_XL_TRIALS (default 2), SPARK_GRAFT_ONLY,
+# (default 3), SPARK_GRAFT_XL_TRIALS (default 3), SPARK_GRAFT_ONLY,
 # SPARK_GRAFT_SKIP_XL=1 to skip the 500k-doc tier.
 # Tiers (docs fleet): small 5k docs / 30k vocab, big 50k / 50k, xl
 # 500k / 80k — vocab follows the measured Heaps exponent (~0.22)
