@@ -170,6 +170,7 @@ object GrowthBench {
     "q193_lpa_warm" -> (6.0, "incremental LPA: store merge edge-linear, each sweep one src-keyed join + (node,label) map-side-partial count + argmax agg (the q161 shape, seeded); budget = the 6.0 linear-join-chain allowance"),
     "q194_triangles_store" -> (6.0, "store-fed triangles: the q158 degree-oriented wedge join reading the merged store (edges scale 1x with docs, out-degree fixed 1-3); budget = the 6.0 linear-join-chain allowance"),
     "q196_harmonic_store" -> (6.0, "store-fed harmonic: store merge edge-linear groupBys, then the q152 radius-3 frontier expansion (node-linear, deg<=3 fixed); budget = the 6.0 linear-join-chain allowance"),
+    "q198_hyperball_warm" -> (6.0, "warm HyperBall: published radius-2 ball state (fixture term, node-linear sketch rows) + ONE src-keyed join + mergeable hll_union groupBy step; budget = the 6.0 linear-join-chain allowance"),
     "q179_frontier_schedule" -> (6.0, "Mercator frontier round: one host-keyed last-fetch join (hosts fixed) + one per-host WindowGroupLimit + TakeOrdered budget cut; row-linear; budget = the 6.0 linear allowance"),
     "q174_warc_indexed" -> (10.3, "CDX-offset WARC reads: one positioned read + single-record parse per index row, byte-linear in record bytes; budget = measured char ratio 10.26x (chars/doc flat); the fleet write is marker-guarded fixture render, paid once in warm-up"),
     "g135_quality_score_docs" -> (10.0, "fixed-model scoring: narrow shuffle-free per-token fold; budget = token ratio (training is the bounded offline step, not gated)"),

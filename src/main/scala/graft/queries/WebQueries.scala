@@ -688,6 +688,26 @@ object WebQueries {
       val n = docs.count()
       LinkGraph.harmonicApprox(docs, "doc_id", webgraph(docs, n),
         "src", "dst", radius = 3)
+    }),
+
+    // Warm-start HyperBall (rows-only ⊘, the q191a stance: the warm
+    // path RUNS as a per-round bench artifact; LinkGraphSpec pins its
+    // values equal to the cold radius-3 run through a parquet
+    // round-trip). The radius-2 ball state is the previous round's
+    // published checkpoint stand-in (materialized — its build is part
+    // of the measured fixture, the q96a index-build stance); the timed
+    // operator is the store read + ONE radius step growing persisted
+    // mergeable sketches — the 100 TB contract where re-running radii
+    // 1..R-1 over the corpus is the thing to avoid.
+    "q198_hyperball_warm" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      val store = LinkGraph.adjacencyStore(webgraph(docs, n), "src", "dst")
+        .localCheckpoint(true) // feeds the published phase AND the warm step
+      val published = LinkGraph.hyperBallGrow(
+        LinkGraph.hyperBallInit(docs, "doc_id"), "doc_id", store, 1, 2)
+      LinkGraph.hyperBallGrow(published, "doc_id", store, 3, 3)
+        .select(col("doc_id"), col("harmonic"), col("ball_size"))
     }))
 
   /** The deterministic fixture webgraph q151/q152 rank (the corpus
