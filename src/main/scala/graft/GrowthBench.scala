@@ -540,9 +540,9 @@ object GrowthBench {
     def f(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     case class Row(name: String, family: String, tSmall: Double, tBig: Double,
                    growth: Double, gateGrowth: Double, budget: Double, model: String,
-                   xl: Option[(Double, Double, Double)]) { // (tXl, growth2, budget2)
+                   xl: Option[(Double, Double, Double, Double)]) { // (tXl, growth2, gateGrowth2, budget2)
       def firstOk: Boolean = gateGrowth <= budget
-      def xlOk: Boolean = xl.forall { case (_, g2, b2) => g2 <= b2 }
+      def xlOk: Boolean = xl.forall { case (_, _, g2g, b2) => g2g <= b2 }
       def ok: Boolean = firstOk && xlOk
     }
     val rows = fleet.collect { case e
@@ -562,7 +562,17 @@ object GrowthBench {
       val xlPart = samples.get((e.name, "xl")).map { xs =>
         val tx = xs.min
         val b2 = if (e.family == "rel") relXlBudgets(e.name)._1 else xlBudgets(e.name)._1
-        (tx, tx / tb, b2)
+        // the rel xl ratio's denominator gets the SAME 0.2 s noise
+        // floor as the first decade's (r17 advice). Today's rel tBig
+        // mins (0.3-0.36 s) sit ABOVE the floor — the min-over-trials
+        // statistic over 3 interleaved xl rounds is what defends a
+        // 0.3 s denominator against host phases (a phase inflates
+        // individual draws; mins converge from above) — but the clamp
+        // guards any future rel row whose sf0.1 min falls into the
+        // overhead-dominated regime the floor exists for. Raw ratio
+        // still reported as growth2, the gated one as gate_growth2.
+        val tbGate = if (e.family == "rel") math.max(tb, 0.2) else tb
+        (tx, tx / tb, tx / tbGate, b2)
       }
       Row(e.name, e.family, ts, tb, tb / ts, tb / tsGate, b, m, xlPart)
     }
@@ -571,8 +581,10 @@ object GrowthBench {
       val base = "\"" + r.name + "\":{\"family\":\"" + r.family + "\",\"small\":" + f(r.tSmall) +
         ",\"big\":" + f(r.tBig) + ",\"growth\":" + f(r.growth) + ",\"budget\":" + f(r.budget) +
         (if (r.gateGrowth != r.growth) ",\"gate_growth\":" + f(r.gateGrowth) else "")
-      base + r.xl.map { case (tx, g2, b2) =>
-        ",\"xl\":" + f(tx) + ",\"growth2\":" + f(g2) + ",\"budget2\":" + f(b2)
+      base + r.xl.map { case (tx, g2, g2g, b2) =>
+        ",\"xl\":" + f(tx) + ",\"growth2\":" + f(g2) +
+          (if (g2g != g2) ",\"gate_growth2\":" + f(g2g) else "") +
+          ",\"budget2\":" + f(b2)
       }.getOrElse("") + "}"
     }.mkString("{", ",", "}")
     val errs = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -589,9 +601,11 @@ object GrowthBench {
     val xlRows = rows.filter(_.xl.isDefined)
     if (xlRows.nonEmpty) {
       val xqs = xlRows.map { r =>
-        val (tx, g2, b2) = r.xl.get
+        val (tx, g2, g2g, b2) = r.xl.get
         "\"" + r.name + "\":{\"big\":" + f(r.tBig) + ",\"xl\":" + f(tx) +
-          ",\"growth2\":" + f(g2) + ",\"budget2\":" + f(b2) + "}"
+          ",\"growth2\":" + f(g2) +
+          (if (g2g != g2) ",\"gate_growth2\":" + f(g2g) else "") +
+          ",\"budget2\":" + f(b2) + "}"
       }.mkString("{", ",", "}")
       val xlLine = s"""{"metric":"growth_gate_xl","violations":${xlRows.count(!_.xlOk)},"xl_trials":$xlTrials,"queries":$xqs,"xl_round_steal_pct":$xlSteal,"big":"$big","xl":"$xlDir"}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("target", "growth_xl.json"),
@@ -605,9 +619,9 @@ object GrowthBench {
         System.err.println(
           s"[growth] VIOLATION ${r.name}: ${f(r.gateGrowth)}x > budget ${f(r.budget)}x (${r.model})")
       if (!r.xlOk) {
-        val (tx, g2, b2) = r.xl.get
+        val (tx, _, g2g, b2) = r.xl.get
         System.err.println(
-          s"[growth] VIOLATION ${r.name} (xl ${f(tx)}s): growth2 ${f(g2)}x > budget2 ${f(b2)}x (${r.model})")
+          s"[growth] VIOLATION ${r.name} (xl ${f(tx)}s): growth2 ${f(g2g)}x > budget2 ${f(b2)}x (${r.model})")
       }
     }
     spark.stop()

@@ -565,7 +565,7 @@ object LinkGraph {
       nodes: DataFrame, idCol: String,
       edges: DataFrame, srcCol: String, dstCol: String,
       radius: Int = 3, lgK: Int = 12): DataFrame =
-    hyperBallSweeps(hyperBallInit(nodes, idCol, lgK),
+    hyperBallSweeps(hyperBallInit(nodes, idCol, lgK), idCol,
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")),
       fromRadius = 1, toRadius = radius)
       .select(col(idCol), col("harmonic"))
@@ -602,7 +602,7 @@ object LinkGraph {
   def hyperBallGrow(
       state: DataFrame, idCol: String, store: DataFrame,
       fromRadius: Int, toRadius: Int): DataFrame =
-    hyperBallSweeps(state, store.select(col("src"), col("dst")),
+    hyperBallSweeps(state, idCol, store.select(col("src"), col("dst")),
       fromRadius, toRadius)
 
   /** [[harmonicApprox]] over an [[adjacencyStore]]: the HyperBall scale
@@ -619,15 +619,20 @@ object LinkGraph {
     * [fromRadius, toRadius]. Each step is localCheckpoint-materialized
     * (the Pregel iteration discipline): `state` feeds THREE plan
     * branches per step, so an unbroken lineage re-derives it 3^r times
-    * by radius r. Column names are the public state schema so a
-    * persisted frame drops straight in. */
+    * by radius r. State columns bind BY NAME against the caller's
+    * `idCol` and the public (ball, harmonic, ball_size) schema — a
+    * persisted frame drops straight in regardless of column order,
+    * and a mis-shaped frame fails fast instead of mis-binding. */
   private def hyperBallSweeps(
-      state0: DataFrame, rawEdges: DataFrame,
+      state0: DataFrame, idCol: String, rawEdges: DataFrame,
       fromRadius: Int, toRadius: Int): DataFrame = {
     require(fromRadius >= 1, s"fromRadius must be >= 1, got $fromRadius")
     require(toRadius >= fromRadius - 1,
       s"toRadius ($toRadius) must be >= fromRadius - 1 (${fromRadius - 1})")
-    val idCol = state0.columns.head
+    require((idCol +: Seq("ball", "harmonic", "ball_size"))
+        .forall(state0.columns.contains),
+      s"HyperBall state must carry ($idCol, ball, harmonic, ball_size); " +
+        s"got (${state0.columns.mkString(", ")})")
     val e = rawEdges
       .select(col("src").as("_s"), col("dst").as("_t"))
       .filter(col("_s") =!= col("_t")).distinct()

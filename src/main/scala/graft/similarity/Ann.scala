@@ -100,8 +100,13 @@ object Ann {
       return (corpus.withColumn("cluster", lit(0)), Array(Array(0.0)))
     val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("_features")
       .setPredictionCol("cluster").fit(feat)
-    val indexed = model.transform(feat).drop("_features")
-    (indexed, model.clusterCenters.map(_.toArray))
+    val centers = model.clusterCenters.map(_.toArray)
+    // assign with the SAME exact sum-of-squares argmin [[ivfAssign]]
+    // uses (r17 advice): model.transform's fastSquaredDistance takes
+    // norm-based shortcuts that can flip near-equidistant ties, which
+    // would make the incremental-append equivalence probabilistic
+    // instead of exact-by-construction
+    (ivfAssign(feat.drop("_features"), idCol, vecCol, centers), centers)
   }
 
   /** Squared L2 distance of a vector column to a centroid literal —
@@ -401,14 +406,18 @@ object Ann {
       roundTo: Int = 4): DataFrame = {
     require(Seq("id", "band", "sig").forall(oldSigs.columns.contains),
       "oldSigs must carry (id, band, sig) — a signatureStore output")
+    // bind the store's columns BY NAME (r17 advice): a caller's
+    // select("band","sig","id") passes the require above, and a
+    // positional toDF would silently join id-against-band
+    val storeSigs = oldSigs.select(col("id"), col("band"), col("sig"))
     // the batch's signature pipeline feeds the probe AND the merge —
     // small by contract, materialize once (the incrementalNearDups
     // checkpoint discipline)
     val newSigs = signatureStore(newBatch, idCol, vecCol, dim, bands, bitsPerBand, seed)
       .localCheckpoint(true)
-    val all = mergeSignatureStore(oldSigs, newSigs)
+    val all = mergeSignatureStore(storeSigs, newSigs)
     val cand = newSigs.toDF("_ida", "band", "sig")
-      .join(all.toDF("_idb", "band", "sig"), Seq("band", "sig"))
+      .join(all.select(col("id").as("_idb"), col("band"), col("sig")), Seq("band", "sig"))
       .filter(col("_ida") =!= col("_idb"))
       .select(least(col("_ida"), col("_idb")).as("id_1"),
         greatest(col("_ida"), col("_idb")).as("id_2"))
@@ -430,13 +439,13 @@ object Ann {
     * IVF contract (r16 verdict #4): a crawl batch joins an existing
     * index WITHOUT re-clustering the corpus (k-means refit over 100 TB
     * per batch is the thing to avoid; periodic offline refits are a
-    * separate, bounded decision). The argmin is the same
-    * nearest-centroid rule [[ivfIndex]]'s model applies — smallest
-    * distance, ties to the lowest cell index — so
+    * separate, bounded decision). [[ivfIndex]] assigns with this very
+    * expression after fitting (same exact sum-of-squares argmin,
+    * smallest distance, ties to the lowest cell index), so
     * `ivfAssign(batch, centers)` rows appended to the old indexed
     * corpus ARE the index [[ivfIndex]] would have built had the batch
-    * been present (spec-pinned), and [[knnIvf]] reads the merged frame
-    * unchanged. Pure column expressions: one narrow projection, no
+    * been present — exact by construction, spec-pinned — and
+    * [[knnIvf]] reads the merged frame unchanged. Pure column expressions: one narrow projection, no
     * shuffle, no driver loop. */
   def ivfAssign(
       batch: DataFrame, idCol: String, vecCol: String,
