@@ -219,7 +219,21 @@ object GrowthBench {
     "q152a_harmonic_hyperball" -> (10.5, "HyperBall: per-radius src-keyed join + mergeable HLL groupBy, node-linear; bound = node ratio x 1.05; probed r16 1.8x"),
     "q156_bm25" -> (10.5, "vocab-filtered tf + broadcast stats + top-k window: token-linear; bound = token ratio x 1.05; probed r16 1.6x"),
     "q166_inverted_index" -> (10.5, "token explode + postings groupBy + WindowGroupLimit: token-linear; bound = token ratio x 1.05; probed r16 3.4x"),
-    "q176_hits" -> (10.5, "HITS half-steps: endpoint-keyed joins over 16-byte score rows, edge-linear; bound = edge ratio x 1.05; probed r16 2.3x"))
+    "q176_hits" -> (10.5, "HITS half-steps: endpoint-keyed joins over 16-byte score rows, edge-linear; bound = edge ratio x 1.05; probed r16 2.3x"),
+    // Third cohort (round 18, the r17 verdict's #4): the next ten
+    // docs-fleet families by measured big-tier wall time
+    // (growth.json tBig 4.6-9.7 s) — the warm graph trio, the heavy
+    // encode/near-dup rows, and the remaining production dedup twins.
+    "q192_hits_warm" -> (10.5, "incremental HITS: store merge + half-steps all edge-linear joins over 16-byte score rows; at xl the fixed per-step overhead the 6.0 first-decade allowance covered is amortized, so the bound IS the edge ratio x 1.05; measured big growth 1.5x"),
+    "q187_pagerank_warm" -> (10.5, "incremental PageRank: store build/merge edge-linear groupBys + the q151 join chain; bound = edge ratio x 1.05; measured big growth 1.6x"),
+    "q193_lpa_warm" -> (10.5, "incremental LPA: store merge + per-sweep src-keyed join + (node,label) partial count; edge-linear; bound = edge ratio x 1.05; measured big growth 1.7x"),
+    "q191a_containment_dedup_banded" -> (10.8, "banded containment apply: q185's constant-sketch probe + sizes attach + anti-join, candidate-linear behind the df cut; bound = char ratio 10.3x x 1.05 (the q185/q191 stance); measured big growth 3.5x"),
+    "q125_dedup_prefix" -> (10.8, "PPJoin: prefix explode bounded by (1-t)|set| per set, candidate-linear verify; bound = char ratio 10.3x x 1.05 (the q163 stance); measured big growth 3.2x"),
+    "q126a_repeated_spans_fast" -> (10.8, "repeated spans minus oracle scaffolding: positional gram groupBy, gram-linear; bound = char ratio 10.3x x 1.05 (q126's stance); measured big growth 4.1x"),
+    "q178_unigram_encode" -> (10.5, "unigram encode: per-DISTINCT-word Viterbi DP is Heaps-sublinear, the word-keyed occurrence join token-linear; bound = token ratio x 1.05; measured big growth 2.8x"),
+    "q190_wordpiece_encode" -> (10.5, "WordPiece encode: alphabet-bounded vocab + per-DISTINCT-word longest match + occurrence join: token-linear; bound = token ratio x 1.05; measured big growth 2.5x"),
+    "q144_audio_neardup" -> (10.5, "acoustic near-dup: per-clip render+FFT map tasks, clips/doc fixed so clip-linear; banding shuffles (id, long) only; bound = clip ratio 10x x 1.05; measured big growth 5.5x"),
+    "q145_video_neardup" -> (10.5, "video frame-fingerprint near-dup: per-clip parse + 4 render/pHash map tasks, clip-linear (first decade measured AT the bound — compute-saturated); bound = clip ratio 10x x 1.05; measured big growth 4.6x"))
 
   /** RELATIONAL-CORE growth gate (round 16): the medallion / SCD2 /
     * validation / quality / incremental / event-time family measured
@@ -288,7 +302,21 @@ object GrowthBench {
     "q43a_profile_drift_approx" -> (10.5, "sketch drift twin: two one-pass profiles; bound = row ratio x 1.05"),
     "q110_sessionize" -> (10.5, "user-keyed lag window: 10x partitions of UNCHANGED size (replica universes), WindowExec sort per partition; bound = row ratio x 1.05"),
     "q111_asof_join" -> (10.5, "as-of: union + keyed last-observation window, partitions scale in count not size; bound = row ratio x 1.05"),
-    "q115_range_join" -> (10.5, "bucketed interval join: candidate volume scales with rows at fixed bucket geometry; bound = row ratio x 1.05"))
+    "q115_range_join" -> (10.5, "bucketed interval join: candidate volume scales with rows at fixed bucket geometry; bound = row ratio x 1.05"),
+    // Second tranche (round 18, the r17 verdict's #6): the next ten
+    // relational rows by measured sf0.1 wall time — quality/profile
+    // exact+approx twins, validation, the composed silver pipeline,
+    // event-time rolling, and CDC.
+    "q41_outliers" -> (10.5, "IQR outliers: exact percentile agg + scan-linear filter; bound = row ratio x 1.05"),
+    "q41a_outliers_approx" -> (10.5, "approx-percentile outliers: one-pass sketch + filter; bound = row ratio x 1.05"),
+    "q42_dataset_quality" -> (10.5, "dataset quality score: scan-linear rollup, column-bounded output; bound = row ratio x 1.05"),
+    "q42a_dataset_quality_approx" -> (10.5, "approx quality twin: one-pass HLL sketches; bound = row ratio x 1.05"),
+    "q07_gold_agg_collect" -> (10.5, "collect_list agg: scan-linear, per-key group sizes unchanged by replica universes so lists stay bounded; bound = row ratio x 1.05"),
+    "q30_validation_report" -> (10.5, "rule evaluation: scan-linear boolean projections + one rollup; bound = row ratio x 1.05"),
+    "q31_validate_filter" -> (10.5, "rule filter split: scan-linear; bound = row ratio x 1.05"),
+    "q13_silver_pipeline" -> (10.5, "clean+normalize+dedup composed: scan-linear + one keyed window of unchanged partition size; bound = row ratio x 1.05"),
+    "q112_rolling" -> (10.5, "rolling range-frame windows: 10x key partitions of unchanged size; bound = row ratio x 1.05"),
+    "q71_cdc_apply" -> (10.5, "CDC apply: keyed keep-latest window + delete anti-join, both row-linear; bound = row ratio x 1.05"))
 
   private val PseudoDim = 16
 

@@ -380,6 +380,25 @@ object Ann {
     store.join(broadcast(batchSigs.select("id").distinct()), Seq("id"), "left_anti")
       .unionByName(batchSigs)
 
+  /** Merge-on-read NEW-WINS compaction for an APPEND-ONLY store: each
+    * crawl batch appends its rows tagged with a batch ordinal in
+    * `batchCol`, and a read keeps only each id's LATEST append — the
+    * [[mergeSignatureStore]] staleness rule replayed at read time, so
+    * the store stays a pile of immutable appends under the streamed
+    * loop (the webgraph `compactAdjacency` stance, resolved by
+    * recency instead of addition). One id-keyed window — a single
+    * hash shuffle on `idCol` at cluster scale, no global order.
+    * Generic over the id column so the embedding table itself (the
+    * other per-id store the crawl loop maintains) compacts with the
+    * same rule. `batchCol` is dropped from the output — the result is
+    * shaped exactly like a fresh single-batch store. */
+  def compactNewWins(store: DataFrame, idCol: String, batchCol: String): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+    store.withColumn("_latest", max(col(batchCol)).over(w))
+      .filter(col(batchCol) === col("_latest"))
+      .drop("_latest", batchCol)
+  }
+
   /** Incremental embedding near-dup: detect pairs between a NEW batch
     * and an already-signed corpus — the daily-crawl shape for the
     * embedding family, mirroring

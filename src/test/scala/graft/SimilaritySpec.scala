@@ -307,4 +307,22 @@ class SimilaritySpec extends SparkSpec {
     assert(leaves.nonEmpty && leaves.forall(_ == Seq("id", "cluster", "band", "sig")),
       s"signature checkpoint must be payload-lean, got schemas: $leaves")
   }
+
+  test("compactNewWins: a read keeps each id's latest append only, batch column dropped") {
+    import spark.implicits._
+    // an append-only pile: id 1 appended in batches 0 and 2 (new wins),
+    // id 2 only in batch 1, id 3 twice WITHIN its latest batch (both
+    // rows are current — compaction is per-append, not per-row dedup)
+    val store = Seq(
+      (1L, 0, 10, 0L), (1L, 1, 11, 0L),
+      (2L, 0, 20, 1L),
+      (1L, 0, 90, 2L), (1L, 1, 91, 2L),
+      (3L, 0, 30, 2L), (3L, 1, 31, 2L)
+    ).toDF("id", "band", "sig", "batch_id")
+    val got = Ann.compactNewWins(store, "id", "batch_id")
+    assert(got.columns.toSeq == Seq("id", "band", "sig"))
+    val rows = got.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(rows == Set((1L, 0, 90), (1L, 1, 91), (2L, 0, 20), (3L, 0, 30), (3L, 1, 31)),
+      rows.toString)
+  }
 }
