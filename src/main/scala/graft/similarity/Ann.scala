@@ -110,14 +110,11 @@ object Ann {
   }
 
   /** Squared L2 distance of a vector column to a centroid literal —
-    * higher-order aggregate, no explode, codegen-adjacent. */
+    * the codegen'd [[graft.functions.SquaredDistance]] kernel (the
+    * `aggregate` higher-order formulation is a CodegenFallback whose
+    * interpreted lambda measured 2× on the q96a build path). */
   private def distSq(vec: Column, center: Array[Double]): Column =
-    aggregate(
-      sequence(lit(0), lit(center.length - 1)), lit(0.0),
-      (acc, i) => {
-        val d = element_at(vec, i + 1) - element_at(lit(center), i + 1)
-        acc + d * d
-      })
+    graft.functions.SquaredDistance.sqDist(vec, lit(center))
 
   /** IVF approximate top-k: each query probes its `nprobe` nearest
     * cells; only corpus vectors in those cells are scored. The probe
@@ -470,10 +467,14 @@ object Ann {
       batch: DataFrame, idCol: String, vecCol: String,
       centers: Array[Array[Double]]): DataFrame = {
     require(centers.nonEmpty, "ivfAssign needs at least one centroid")
-    val cellDists = array(centers.zipWithIndex.map { case (ctr, j) =>
+    // argmin as a least() chain over (d, cell) structs — the same
+    // lexicographic tie rule array_sort's head would give, without
+    // allocating and sorting a k-array per row
+    val cellDists = centers.zipWithIndex.map { case (ctr, j) =>
       struct(distSq(col(vecCol), ctr).as("d"), lit(j).as("cell"))
-    }: _*)
-    batch.withColumn("cluster", element_at(array_sort(cellDists), 1).getField("cell"))
+    }
+    val best = if (cellDists.length == 1) cellDists.head else least(cellDists: _*)
+    batch.withColumn("cluster", best.getField("cell"))
   }
 
   /** Approximate top-k: score only corpus vectors sharing ≥1 band

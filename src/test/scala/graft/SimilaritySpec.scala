@@ -37,6 +37,27 @@ class SimilaritySpec extends SparkSpec {
     assert(df.select(cosineSim(col("a"), col("b"))).head().isNullAt(0))
   }
 
+  test("sqDist: known values, float-vs-double-literal mix, codegen plan, null propagation") {
+    import graft.functions.SquaredDistance.sqDist
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0, 0.0), 0.0),
+      (Array(1.0f, 0.0f), Array(0.0, 1.0), 2.0),
+      (Array(1.0f, 2.0f), Array(4.0, 6.0), 25.0),
+      (Array(-1.0f, -2.0f), Array(1.0, 2.0), 20.0)
+    ).toDF("a", "b", "expected")
+    df.select(sqDist(col("a"), col("b")).as("d"), col("expected")).collect()
+      .foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
+    // the IVF probe shape: vector column vs centroid literal must stay
+    // inside whole-stage codegen over a real scan
+    val emb = Tables.embeddings(spark, sfDir)
+    val plan = emb.select(sqDist(col("embedding"), lit(Array.fill(8)(0.5))))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [squared_distance"), plan)
+    val nulls = Seq((Some(Array(1.0, 2.0)), None: Option[Array[Double]])).toDF("a", "b")
+    assert(nulls.select(sqDist(col("a"), col("b"))).head().isNullAt(0))
+  }
+
   test("LSH ANN: perfect recall on planted near-neighbors with real pruning") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
