@@ -201,17 +201,33 @@ object Audio {
   }
 
   /** Hamming near-duplicate pairs over acoustic fingerprints, exact
-    * for distance ≤ `maxDist` via the same 8-band pigeonhole machinery
-    * as q93/q134. */
+    * for distance ≤ `maxDist` via the pigeonhole banding machinery
+    * (q93/q134/q145): `bands` bands of 64/`bands` bits each are exact
+    * for maxDist ≤ bands − 1.
+    *
+    * DEFAULT GEOMETRY IS THE CORPUS-SCALE ONE — d ≤ 3 on 4×16-bit
+    * bands, the q145 video stance (r18, caught by the three-tier
+    * growth gate): 8-bit band values give only 2048 buckets, so
+    * bucket sizes grow linearly with the corpus and candidate pairs
+    * quadratically — measured 13.7× wall for 10× clips at the
+    * 500k-clip tier (97 s, vs 10.5 budget); 16-bit bands keep
+    * collision groups near-singleton. d ≤ 3 covers the
+    * transformations the fingerprint is INVARIANT to (amplitude
+    * scaling + requantization flip only near-tie signs — planted
+    * scaled copies measure 0–2 bits); pass (maxDist = 7, bands = 8)
+    * explicitly for the wide Haitsma–Kalker radius (noise/codec
+    * transforms) and accept the measured quadratic growth on large
+    * corpora. */
   def nearDuplicates(
-      binary: DataFrame, maxDist: Int = 7,
+      binary: DataFrame, maxDist: Int = 3, bands: Int = 4,
       pathCol: String = "path", payloadCol: String = "content"): DataFrame = {
-    require(maxDist >= 0 && maxDist <= 7,
-      s"maxDist must be in [0, 7] (8-band pigeonhole exactness bound), got $maxDist")
+    require(bands > 0 && 64 % bands == 0, s"bands must divide 64, got $bands")
+    require(maxDist >= 0 && maxDist <= bands - 1,
+      s"maxDist must be in [0, ${bands - 1}] ($bands-band pigeonhole exactness bound), got $maxDist")
     val sigs = acousticFingerprint(binary, pathCol, payloadCol)
       .filter(col("error").isNull)
       .select(col(pathCol).as("id"), col("afp").as("simhash"))
-    graft.dedup.TextDedup.simhashNearPairs(sigs, maxDist, bands = 8)
+    graft.dedup.TextDedup.simhashNearPairs(sigs, maxDist, bands)
   }
 
   /** Incremental acoustic near-dup: fingerprint the NEW batch only
@@ -222,7 +238,7 @@ object Audio {
     * batch's `acousticFingerprint` output as the next store version.
     * → (id_1, id_2, distance). */
   def nearDuplicatesIncremental(
-      newBinary: DataFrame, oldSigs: DataFrame, maxDist: Int = 7, bands: Int = 8,
+      newBinary: DataFrame, oldSigs: DataFrame, maxDist: Int = 3, bands: Int = 4,
       pathCol: String = "path", payloadCol: String = "content"): DataFrame = {
     val sigs = acousticFingerprint(newBinary, pathCol, payloadCol)
       .filter(col("error").isNull)

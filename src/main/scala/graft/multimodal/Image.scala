@@ -145,22 +145,31 @@ object Image {
   /** Perceptual near-duplicate PAIRS over an image corpus: [[pHash]]
     * per row, then Hamming banding — the multimodal member of the
     * dedup family, riding the exact pigeonhole machinery text simhash
-    * uses ([[graft.dedup.TextDedup.simhashNearPairs]]) with 8×8-bit
-    * bands (exact for `maxDist` ≤ 7, the published near-dup radius for
-    * pHash). One (band, sig) shuffle of (id, hash) rows — pixels never
-    * shuffle, no all-pairs comparison, the q93 scale shape unchanged.
+    * uses ([[graft.dedup.TextDedup.simhashNearPairs]]); `bands` bands
+    * of 64/`bands` bits are exact for `maxDist` ≤ bands − 1. The
+    * default 8×8-bit geometry keeps d ≤ 7 — pHash's PUBLISHED near-dup
+    * radius (recompression/resize land 4–10 bits) — but 8-bit band
+    * values give only 2048 buckets, so candidate pairs grow
+    * quadratically past ~10⁵ images (the r18 q144 measurement: 13.7×
+    * wall for 10× clips); on corpora that large, pass
+    * (maxDist = 3, bands = 4) where the tighter radius is acceptable,
+    * or pre-cluster (e.g. by [[extractMetadata]] dimensions) so each
+    * banding universe stays bounded. One (band, sig) shuffle of
+    * (id, hash) rows — pixels never shuffle, no all-pairs comparison,
+    * the q93 scale shape unchanged.
     * Undecodable rows are dropped before banding (an error-tagged row
     * must not pair with every other error row at hash 0).
     * → (id_1, id_2, distance) on `pathCol` ids. */
   def nearDuplicates(
-      binary: DataFrame, maxDist: Int = 7,
+      binary: DataFrame, maxDist: Int = 7, bands: Int = 8,
       pathCol: String = "path", payloadCol: String = "content"): DataFrame = {
-    require(maxDist >= 0 && maxDist <= 7,
-      s"maxDist must be in [0, 7] (8-band pigeonhole exactness bound), got $maxDist")
+    require(bands > 0 && 64 % bands == 0, s"bands must divide 64, got $bands")
+    require(maxDist >= 0 && maxDist <= bands - 1,
+      s"maxDist must be in [0, ${bands - 1}] ($bands-band pigeonhole exactness bound), got $maxDist")
     val sigs = pHash(binary, pathCol, payloadCol)
       .filter(col("error").isNull)
       .select(col(pathCol).as("id"), col("phash").as("simhash"))
-    graft.dedup.TextDedup.simhashNearPairs(sigs, maxDist, bands = 8)
+    graft.dedup.TextDedup.simhashNearPairs(sigs, maxDist, bands)
   }
 
   /** Incremental perceptual near-dup: [[pHash]] the NEW batch only and

@@ -213,7 +213,11 @@ object ImageQueries {
           (s"clip$id", syntheticWav(seed, scale = if (dup) 0.45 else 0.9))
         }
         .toDF("path", "content")
-      graft.multimodal.Audio.nearDuplicates(clips, maxDist = 7)
+      // default geometry = d ≤ 3 on 4×16-bit bands (the corpus-scale
+      // pigeonhole, r18): the old 8×8-bit banding went quadratic at
+      // the 500k-clip tier — 2048 buckets for 500k rows — and the
+      // planted half-amplitude re-renders land at 0–2 bits anyway
+      graft.multimodal.Audio.nearDuplicates(clips)
     }),
 
     // Video near-dup (rows-only ⊘, the q134/q144 stance): every doc

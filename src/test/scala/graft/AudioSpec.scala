@@ -130,7 +130,7 @@ class AudioSpec extends SparkSpec {
     // the near-dup radius; distinct seeds land far outside it
     for (seed <- 1L to 5L) {
       val d = ham(fp(toneWav(seed, 0.9)), fp(toneWav(seed, 0.4)))
-      assert(d <= 7, s"seed=$seed scaled-dup distance $d")
+      assert(d <= 3, s"seed=$seed scaled-dup distance $d (must sit inside the default 4-band radius)")
     }
     for (s1 <- 1L to 4L; s2 <- (s1 + 1) to 5L) {
       val d = ham(fp(toneWav(s1, 0.9)), fp(toneWav(s2, 0.9)))
@@ -147,7 +147,7 @@ class AudioSpec extends SparkSpec {
       Seq(s"clip$s.wav" -> toneWav(s, 0.9)) ++
         (if (s % 3 == 0) Seq(s"clip${s}_dup.wav" -> toneWav(s, 0.45)) else Nil)
     } :+ ("broken.mp3" -> Array[Byte](0x49, 0x44, 0x33, 0))
-    val pairs = Audio.nearDuplicates(clips.toDF("path", "content"), maxDist = 7)
+    val pairs = Audio.nearDuplicates(clips.toDF("path", "content"))
       .collect().map(r => Set(r.getString(0), r.getString(1)))
     val expected = Seq(3L, 6L, 9L).map(s => Set(s"clip$s.wav", s"clip${s}_dup.wav"))
     assert(pairs.toSet == expected.toSet, s"pairs: ${pairs.toSeq}")
@@ -178,7 +178,7 @@ class AudioSpec extends SparkSpec {
       "new7.wav" -> toneWav(7L, 0.5),
       "fresh.wav" -> toneWav(99L, 0.9),
       "broken.mp3" -> Array[Byte](0x49, 0x44, 0x33, 0)).toDF("path", "content")
-    val pairs = Audio.nearDuplicatesIncremental(batch, store, maxDist = 7)
+    val pairs = Audio.nearDuplicatesIncremental(batch, store)
       .collect().map(r => Set(r.getString(0), r.getString(1))).toSet
     assert(pairs == Set(Set("clip7.wav", "new7.wav")),
       s"expected only the batch-vs-store pair (no clip3 old×old), got $pairs")
