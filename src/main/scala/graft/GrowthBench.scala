@@ -619,8 +619,12 @@ object GrowthBench {
     val steal = roundSteal.result().map(f).mkString("[", ",", "]")
     val xlSteal = xlRoundSteal.result().map(f).mkString("[", ",", "]")
     val line = s"""{"metric":"growth_gate","violations":${violations.size},"trials":$trials,"xl_trials":$xlTrials,"queries":$qs,"errors":$errs,"round_steal_pct":$steal,"xl_round_steal_pct":$xlSteal,"small":"$small","big":"$big","xl":"$xlDir","rel_small":"$relSmall","rel_big":"$relBig","rel_xl":"$relXlDir"}"""
-    val out = java.nio.file.Paths.get("target", "growth.json")
-    java.nio.file.Files.createDirectories(out.getParent)
+    // SPARK_GRAFT_OUT redirects the artifact — the adjudication pass
+    // (tools/growth.sh) re-measures violating rows in fresh JVMs and
+    // must not clobber the fleet run's canonical growth.json.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_OUT", "target/growth.json")
+    val out = java.nio.file.Paths.get(outPath)
+    if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
     // The three-tier cohort as its OWN artifact (r16 verdict #2): the
     // full-fleet gate lives in growth.json, the xl rows in
@@ -636,7 +640,8 @@ object GrowthBench {
           ",\"budget2\":" + f(b2) + "}"
       }.mkString("{", ",", "}")
       val xlLine = s"""{"metric":"growth_gate_xl","violations":${xlRows.count(!_.xlOk)},"xl_trials":$xlTrials,"queries":$xqs,"xl_round_steal_pct":$xlSteal,"big":"$big","xl":"$xlDir"}"""
-      java.nio.file.Files.write(java.nio.file.Paths.get("target", "growth_xl.json"),
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outPath.stripSuffix(".json") + "_xl.json"),
         (xlLine + "\n").getBytes("UTF-8"))
     }
     println(line)
