@@ -23,12 +23,17 @@ import org.apache.spark.sql.types._
   * the ivfIndex ≡ ivfAssign equivalence is arithmetic, not just
   * semantic.
   *
-  * Arrays shorter than the other operand are truncated to the common
-  * prefix; computation is double-precision regardless of element type.
+  * Length-mismatched inputs yield NULL (r18 advice: the IVF argmin
+  * consumes these distances, and a silently-truncated prefix distance
+  * assigns a vector to a confidently wrong cell — the `aggregate`
+  * formulation this kernel replaced surfaced dim mismatches as null,
+  * and a distance that feeds a selection must keep that contract).
+  * Computation is double-precision regardless of element type.
   */
 case class SquaredDistance(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "squared_distance"
 
   private def elemType(e: Expression): DataType =
@@ -59,7 +64,8 @@ case class SquaredDistance(left: Expression, right: Expression) extends BinaryEx
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val (ta, tb) = (elemType(left), elemType(right))
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -83,13 +89,17 @@ case class SquaredDistance(left: Expression, right: Expression) extends BinaryEx
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $d = ${getter(elemType(left), a, i)} - ${getter(elemType(right), b, i)};
-         |  $acc += $d * $d;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = ${getter(elemType(left), a, i)} - ${getter(elemType(right), b, i)};
+         |    $acc += $d * $d;
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
   }

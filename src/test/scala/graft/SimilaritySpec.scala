@@ -56,6 +56,14 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("*(1) Project [squared_distance"), plan)
     val nulls = Seq((Some(Array(1.0, 2.0)), None: Option[Array[Double]])).toDF("a", "b")
     assert(nulls.select(sqDist(col("a"), col("b"))).head().isNullAt(0))
+    // dimension mismatch is NULL, not a confident prefix distance (the
+    // IVF argmin consumes these — r18 advice): interpreted path via the
+    // local relation, codegen path via a real scan vs a short literal
+    val mismatch = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0))).toDF("a", "b")
+    assert(mismatch.select(sqDist(col("a"), col("b"))).head().isNullAt(0))
+    val shortLit = emb.select(sqDist(col("embedding"), lit(Array.fill(7)(0.5))).as("d"))
+    assert(shortLit.queryExecution.executedPlan.toString.contains("*(1) Project"))
+    assert(shortLit.head().isNullAt(0))
   }
 
   test("LSH ANN: perfect recall on planted near-neighbors with real pruning") {

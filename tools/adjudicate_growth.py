@@ -12,9 +12,14 @@ the committed artifact carries the adjudication instead of a standing
 violation with a prose footnote:
 
   1. read target/growth.json; find rows whose (gate_)growth crosses
-     its budget in either decade;
-  2. re-measure each such row in a FRESH JVM (SPARK_GRAFT_ONLY=<row>,
-     2 first-decade trials + 3 xl trials, SPARK_GRAFT_OUT redirected);
+     its budget in either decade BY AT MOST the residency margin
+     (MARGIN, default 15% over budget — the documented mechanism only
+     justifies rescuing small-denominator residency tax, never a real
+     regression; a row further over budget than the margin is a
+     violation outright, no re-probe);
+  2. re-measure each in-margin row in a FRESH JVM
+     (SPARK_GRAFT_ONLY=<row>, 2 first-decade trials + 3 xl trials,
+     SPARK_GRAFT_OUT redirected);
   3. attach the focused draw to the row as "adjudicated" (both values
      stay in the artifact — nothing is overwritten or hidden);
   4. a row counts as a violation only if it crosses in BOTH draws.
@@ -30,6 +35,11 @@ import sys
 
 GROWTH = "target/growth.json"
 GROWTH_XL = "target/growth_xl.json"
+# Residency-tax margin: only crossings within MARGIN x budget are
+# eligible for a focused re-draw. Observed residency tax is 5-10%
+# (r17 q186, r18 q13); a crossing past 15% over budget is not that
+# mechanism and stands as a violation without a retry.
+MARGIN = float(os.environ.get("SPARK_GRAFT_ADJ_MARGIN", "1.15"))
 
 
 def crosses(v):
@@ -38,18 +48,33 @@ def crosses(v):
     return first or xl
 
 
+def in_margin(v):
+    ok1 = v.get("gate_growth", v.get("growth", 0.0)) <= v.get("budget", float("inf")) * MARGIN
+    ok2 = ("growth2" not in v or
+           v.get("gate_growth2", v["growth2"]) <= v["budget2"] * MARGIN)
+    return ok1 and ok2
+
+
 def main():
     g = json.load(open(GROWTH))
     if g.get("errors"):
         print(f"[adjudicate] fleet errors present, not adjudicating: {g['errors']}",
               file=sys.stderr)
         return 1
-    bad = sorted(k for k, v in g["queries"].items() if crosses(v))
-    if not bad:
+    crossed = sorted(k for k, v in g["queries"].items() if crosses(v))
+    if not crossed:
         return 0
+    hard = [k for k in crossed if not in_margin(g["queries"][k])]
+    for row in hard:
+        print(f"[adjudicate] {row} crossed past the {MARGIN:.2f}x residency margin "
+              f"— a real regression, not re-probed: {g['queries'][row]}",
+              file=sys.stderr)
+    bad = [k for k in crossed if in_margin(g["queries"][k])]
+    if not bad:
+        return 1
     opens = os.environ.get("OPENS", "").split()
     cp = os.environ.get("CP", "target/scala-2.13/classes:/opt/spark/jars/*")
-    remaining = []
+    remaining = list(hard)
     for row in bad:
         out = f"target/growth_adj_{row}.json"
         print(f"[adjudicate] re-measuring {row} in a fresh JVM", file=sys.stderr)
@@ -62,8 +87,19 @@ def main():
                ["-Xmx48g", "-XX:ReservedCodeCacheSize=512m",
                 "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
                 "-cp", cp, "graft.GrowthBench"])
-        # rc conveys the focused verdict; the artifact is what we read
-        subprocess.run(cmd, env=env, stdout=subprocess.DEVNULL)
+        # rc conveys the focused verdict; the artifact is what we read —
+        # but a crashed re-probe must surface as a clear diagnostic, not
+        # an unhandled FileNotFoundError (r18 advice)
+        proc = subprocess.run(cmd, env=env, stdout=subprocess.DEVNULL)
+        if not os.path.exists(out):
+            print(f"[adjudicate] focused run failed for {row} "
+                  f"(rc {proc.returncode}, no artifact at {out}) — "
+                  "the fleet crossing stands", file=sys.stderr)
+            remaining.append(row)
+            g["queries"][row]["adjudicated"] = {
+                "error": f"focused run produced no artifact (rc {proc.returncode})",
+                "crossed_again": True}
+            continue
         focused = json.load(open(out))["queries"][row]
         again = crosses(focused)
         g["queries"][row]["adjudicated"] = dict(focused, crossed_again=again)
@@ -81,6 +117,8 @@ def main():
             os.remove(xl_side)
     g["violations"] = len(remaining)
     g["adjudicated_rows"] = bad
+    if hard:
+        g["hard_violations"] = hard
     with open(GROWTH, "w") as f:
         json.dump(g, f)
         f.write("\n")
@@ -95,9 +133,8 @@ def main():
         for k, v in x["queries"].items():
             cross = xl_crosses(dict(v, budget2=v["budget2"]))
             adj = g["queries"].get(k, {}).get("adjudicated")
-            if cross and adj is not None:
-                cross = ("growth2" in adj and
-                         adj.get("gate_growth2", adj["growth2"]) > v["budget2"])
+            if cross and adj is not None and "growth2" in adj:
+                cross = adj.get("gate_growth2", adj["growth2"]) > v["budget2"]
                 v["adjudicated"] = {kk: adj[kk] for kk in ("big", "xl", "growth2")
                                     if kk in adj}
                 v["adjudicated"]["crossed_again"] = cross
