@@ -154,6 +154,7 @@ object GrowthBench {
     "q163_containment" -> (10.3, "containment pairs: shingle-linear df/prefix groupBys + prefix(rarest items)×index join (probe keys are low-df by construction, so candidate fan-out stays pair-bounded) + candidate-bounded verify; budget = measured char ratio 10.26x (shingles/doc ~ chars/doc, both flat)"),
     "q164_robots" -> (6.0, "robots admission: bounded per-host parse windows + one host-keyed rules join (rules/host fixed) + per-URL argmax window over matched rows only; row-linear; budget = the 6.0 linear allowance"),
     "q165_ccnet_buckets" -> (6.0, "CCNet percentile buckets: the q129 scoring shape (explode + vocab-bounded broadcast + one id groupBy) + lang attach + one percent_rank window per language partition; row-linear with a per-group sort; budget = the 6.0 linear allowance"),
+    "q199_quantile_census" -> (6.0, "mergeable quantile census: the q129 scoring shape + a RANGE-bounded census groupBy (rows ~ score span / width, corpus-independent) + bounded single-partition windows; only the scan scales; budget = the 6.0 linear allowance (q129's shape measured 1.9x)"),
     "q166_inverted_index" -> (10.0, "inverted index: one token explode + (term,doc) map-side-partial groupBy + df/cf/rank windows sharing one term partitioning (WindowGroupLimit caps postings); token-linear; budget = token ratio (the q117 derivation: tokens/doc flat)"),
     "q186_index_incremental" -> (10.0, "mergeable postings store: history store build is the corpus-linear fixture term; the MERGE itself is batch-scaled (anti-join on batch doc ids + batch postings); budget = token ratio like q166"),
     "q188_bm25_store" -> (10.0, "store-served BM25: store build is the corpus-linear fixture term; probe derivation is a 34-row TakeOrdered over the term census, scoring query-vocab-bounded; budget = token ratio like q156/q166"),

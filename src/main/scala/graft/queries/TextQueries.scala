@@ -45,6 +45,28 @@ object TextQueries {
         "avg_nll_micro", Seq("lang"))
     }),
 
+    // Mergeable quantile census under the FULL hash gate (the q169/
+    // q186 daily-crawl pattern for CCNet bucket calibration): the
+    // q129 scoring fixture, with two-thirds of the scored docs playing
+    // the signed history (their census materialized once as the
+    // store) and the rest the incoming batch; the merged census,
+    // its running cumulative, and the frozen-bounds head/middle/tail
+    // labels must land digit-for-digit where a census of the UNION
+    // lands — merge == build-of-union as an artifact fact, on the
+    // micro-nat grid so every column is exact integers or single IEEE
+    // ops on them.
+    "q199_quantile_census" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = TextAnalysis.unigramLm(docs.filter(col("doc_id") % 2 === 0), "text")
+      val scored = TextAnalysis.lmScore(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", model)
+      val store = TextAnalysis.quantileCensus(scored.filter(col("id") % 3 =!= 0))
+        .localCheckpoint(true) // the signed history census, materialized once
+      val merged = TextAnalysis.mergeQuantileCensus(
+        store, TextAnalysis.quantileCensus(scored.filter(col("id") % 3 === 0)))
+      TextAnalysis.censusLabeled(merged)
+    }),
+
     // Impact-ordered capped inverted index (full DuckDB oracle):
     // champion lists over the corpus — per term df/cf and the top-5
     // postings by (tf desc, doc asc), long-format so the artifact is
@@ -703,6 +725,48 @@ object TextQueries {
         FROM p"""
   }
 
+  // q199: the q129 scoring CTEs + the census of ALL scored docs (the
+  // merge==build-of-union invariant IS the oracle), one cumulative
+  // window in bucket order, frozen thirds via ceil(frac*total); fracs
+  // render Scala's exact IEEE doubles like q165's
+  private val q199Sql = {
+    val head = (1.0 / 3).toString; val middle = (2.0 / 3).toString
+    s"""WITH $toksSql,
+        model AS (
+          SELECT token, count(*) AS cnt
+          FROM (SELECT unnest(tk) AS token FROM toks WHERE doc_id % 2 = 0)
+          GROUP BY token),
+        dval AS (SELECT coalesce(sum(cnt), 0) + count(*) + 1 AS d FROM model),
+        tok AS (SELECT doc_id, unnest(tk) AS token FROM toks WHERE doc_id % 2 = 1),
+        j AS (
+          SELECT doc_id,
+            ${qlogSql("SELECT d FROM dval")} - ${qlogSql("coalesce(cnt, 0) + 1")} AS nll
+          FROM tok LEFT JOIN model USING (token)),
+        a AS (
+          SELECT doc_id, count(*) AS n_tokens,
+            CAST(sum(nll) AS BIGINT) AS sum_nll_micro
+          FROM j GROUP BY doc_id),
+        c AS (
+          SELECT CAST(floor((sum_nll_micro * 1.0 / n_tokens) / 1000.0) AS BIGINT) AS bucket
+          FROM a),
+        h AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY bucket),
+        p AS (
+          SELECT bucket, cnt,
+            CAST(sum(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum_cnt,
+            CAST(sum(cnt) OVER () AS BIGINT) AS total
+          FROM h),
+        b AS (
+          SELECT
+            min(CASE WHEN cum_cnt >= ceil($head * total) THEN bucket END) AS head_b,
+            min(CASE WHEN cum_cnt >= ceil($middle * total) THEN bucket END) AS middle_b
+          FROM p)
+        SELECT bucket, cnt, cum_cnt, total,
+          CASE WHEN bucket <= head_b THEN 'head'
+               WHEN bucket <= middle_b THEN 'middle'
+               ELSE 'tail' END AS pct_bucket
+        FROM p CROSS JOIN b"""
+  }
+
   // q166: the champion-list replay — same (term, doc) groupBy, same
   // three windows over the term partition
   private val q166Sql =
@@ -955,6 +1019,7 @@ object TextQueries {
     "q122_coverage" -> q122Sql,
     "q129_lm_perplexity" -> q129Sql,
     "q165_ccnet_buckets" -> q165Sql,
+    "q199_quantile_census" -> q199Sql,
     "q166_inverted_index" -> q166Sql,
     // q186: the incremental path must land EXACTLY where the full
     // rebuild lands — the oracle is the q166 replay verbatim

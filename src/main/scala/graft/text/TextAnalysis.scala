@@ -676,6 +676,119 @@ object TextAnalysis {
           .otherwise("tail"))
   }
 
+  // ——— Mergeable quantile census (the daily-crawl twin of calibrateBuckets) ———
+
+  /** Additive quantile census: histogram scores onto fixed-width
+    * buckets of the micro-nat grid — `bucket = floor(value / width)`,
+    * one count per occupied bucket. This is the MERGEABLE store behind
+    * [[calibrateBuckets]]: where approxQuantile freezes bounds from
+    * one pass over one reference batch, a census is additive under
+    * union ([[mergeQuantileCensus]]) — each day's crawl folds its own
+    * histogram into the store and the percentile bounds
+    * ([[censusBounds]]) re-derive from the running total, the same
+    * daily-crawl contract as the domain/postings/adjacency/gram
+    * stores.
+    *
+    * Scale: one narrow projection + one groupBy whose output is
+    * RANGE-bounded — (score span / width) buckets regardless of corpus
+    * size (avg-NLL lives in a few-thousand-micro-nat band, so the
+    * default 1 milli-nat width yields tens-to-hundreds of rows) — so
+    * the store never grows with the corpus and the merge shuffles a
+    * constant-size frame. All arithmetic is the micro-nat grid's: the
+    * value is an exact-integer-valued IEEE division, `/ width` and
+    * `floor` are single IEEE ops, so the census replays bit-for-bit in
+    * DuckDB (the q129 stance). → (bucket, cnt) */
+  def quantileCensus(
+      scored: DataFrame, valueCol: String = "avg_nll_micro",
+      bucketWidthMicro: Long = 1000L): DataFrame = {
+    require(bucketWidthMicro > 0, s"bucket width must be positive: $bucketWidthMicro")
+    scored.select(floor(col(valueCol) / bucketWidthMicro.toDouble).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Fold a delta census into a store census: union + one groupBy sum
+    * over the range-bounded bucket key. merge(census(A), census(B)) ==
+    * census(A ∪ B) exactly — counts are integers and the bucket
+    * function is deterministic — which is the oracle invariant the
+    * q199 gate replays (the q169/q186 pattern). */
+  def mergeQuantileCensus(store: DataFrame, delta: DataFrame): DataFrame =
+    store.unionByName(delta).groupBy("bucket").agg(sum(col("cnt")).as("cnt"))
+
+  /** Cumulative view of a census: running count in bucket order plus
+    * the grand total. Both windows are unpartitioned BY DESIGN — the
+    * census is range-bounded (corpus-independent row count), so the
+    * single-partition sort is a bounded constant, not the funnel the
+    * WindowExec warning exists for. → census + (cum_cnt, total) */
+  def censusPercentiles(census: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    census
+      .withColumn("cum_cnt", sum(col("cnt")).over(Window.orderBy(col("bucket"))))
+      .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
+  }
+
+  /** Percentile bounds from a census: for each frac, the smallest
+    * bucket whose cumulative count reaches `ceil(frac·total)`; the
+    * bound is that bucket's EXCLUSIVE upper edge `(bucket+1)·width`,
+    * so `value < bound` admits at least `ceil(frac·total)` of the
+    * censused mass and overshoots by at most the boundary bucket's
+    * population — bucket-width granularity, the declared precision of
+    * the census. The inequality join is a broadcast nested loop of a
+    * |fracs|-row frame against the bounded census — constant work.
+    * → (frac, bound_bucket, bound_micro, total) */
+  def censusBounds(
+      census: DataFrame, fracs: Seq[Double] = Seq(1.0 / 3, 2.0 / 3),
+      bucketWidthMicro: Long = 1000L): DataFrame = {
+    require(fracs.nonEmpty && fracs.forall(f => f > 0 && f < 1),
+      s"fracs must be in (0,1): $fracs")
+    val spark = census.sparkSession
+    import spark.implicits._
+    censusPercentiles(census)
+      .join(broadcast(fracs.toDF("frac")),
+        col("cum_cnt") >= ceil(col("frac") * col("total")))
+      .groupBy("frac")
+      .agg(min(col("bucket")).as("bound_bucket"), max(col("total")).as("total"))
+      .select(col("frac"), col("bound_bucket"),
+        ((col("bound_bucket") + 1L) * bucketWidthMicro).cast("double").as("bound_micro"),
+        col("total"))
+  }
+
+  /** Drop-in for [[calibrateBuckets]] that reads a (merged) census
+    * instead of re-scanning scores: the frozen (head, middle) bounds
+    * for [[lmScore]]'s `bucketBounds`, at bucket-width granularity.
+    * Bounded driver read (two rows). */
+  def calibrateBucketsFromCensus(
+      census: DataFrame, headFrac: Double = 1.0 / 3, middleFrac: Double = 2.0 / 3,
+      bucketWidthMicro: Long = 1000L): (Double, Double) = {
+    require(headFrac < middleFrac, s"fracs out of order: $headFrac, $middleFrac")
+    val m = censusBounds(census, Seq(headFrac, middleFrac), bucketWidthMicro)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(2)).toMap
+    (m(headFrac), m(middleFrac))
+  }
+
+  /** The census with each bucket labeled by the frozen-bounds
+    * assignment: head iff bucket ≤ head bound bucket, middle iff ≤
+    * middle bound bucket — exactly how a score classified against
+    * [[censusBounds]]' exclusive upper edges lands. This is the q199
+    * gate's output surface: per-bucket counts, the running cumulative,
+    * and the label all replay exactly in SQL. → (bucket, cnt, cum_cnt,
+    * total, pct_bucket) */
+  def censusLabeled(
+      census: DataFrame, headFrac: Double = 1.0 / 3, middleFrac: Double = 2.0 / 3,
+      bucketWidthMicro: Long = 1000L): DataFrame = {
+    require(headFrac < middleFrac, s"fracs out of order: $headFrac, $middleFrac")
+    val b = censusBounds(census, Seq(headFrac, middleFrac), bucketWidthMicro)
+      .groupBy()
+      .agg(
+        min(when(col("frac") === headFrac, col("bound_bucket"))).as("head_b"),
+        min(when(col("frac") === middleFrac, col("bound_bucket"))).as("middle_b"))
+    censusPercentiles(census)
+      .crossJoin(broadcast(b))
+      .select(col("bucket"), col("cnt"), col("cum_cnt"), col("total"),
+        when(col("bucket") <= col("head_b"), "head")
+          .when(col("bucket") <= col("middle_b"), "middle")
+          .otherwise("tail").as("pct_bucket"))
+  }
+
   /** Single-pass alternative to [[dsirSelect]]: keep documents whose
     * importance weight clears a FIXED threshold. No count, no
     * ordering — a narrow filter that composes onto a stream and

@@ -355,6 +355,56 @@ class TextSpec extends SparkSpec {
     intercept[IllegalArgumentException](TextAnalysis.corpusOverlap(frame, "g", "text", 0))
   }
 
+  test("quantileCensus: merge == build-of-union exactly, on real scored docs") {
+    val docs = Tables.documents(spark, sfDir)
+    val model = TextAnalysis.unigramLm(docs.filter(col("doc_id") % 2 === 0), "text")
+    val scored = TextAnalysis.lmScore(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", model)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val whole = m(TextAnalysis.quantileCensus(scored))
+    val merged = m(TextAnalysis.mergeQuantileCensus(
+      TextAnalysis.quantileCensus(scored.filter(col("id") % 3 =!= 0)),
+      TextAnalysis.quantileCensus(scored.filter(col("id") % 3 === 0))))
+    assert(merged == whole && whole.nonEmpty)
+    // the census is range-bounded: far fewer rows than docs
+    assert(whole.size.toLong < scored.count())
+    intercept[IllegalArgumentException](TextAnalysis.quantileCensus(scored, bucketWidthMicro = 0))
+  }
+
+  test("censusBounds: frozen bounds land on bucket edges and classify within bucket granularity of exact thirds") {
+    import spark.implicits._
+    // values 1..300, width 10: bucket k holds 10k..10k+9 (b0 has 9, b30 has 1).
+    // head target ceil(300/3)=100 → cum crosses at b10 (cum 109) → bound 110;
+    // middle target 200 → b20 (cum 209) → bound 210.
+    val scored = (1 to 300).map(v => (v.toLong, v.toDouble)).toDF("id", "avg_nll_micro")
+    val census = TextAnalysis.quantileCensus(scored, bucketWidthMicro = 10L)
+    val (h, mid) = TextAnalysis.calibrateBucketsFromCensus(census, bucketWidthMicro = 10L)
+    assert((h, mid) == ((110.0, 210.0)))
+    // frozen-bounds classification vs exact percent_rank thirds: every
+    // disagreement sits in a bound's boundary bucket (the declared
+    // census granularity), never beyond it
+    val exact = TextAnalysis.bucketByPercentile(scored, "avg_nll_micro", Seq.empty)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("pct_bucket")).toMap
+    val frozen = scored.collect().map { r =>
+      val v = r.getDouble(1)
+      r.getLong(0) -> (if (v < h) "head" else if (v < mid) "middle" else "tail")
+    }.toMap
+    val boundary = Set(10L, 20L) // the two bound buckets
+    frozen.foreach { case (id, lbl) =>
+      if (exact(id) != lbl)
+        assert(boundary.contains(math.floor(id.toDouble / 10).toLong), s"doc $id: $lbl vs ${exact(id)}")
+    }
+    // censusLabeled: labels by bound bucket, cumulative and total exact
+    val lab = TextAnalysis.censusLabeled(census, bucketWidthMicro = 10L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(lab(0L) == ((9L, 9L, 300L, "head")))
+    assert(lab(10L)._4 == "head" && lab(11L)._4 == "middle")
+    assert(lab(20L)._4 == "middle" && lab(21L)._4 == "tail")
+    assert(lab(30L) == ((1L, 300L, 300L, "tail")))
+    intercept[IllegalArgumentException](
+      TextAnalysis.censusBounds(census, Seq(1.5), 10L))
+  }
+
   test("calibrateBuckets + threshold DSIR: freeze-then-apply variants agree with the exact paths") {
     val docs = Tables.documents(spark, sfDir)
     val model = TextAnalysis.unigramLm(docs.filter(col("doc_id") % 2 === 0), "text")
