@@ -50,7 +50,12 @@ object PlanGolden {
     "q169_domain_stats_incremental", "q170_html_links",
     "q172_langid_learned", "q176_hits",
     "q180_corpus_pipeline", "q185_containment_banded", "q186_index_incremental",
-    "q188_bm25_store", "q191_containment_dedup")
+    "q188_bm25_store", "q191_containment_dedup",
+    // the warm/store graph family (r18 verdict #4): the same
+    // iteration-loop lineage exposure q176's golden caught at 2,984
+    // expression nodes
+    "q187_pagerank_warm", "q192_hits_warm", "q193_lpa_warm",
+    "q194_triangles_store", "q196_harmonic_store", "q198_hyperball_warm")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSpec.session

@@ -366,6 +366,29 @@ class PlanShapeSpec extends SparkSpec {
     "q191_containment_dedup" -> PlanGolden.Shape(
       "Project>Join>Aggregate>Project>LogicalRDD>Aggregate>Project>Join>Project>Join>Project>Filter>Aggregate>Aggregate>Project>Join>Filter>Generate>Aggregate>Project>Join>Project>Generate>Project>Aggregate>Union>Project>Join>Filter>LogicalRDD>Filter>Aggregate>Project>LogicalRDD>Project>Join>Project>Join>Filter>LogicalRDD>Project>Filter>Aggregate>Project>LogicalRDD>Filter>Aggregate>Project>LogicalRDD>Project>Join>Filter>LogicalRDD>Aggregate>Project>Filter>LogicalRDD>Filter>LogicalRDD>Aggregate>Project>Filter>LogicalRDD>Aggregate>Project>Filter>LogicalRDD",
       278),
+    // the warm/store graph family (r18 verdict #4): store merge +
+    // seeded iteration loops have the exact lineage exposure q176's
+    // golden caught at 2,984 expression nodes; q196/q198's tiny
+    // skeletons ARE the pin — the sweeps live behind localCheckpoints,
+    // and losing that discipline changes the skeleton
+    "q187_pagerank_warm" -> PlanGolden.Shape(
+      "Project>Join>Project>LogicalRelation>Aggregate>Project>Join>Project>Join>Aggregate>Union>Filter>LogicalRDD>Aggregate>Project>Filter>Generate>Project>Filter>LogicalRelation>Aggregate>Aggregate>Union>LogicalRDD>Aggregate>Project>Generate>Project>Filter>LogicalRelation>Project>Join>Project>Filter>LogicalRelation>Aggregate>Project>Join>Project>Join>Aggregate>Union>Filter>LogicalRDD>Aggregate>Project>Filter>Generate>Project>Filter>LogicalRelation>Aggregate>Aggregate>Union>LogicalRDD>Aggregate>Project>Generate>Project>Filter>LogicalRelation>Project>Join>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD",
+      386),
+    "q192_hits_warm" -> PlanGolden.Shape(
+      "Project>Join>Project>Join>Project>Join>Project>Filter>LogicalRelation>Aggregate>Project>Join>Aggregate>Union>Filter>LogicalRDD>Aggregate>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Join>Project>Join>Project>Filter>LogicalRelation>Aggregate>Project>Join>Aggregate>Union>Filter>LogicalRDD>Aggregate>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD>Aggregate>Aggregate>Project>Join>Aggregate>Union>LogicalRDD>Aggregate>Project>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD>Aggregate>Aggregate>Project>Join>Aggregate>Union>Filter>LogicalRDD>Aggregate>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Join>Project>Join>Project>Filter>LogicalRelation>Aggregate>Project>Join>Aggregate>Union>Filter>LogicalRDD>Aggregate>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD>Aggregate>Aggregate>Project>Join>Aggregate>Union>LogicalRDD>Aggregate>Project>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD>Project>Join>Project>Join>Project>Filter>LogicalRelation>Aggregate>Project>Join>Aggregate>Union>Filter>LogicalRDD>Aggregate>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD>Aggregate>Aggregate>Project>Join>Aggregate>Union>LogicalRDD>Aggregate>Project>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD",
+      848),
+    "q193_lpa_warm" -> PlanGolden.Shape(
+      "Project>Join>Project>Join>Project>Join>Project>LogicalRelation>Project>Filter>LogicalRDD>Aggregate>Aggregate>Project>Join>Filter>LogicalRDD>Project>Join>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD>Aggregate>Aggregate>Project>Join>Filter>LogicalRDD>Project>Join>Project>Join>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD>Aggregate>Aggregate>Project>Join>Filter>LogicalRDD>Project>Join>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD",
+      219),
+    "q194_triangles_store" -> PlanGolden.Shape(
+      "Project>Join>Project>Join>Project>LogicalRelation>Aggregate>Filter>Generate>LogicalRDD>Aggregate>Filter>Generate>Project>Join>Project>Join>Filter>LogicalRDD>Filter>LogicalRDD>Filter>LogicalRDD",
+      133),
+    "q196_harmonic_store" -> PlanGolden.Shape(
+      "Project>Join>Project>LogicalRelation>Aggregate>Union>Project>LogicalRDD>Project>LogicalRDD>Project>LogicalRDD",
+      40),
+    "q198_hyperball_warm" -> PlanGolden.Shape(
+      "Project>LogicalRDD",
+      10),
     "q176_hits" -> PlanGolden.Shape(
       "Project>Join>Project>Join>Project>Join>Project>Filter>LogicalRelation>Aggregate>Project>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Join>Project>Join>Project>Filter>LogicalRelation>Aggregate>Project>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD>Aggregate>Aggregate>Project>Join>Project>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD>Aggregate>Aggregate>Project>Join>Project>Filter>Generate>Project>LogicalRelation>Project>Join>Project>Join>Project>Filter>LogicalRelation>Aggregate>Project>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD>Aggregate>Aggregate>Project>Join>Project>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD>Project>Join>Project>Join>Project>Filter>LogicalRelation>Aggregate>Project>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD>Aggregate>Aggregate>Project>Join>Project>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD",
       554))
