@@ -317,7 +317,24 @@ object GrowthBench {
     "q31_validate_filter" -> (10.5, "rule filter split: scan-linear; bound = row ratio x 1.05"),
     "q13_silver_pipeline" -> (10.5, "clean+normalize+dedup composed: scan-linear + one keyed window of unchanged partition size; bound = row ratio x 1.05"),
     "q112_rolling" -> (10.5, "rolling range-frame windows: 10x key partitions of unchanged size; bound = row ratio x 1.05"),
-    "q71_cdc_apply" -> (10.5, "CDC apply: keyed keep-latest window + delete anti-join, both row-linear; bound = row ratio x 1.05"))
+    "q71_cdc_apply" -> (10.5, "CDC apply: keyed keep-latest window + delete anti-join, both row-linear; bound = row ratio x 1.05"),
+    // Third tranche (round 19, the r18 verdict's #3): the remaining
+    // ten relational rows — the gold family, silver hygiene, SCD2
+    // point-in-time, and the watermark extract — completing 31/31
+    // second-decade coverage. All scan-linear or
+    // unchanged-partition-size window shapes; bound = row ratio x
+    // 1.05 (the replica-universe construction preserves join graphs
+    // and group sizes exactly).
+    "q01_gold_agg" -> (10.5, "lineitem groupBy: scan-linear, group-bounded output; bound = row ratio x 1.05"),
+    "q03_gold_metrics_time" -> (10.5, "time-bucketed metrics: scan-linear, bucket-bounded output; bound = row ratio x 1.05"),
+    "q04_gold_having" -> (10.5, "groupBy + having filter: scan-linear; bound = row ratio x 1.05"),
+    "q05_gold_topk_window" -> (10.5, "per-group top-k: WindowGroupLimit caps map output at k per group, partitions scale in count not size; bound = row ratio x 1.05"),
+    "q06_gold_feature_table" -> (10.5, "customer feature rollup: fact-keyed groupBys + dim joins, dims broadcast; bound = row ratio x 1.05"),
+    "q10_silver_clean" -> (10.5, "null/dedup hygiene projection: scan-linear; bound = row ratio x 1.05"),
+    "q11_silver_dedup" -> (10.5, "keyed keep-latest: one row_number window (WindowGroupLimit), partitions scale in count not size; bound = row ratio x 1.05"),
+    "q12_silver_normalize_names" -> (10.5, "string normalization projection: scan-linear, shuffle-free; bound = row ratio x 1.05"),
+    "q21_scd2_point_in_time" -> (10.5, "point-in-time snapshot: validity-interval filter over the SCD2 merge output, row-linear both; bound = row ratio x 1.05"),
+    "q70_incremental" -> (10.5, "watermark incremental extract: pushed-down ts filter + merge; bound = row ratio x 1.05"))
 
   private val PseudoDim = 16
 
