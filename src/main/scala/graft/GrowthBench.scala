@@ -234,7 +234,23 @@ object GrowthBench {
     "q178_unigram_encode" -> (10.5, "unigram encode: per-DISTINCT-word Viterbi DP is Heaps-sublinear, the word-keyed occurrence join token-linear; bound = token ratio x 1.05; measured big growth 2.8x"),
     "q190_wordpiece_encode" -> (10.5, "WordPiece encode: alphabet-bounded vocab + per-DISTINCT-word longest match + occurrence join: token-linear; bound = token ratio x 1.05; measured big growth 2.5x"),
     "q144_audio_neardup" -> (10.5, "acoustic near-dup: per-clip render+FFT map tasks, clips/doc fixed so clip-linear; banding shuffles (id, long) only; bound = clip ratio 10x x 1.05; measured big growth 5.5x"),
-    "q145_video_neardup" -> (10.5, "video frame-fingerprint near-dup: per-clip parse + 4 render/pHash map tasks, clip-linear (first decade measured AT the bound — compute-saturated); bound = clip ratio 10x x 1.05; measured big growth 4.6x"))
+    "q145_video_neardup" -> (10.5, "video frame-fingerprint near-dup: per-clip parse + 4 render/pHash map tasks, clip-linear (first decade measured AT the bound — compute-saturated); bound = clip ratio 10x x 1.05; measured big growth 4.6x"),
+    // Fourth cohort (round 19, the r18 verdict's #1): the next ten
+    // docs-fleet families by measured big-tier wall time (growth.json
+    // tBig 2.1-4.8 s) — the tokenizer train/encode pair, the
+    // store-served retrieval row, DSIR, the remaining graph sweep
+    // shapes and their store twins, the incremental simhash probe,
+    // and line boilerplate.
+    "q177_unigram_train" -> (10.5, "unigram (Kudo) train: one corpus word-count pass (token-linear) + EM/prune loop on the vocab-bounded word table (Heaps: 50k->80k at 10x docs, sublinear); bound = token ratio x 1.05; measured big growth 3.4x"),
+    "q141_bpe_encode" -> (10.5, "BPE encode: train + per-DISTINCT-word greedy encode (Heaps-sublinear) + word-keyed occurrence join (token-linear); bound = token ratio x 1.05; measured big growth 3.0x"),
+    "q188_bm25_store" -> (10.5, "store-served BM25: postings-store build is the corpus-linear fixture term (token-linear), probe derivation census-bounded, scoring query-vocab-bounded; bound = token ratio x 1.05 (the q186 stance); measured big growth 2.7x"),
+    "q130_dsir_select" -> (10.5, "DSIR: two vocab-bounded broadcast models + token scan + TakeOrdered top-k (k rows move); bound = token ratio x 1.05; measured big growth 2.4x"),
+    "q161_lpa_communities" -> (10.5, "3 LPA sweeps: per sweep one src-keyed join + (node,label) map-side-partial count + argmax window over edges that scale 1x with docs; bound = edge ratio x 1.05; measured big growth 2.2x"),
+    "q196_harmonic_store" -> (10.5, "store-fed harmonic: edge-linear store merge groupBys + the q152 radius-3 frontier expansion (node-linear, deg<=3 fixed); bound = node ratio x 1.05; measured big growth 2.2x"),
+    "q146_incremental_fingerprint" -> (10.5, "incremental simhash probe: the fixture's in-query store build is the corpus-linear term (band signing, (id,long) rows), the probe batch-scaled; bound = doc ratio x 1.05; measured big growth 1.4x"),
+    "q198_hyperball_warm" -> (10.5, "warm HyperBall: published radius-2 ball state is the node-linear fixture term (sketch rows), then ONE src-keyed join + mergeable hll_union groupBy; bound = node ratio x 1.05; measured big growth 1.6x"),
+    "q119_line_boilerplate" -> (10.8, "line-frequency boilerplate: line groupBy + hot/cold rejoin, line-linear; bound = char ratio 10.3x x 1.05 (lines/doc ~ chars/doc, both flat); measured big growth 1.9x"),
+    "q152_harmonic" -> (10.5, "radius-3 frontier expansion: per step one src-keyed join + distinct + anti-join over minimal-distance pairs bounded by N*deg^R with deg<=3 fixed; bound = node ratio x 1.05; measured big growth 2.0x"))
 
   /** RELATIONAL-CORE growth gate (round 16): the medallion / SCD2 /
     * validation / quality / incremental / event-time family measured
