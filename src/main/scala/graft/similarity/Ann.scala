@@ -52,6 +52,31 @@ object Ann {
     Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Band bit-width sized to the corpus — the acoustic-banding (q144)
+    * lesson generalized to the embedding family: with FIXED bits, a
+    * random (band, sig) bucket holds ~n/2^bits vectors, so candidate
+    * pairs grow n²·bands/2^(bits+1) — QUADRATIC in the corpus. The
+    * r19 second-decade gate measured the failure on 4×16-bit banding
+    * at 500k docs: 25× wall growth for 10× docs, all of it in the
+    * candidate verify. Keeping buckets near-singleton needs
+    * `bits ≈ log2(n) + slack`: expected random collisions per band
+    * then stay ≤ n/2^(slack+1) — linear by construction, with `bands`
+    * as the recall dial that only multiplies candidates by a constant.
+    *
+    * Recall trade, stated plainly (the q144 stance): raising bits
+    * prunes harder at the threshold BOUNDARY. A pair at cosine c
+    * agrees per bit with p = 1 − arccos(c)/π, so at 21 bits / 4 bands
+    * a 0.98-cosine pair survives with p ≈ 0.69 while the true
+    * near-dup regime this family exists for (c ≥ 0.999, the planted-
+    * dup / re-crawl shape) survives with p ≥ 0.995. Buy boundary
+    * recall back with more `bands` (linear cost), never with fewer
+    * bits (quadratic cost). Floor 16 = the q93 simhash band width. */
+  def lshBitsForCorpus(expectedDocs: Long, floor: Int = 16, slack: Int = 2): Int = {
+    require(expectedDocs > 0, s"corpus size must be positive: $expectedDocs")
+    val need = math.ceil(math.log(expectedDocs.toDouble) / math.log(2.0)).toInt + slack
+    math.max(floor, need).min(30) // sig is an int; 30 bits ≈ 1B-doc corpora
+  }
+
   /** Per-band sign-pattern signatures → (id, [carryCols…,] vec, band,
     * sig). The dot product against each plane literal runs as a
     * higher-order `aggregate` over the vector — no explode, no
@@ -182,6 +207,14 @@ object Ann {
     * this exists for; distant pairs are pruned, which is the point.
     * Output feeds [[graft.dedup.TextDedup.dedupClusters]] unchanged
     * for embedding-level corpus dedup.
+    *
+    * GEOMETRY IS A SCALE CONTRACT, not a tuning nicety: the defaults
+    * serve small recall-gated fixtures; at corpus scale `bitsPerBand`
+    * MUST grow with log2(corpus) ([[lshBitsForCorpus]]) or random
+    * band collisions — n²·bands/2^(bits+1) of them — swamp the verify
+    * step (the r19 xl gate measured 25× wall growth for 10× docs at a
+    * fixed 16-bit width on 500k docs). Buy recall with `bands`
+    * (linear), never with under-sized bits (quadratic).
     *
     * `df` is referenced three times (signature build + one vector
     * re-attach per pair side) — fine for a deterministic source read
