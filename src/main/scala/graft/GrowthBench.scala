@@ -265,7 +265,8 @@ object GrowthBench {
     "q129_lm_perplexity" -> (10.5, "unigram perplexity: vocab-bounded broadcast model + token scan + one id groupBy; bound = token ratio x 1.05; measured big growth 1.9x"),
     "q131_tfidf_keywords" -> (10.5, "tf-idf keywords: df table join + per-doc WindowGroupLimit top-k, token-linear; bound = token ratio x 1.05; measured big growth 2.8x"),
     "g116_embed_neardup_docs" -> (10.5, "embedding LSH near-dup at production bit-width: signature-linear (id,band,sig) shuffles, vectors re-attach by id; bound = doc ratio x 1.05 (embeddings/doc fixed); measured big growth 2.1x"),
-    "q121_decontaminate" -> (10.5, "decontamination probe: corpus grams vs BROADCAST eval grams, token-linear; bound = token ratio x 1.05; measured big growth 2.5x"))
+    "q121_decontaminate" -> (10.5, "decontamination probe: corpus grams vs BROADCAST eval grams, token-linear; bound = token ratio x 1.05; measured big growth 2.5x"),
+    "g136_semantic_neardup_docs" -> (10.5, "within-cell LSH pairs on (cluster,band,sig) keys at corpus-sized bit-width: signature-linear like g116 (strictly finer buckets); bound = doc ratio x 1.05; gated at xl because it shares the machinery the r19 gate caught at fixed width"))
 
   /** RELATIONAL-CORE growth gate (round 16): the medallion / SCD2 /
     * validation / quality / incremental / event-time family measured
