@@ -35,7 +35,12 @@ class PlanShapeSpec extends SparkSpec {
       // broadcast(aTot/hTot))), 1 row by construction, never a
       // data-sized cross; q192 is the store-fed/warm-start variant
       // running the same half-step shape
-      "q176_hits", "q192_hits_warm")
+      "q176_hits", "q192_hits_warm",
+      // q199: censusBounds' |fracs|-row frame (2 rows) inequality-
+      // joined against the RANGE-bounded census, and the 1-row bounds
+      // aggregate crossed back in censusLabeled — both bounded by
+      // construction, never corpus rows
+      "q199_quantile_census")
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.map { case (name, fn) =>
