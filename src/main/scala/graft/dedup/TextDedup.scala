@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text deduplication: exact, set-Jaccard, MinHash+LSH, SimHash.
@@ -726,14 +727,16 @@ object TextDedup {
     // jaccardPairsItemJoin.
     val sets = sets0.localCheckpoint(true)
     val freq = sets.groupBy("item").agg(count(lit(1)).as("_df"))
-    // (df, item) is the total order; the struct sorts lexicographically
+    // (df, item) is the total order; window-rank prefix selection, the
+    // containmentPairsOn shape (r19) — no per-document array build
+    val wOrd = Window.partitionBy("id").orderBy(col("_df"), col("item"))
+    val wAll = Window.partitionBy("id")
     val prefixes = graft.ops.Skew.hotColdJoin(sets, freq, "item", "_df", hotItemMinDf)
-      .groupBy("id")
-      .agg(sort_array(collect_list(struct(col("_df"), col("item")))).as("_sorted"))
-      .select(col("id"), size(col("_sorted")).as("sz"), col("_sorted"))
-      .select(col("id"), col("sz"),
-        explode(slice(col("_sorted"), lit(1),
-          (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int"))("item")).as("item"))
+      .select(col("id"), col("item"),
+        row_number().over(wOrd).as("_rn"),
+        count(lit(1)).over(wAll).as("sz"))
+      .filter(col("_rn") <= (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int"))
+      .select(col("id"), col("sz"), col("item"))
     val cand = prefixes.toDF("id_1", "sz1", "item")
       .join(prefixes.toDF("id_2", "sz2", "item"), "item")
       .filter(col("id_1") < col("id_2") &&
@@ -774,15 +777,31 @@ object TextDedup {
       s"containmentPairs threshold must be in (0, 1], got $threshold")
     // sets feeds freq, prefix-attach, index and verify — the
     // jaccardPairsItemJoin checkpoint discipline.
-    val sets = sets0.localCheckpoint(true)
+    containmentPairsOn(sets0.localCheckpoint(true), threshold, hotItemMinDf)
+  }
+
+  /** [[containmentPairs]] body over an ALREADY-MATERIALIZED sets frame
+    * — callers that hold their own checkpoint (removeContained) enter
+    * here so the sets blocks are never copied into a second checkpoint
+    * (r19: q191 paid a full extra materialization pass for it). */
+  private[graft] def containmentPairsOn(
+      sets: DataFrame, threshold: Double, hotItemMinDf: Long = 100000L): DataFrame = {
     val freq = sets.groupBy("item").agg(count(lit(1)).as("_df"))
+    // Prefix selection as a WINDOW rank over the (df, item) total order
+    // (r19): one shuffle + one streaming sort per set, where the old
+    // sort_array(collect_list(...)) shape materialized the ENTIRE
+    // (df, item) struct array per document before slicing off ~10% —
+    // a per-group memory spike a pathological document turns into an
+    // executor OOM; the window form spills gracefully. Same order,
+    // same first-(sz − ⌈t·sz⌉ + 1) rows, row-identical output.
+    val wOrd = Window.partitionBy("id").orderBy(col("_df"), col("item"))
+    val wAll = Window.partitionBy("id")
     val prefixes = graft.ops.Skew.hotColdJoin(sets, freq, "item", "_df", hotItemMinDf)
-      .groupBy("id")
-      .agg(sort_array(collect_list(struct(col("_df"), col("item")))).as("_sorted"))
-      .select(col("id"), size(col("_sorted")).as("sz"), col("_sorted"))
-      .select(col("id"), col("sz"),
-        explode(slice(col("_sorted"), lit(1),
-          (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int"))("item")).as("item"))
+      .select(col("id"), col("item"),
+        row_number().over(wOrd).as("_rn"),
+        count(lit(1)).over(wAll).as("sz"))
+      .filter(col("_rn") <= (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int"))
+      .select(col("id"), col("sz"), col("item"))
     val sizes = sets.groupBy("id").agg(count(lit(1)).as("_szb"))
     val index = sets.join(sizes, "id") // sizes per id → auto-broadcast-able
     val cand = prefixes.toDF("id_a", "sza", "item")
@@ -795,20 +814,24 @@ object TextDedup {
   }
 
   /** Candidate-bounded exact containment verification — the asymmetric
-    * twin of [[verifyJaccard]]: each ordered candidate explodes into
-    * its two member ids, one equi-join pulls both sets' items, and the
-    * item-level aggregate tracks side membership (max-of-flag) so |A|
-    * needs no extra sizes join. → (id_a, id_b, containment ≥ t) */
+    * twin of [[verifyJaccard]]: A-side items attach to each ordered
+    * candidate by one id-keyed join, |A∩B| is a LEFT SEMI join of those
+    * rows against the (id, item)-keyed sets (B's items never fan out —
+    * r19: the old member-explode shape shuffled |A|+|B| rows per pair
+    * through an item-string groupBy, 5× slower measured and ∝ the
+    * CONTAINER's size per pair, the wrong scaling for the one family
+    * whose B side is unbounded), and |A| comes from the per-id sizes
+    * aggregate. Zero-intersection pairs drop at the semi join — below
+    * any positive threshold by definition. Exact: same rows, same
+    * single IEEE division of exact longs. → (id_a, id_b, containment ≥ t) */
   def verifyContainment(candidates: DataFrame, sets: DataFrame, threshold: Double): DataFrame = {
-    val members = candidates.select(col("id_a"), col("id_b"),
-      explode(array(col("id_a"), col("id_b"))).as("id"))
-    members.join(sets, "id")
-      .groupBy("id_a", "id_b", "item")
-      .agg(count(lit(1)).as("_c"),
-        max(when(col("id") === col("id_a"), 1L).otherwise(0L)).as("_inA"))
-      .groupBy("id_a", "id_b")
-      .agg(sum(col("_inA")).as("_sza"),
-        sum(when(col("_c") === 2, 1L).otherwise(0L)).as("_i"))
+    require(threshold > 0,
+      s"verifyContainment threshold must be > 0, got $threshold")
+    val sizes = sets.groupBy("id").agg(count(lit(1)).as("_sza"))
+    candidates.join(sets.toDF("id_a", "item"), "id_a")
+      .join(sets.toDF("id_b", "item"), Seq("id_b", "item"), "left_semi")
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("_i"))
+      .join(sizes.toDF("id_a", "_sza"), "id_a")
       .withColumn("containment", col("_i").cast("double") / col("_sza"))
       .filter(col("containment") >= threshold)
       .select("id_a", "id_b", "containment")
@@ -868,7 +891,15 @@ object TextDedup {
     require(sketchSize >= 1, s"sketchSize must be >= 1, got $sketchSize")
     require(slack >= 0 && slack < threshold,
       s"slack must be in [0, threshold), got $slack")
-    val sets = sets0.localCheckpoint(true)
+    containmentPairsBandedOn(sets0.localCheckpoint(true), threshold, sketchSize,
+      slack, hotItemMaxDf)
+  }
+
+  /** [[containmentPairsBanded]] body over an ALREADY-MATERIALIZED sets
+    * frame — the containmentPairsOn stance for the banded path. */
+  private[graft] def containmentPairsBandedOn(
+      sets: DataFrame, threshold: Double,
+      sketchSize: Int, slack: Double, hotItemMaxDf: Long): DataFrame = {
     val freq = sets.groupBy("item").agg(count(lit(1)).as("_df"))
     // inner join with the cold slice of the df table implements the
     // universe cut AND attaches the df the rarity sort needs — one
@@ -876,13 +907,18 @@ object TextDedup {
     val cold = sets.join(freq.filter(col("_df") <= hotItemMaxDf), "item")
       .select(col("id"), col("item"), col("_df"))
       .localCheckpoint(true) // feeds probe selection AND probe index
+    // window-rank sketch selection over the (df, hash, item) total
+    // order — the containmentPairsOn shape (r19): same first-s rows as
+    // the old sort_array slice, no per-document array build
+    val wOrd = Window.partitionBy("id")
+      .orderBy(col("_df"), itemId(col("item")), col("item"))
+    val wAll = Window.partitionBy("id")
     val sketch = cold
-      .groupBy("id")
-      .agg(sort_array(collect_list(struct(
-        col("_df"), itemId(col("item")).as("_h"), col("item")))).as("_sorted"))
-      .select(col("id").as("id_a"),
-        least(size(col("_sorted")), lit(sketchSize)).cast("long").as("_m"),
-        explode(slice(col("_sorted"), 1, sketchSize)("item")).as("item"))
+      .select(col("id").as("id_a"), col("item"),
+        row_number().over(wOrd).as("_rn"),
+        least(count(lit(1)).over(wAll), lit(sketchSize)).cast("long").as("_m"))
+      .filter(col("_rn") <= sketchSize)
+      .select(col("id_a"), col("_m"), col("item"))
     val cand = sketch
       .join(cold.select(col("id").as("id_b"), col("item")), "item")
       .filter(col("id_a") =!= col("id_b"))
@@ -914,9 +950,11 @@ object TextDedup {
       sketchSize: Int = 32, slack: Double = 0.2,
       hotItemMaxDf: Long = DefaultMaxItemDf): DataFrame = {
     val sets = sets0.localCheckpoint(true) // feeds pairs AND sizes AND survivors
+    // *On entry points: sets is already materialized — a second
+    // checkpoint inside the pairs call would copy every block (r19)
     val pairs =
-      if (banded) containmentPairsBanded(sets, threshold, sketchSize, slack, hotItemMaxDf)
-      else containmentPairs(sets, threshold, hotItemMaxDf)
+      if (banded) containmentPairsBandedOn(sets, threshold, sketchSize, slack, hotItemMaxDf)
+      else containmentPairsOn(sets, threshold, hotItemMaxDf)
     val sizes = sets.groupBy("id").agg(count(lit(1)).as("n_items"))
     val dropped = pairs
       .join(sizes.select(col("id").as("id_a"), col("n_items").as("_sza")), "id_a")
@@ -1028,21 +1066,28 @@ object TextDedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
-  /** Candidate-bounded exact-Jaccard verification: each pair explodes
-    * into its two member ids, ONE equi-join pulls both sets' items, and
-    * a two-level aggregate yields tot = |A|+|B| (every (id, item) row
-    * lands exactly once) and u = |A∪B| (distinct items), so
-    * jaccard = (tot − u) / u — identical to (sz1 + sz2 − u)/u with no
-    * per-id sizes join and only a single evaluation of the (possibly
-    * expensive) `sets` lineage. Never an item-keyed set×set join.
-    * → (id_1, id_2, jaccard ≥ threshold) */
+  /** Candidate-bounded exact-Jaccard verification, the
+    * [[verifyContainment]] shape (r19): id_1's items attach by one
+    * id-keyed join, |A∩B| is a LEFT SEMI join against the (id, item)-
+    * keyed sets, both sizes come from the per-id sizes aggregate, and
+    * jaccard = i / (sz1 + sz2 − i) — algebraically and IEEE-identical
+    * to the old (tot − u)/u (u = sz1 + sz2 − i; both are one division
+    * of exact longs). The old member-explode shape shuffled |A|+|B|
+    * rows per pair through an item-string groupBy; this shape never
+    * fans the second set out per pair. Zero-intersection pairs drop at
+    * the semi join — below any positive threshold by definition.
+    * Never an item-keyed set×set join. → (id_1, id_2, jaccard ≥ t) */
   def verifyJaccard(candidates: DataFrame, sets: DataFrame, threshold: Double): DataFrame = {
-    val members = candidates.select(col("id_1"), col("id_2"),
-      explode(array(col("id_1"), col("id_2"))).as("id"))
-    members.join(sets, "id")
-      .groupBy("id_1", "id_2", "item").agg(count(lit(1)).as("_c"))
-      .groupBy("id_1", "id_2").agg(sum(col("_c")).as("_tot"), count(lit(1)).as("u"))
-      .withColumn("jaccard", (col("_tot") - col("u")) / col("u"))
+    require(threshold > 0,
+      s"verifyJaccard threshold must be > 0, got $threshold")
+    val sizes = sets.groupBy("id").agg(count(lit(1)).as("_sz"))
+    candidates.join(sets.toDF("id_1", "item"), "id_1")
+      .join(sets.toDF("id_2", "item"), Seq("id_2", "item"), "left_semi")
+      .groupBy("id_1", "id_2").agg(count(lit(1)).as("_i"))
+      .join(sizes.toDF("id_1", "_sz1"), "id_1")
+      .join(sizes.toDF("id_2", "_sz2"), "id_2")
+      .withColumn("jaccard",
+        col("_i") / (col("_sz1") + col("_sz2") - col("_i")))
       .filter(col("jaccard") >= threshold)
       .select("id_1", "id_2", "jaccard")
   }

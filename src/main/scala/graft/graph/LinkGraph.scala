@@ -30,19 +30,23 @@ object LinkGraph {
     * micro-unit per term, a deliberate, deterministic quantization
     * (the published float algorithm's values differ by < 1e-9 of
     * total mass). Edges pointing outside `nodes` leak their mass
-    * (dropped by the node-side join); nodes without in-links keep the
-    * teleport term only.
+    * (dst never published, src filtered off the edge side); nodes
+    * without in-links keep the teleport term only.
     *
-    * Scale shape: one bounded scalar read (N — the watermark-read
-    * exception), then per iteration exactly two shuffles — edges join
-    * ranks on src (bucket/pre-partition edges by src in production
-    * and the edge side of every iteration is exchange-free) and one
-    * sum groupBy on dst whose MAP-SIDE PARTIALS collapse in-link
-    * skew (a node with 10^9 in-links receives one partial per task,
-    * the q90 groupBy argument). Rank rows are 16 bytes — the wide
-    * payload (page text) never enters the loop. `checkpointEvery`
-    * truncates lineage for deep iteration counts (leave 0 for a pure
-    * plan: at the default 3 iterations the tree is shallow).
+    * Scale shape (r19): one bounded scalar read (N — the watermark-
+    * read exception), a one-time src-membership semi-join on the edge
+    * side, then per iteration exactly two shuffles — edges join ranks
+    * on src (bucket/pre-partition edges by src in production and the
+    * edge side of every iteration is exchange-free) and one sum
+    * groupBy on dst whose MAP-SIDE PARTIALS collapse in-link skew (a
+    * node with 10^9 in-links receives one partial per task, the q90
+    * groupBy argument). Ranks stay SPARSE inside the loop (absent =
+    * the teleport floor) — the node-sized left join every round paid
+    * before r19 is gone; the full node set re-attaches once at
+    * publish. Rank rows are 16 bytes — the wide payload (page text)
+    * never enters the loop. `checkpointEvery` truncates lineage for
+    * deep iteration counts (leave 0 for a pure plan: at the default 3
+    * iterations the tree is shallow).
     */
   def pageRank(
       nodes: DataFrame, idCol: String,
@@ -65,22 +69,34 @@ object LinkGraph {
     val edgesDeg = edges
       .select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
       .join(deg, "_src")
-    var ranks = nodes.select(col(idCol).as("_v")).withColumn("_r", lit(r0))
+    // Mass from srcs outside `nodes` never enters (they have no rank):
+    // filter the edge side ONCE instead of joining the node frame into
+    // every round (r19 — the per-round node-sized join removed; ranks
+    // stay SPARSE inside the loop, absent ⇒ the teleport floor, and the
+    // published frame re-attaches the full node set at the end).
+    val e1 = edgesDeg.join(
+      nodes.select(col(idCol).as("_v")), col("_src") === col("_v"), "left_semi")
+    // sparse ranks: only nodes with in-links carry a row; null = round 1
+    var ranks: DataFrame = null
     var i = 1
     while (i <= iters) {
-      val in = edgesDeg.join(ranks, col("_src") === col("_v"))
-        .select(col("_dst"), expr("_r div _deg").as("_c"))
+      val contrib =
+        if (ranks == null) e1.select(col("_dst"), expr(s"${r0}L div _deg").as("_c"))
+        else e1.join(ranks, col("_src") === col("_v"), "left")
+          .select(col("_dst"),
+            expr(s"coalesce(_r, ${teleport}L) div _deg").as("_c"))
+      ranks = contrib
         .groupBy(col("_dst")).agg(sum(col("_c")).as("_in"))
-      ranks = nodes.select(col(idCol).as("_v"))
-        .join(in, col("_v") === col("_dst"), "left")
-        .select(col("_v"),
-          (lit(teleport) +
-            expr(s"($dampingPct * coalesce(_in, 0L)) div 100")).as("_r"))
+        .select(col("_dst").as("_v"),
+          (lit(teleport) + expr(s"($dampingPct * _in) div 100")).as("_r"))
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
         ranks = ranks.localCheckpoint(true)
       i += 1
     }
-    ranks.select(col("_v").as(idCol), col("_r").as("rank_micro"))
+    nodes.select(col(idCol).as("_v"))
+      .join(ranks.withColumnRenamed("_v", "_rv"), col("_v") === col("_rv"), "left")
+      .select(col("_v").as(idCol),
+        coalesce(col("_r"), lit(teleport)).as("rank_micro"))
   }
 
   /** Mergeable adjacency store — the q169/q186 daily-crawl pattern
@@ -146,29 +162,45 @@ object LinkGraph {
     val edgesDeg = store
       .select(col("src").as("_src"), col("dst").as("_dst"), col("n_links").as("_w"))
       .join(deg, "_src")
-    var ranks = seed match {
-      case Some(sd) =>
-        nodes.select(col(idCol).as("_v"))
-          .join(sd.select(col(idCol).as("_sv"), col("rank_micro").as("_sr")),
-            col("_v") === col("_sv"), "left")
-          .select(col("_v"), coalesce(col("_sr"), lit(r0)).as("_r"))
-      case None => nodes.select(col(idCol).as("_v")).withColumn("_r", lit(r0))
-    }
+    // Same sparse-rank loop as [[pageRank]] (r19): srcs outside `nodes`
+    // are filtered off the edge side ONCE, ranks stay sparse in the
+    // loop (absent ⇒ teleport floor), the node set re-attaches at the
+    // end. A warm seed attaches to the EDGE side (left join + the r0
+    // cold floor), never to the node frame.
+    val e1 = edgesDeg.join(
+      nodes.select(col(idCol).as("_v")), col("_src") === col("_v"), "left_semi")
+    var ranks: DataFrame = null
     var i = 1
     while (i <= iters) {
-      val in = edgesDeg.join(ranks, col("_src") === col("_v"))
-        .select(col("_dst"), (expr("_r div _deg") * col("_w")).as("_c"))
+      val contrib =
+        if (ranks != null)
+          e1.join(ranks, col("_src") === col("_v"), "left")
+            .select(col("_dst"),
+              (expr(s"coalesce(_r, ${teleport}L) div _deg") * col("_w")).as("_c"))
+        else seed match {
+          case Some(sd) =>
+            e1.join(sd.select(col(idCol).as("_sv"), col("rank_micro").as("_sr")),
+                col("_src") === col("_sv"), "left")
+              .select(col("_dst"),
+                (expr(s"coalesce(_sr, ${r0}L) div _deg") * col("_w")).as("_c"))
+          case None =>
+            e1.select(col("_dst"), (expr(s"${r0}L div _deg") * col("_w")).as("_c"))
+        }
+      ranks = contrib
         .groupBy(col("_dst")).agg(sum(col("_c")).as("_in"))
-      ranks = nodes.select(col(idCol).as("_v"))
-        .join(in, col("_v") === col("_dst"), "left")
-        .select(col("_v"),
-          (lit(teleport) +
-            expr(s"($dampingPct * coalesce(_in, 0L)) div 100")).as("_r"))
+        .select(col("_dst").as("_v"),
+          (lit(teleport) + expr(s"($dampingPct * _in) div 100")).as("_r"))
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
         ranks = ranks.localCheckpoint(true)
       i += 1
     }
-    ranks.select(col("_v").as(idCol), col("_r").as("rank_micro"))
+    // after ≥1 update round every node's rank is teleport + damped
+    // in-mass, so a node absent from the sparse frame (no in-links)
+    // sits exactly at the teleport floor — seed or no seed.
+    nodes.select(col(idCol).as("_v"))
+      .join(ranks.withColumnRenamed("_v", "_rv"), col("_v") === col("_rv"), "left")
+      .select(col("_v").as(idCol),
+        coalesce(col("_r"), lit(teleport)).as("rank_micro"))
   }
 
   /** Iterate [[pageRankFromStore]] to the integer-grid FIXED POINT and
@@ -732,27 +764,39 @@ object LinkGraph {
     // the c cancels inside the rational before the floor — so flooring
     // the init at 1 changes NO result on any graph where scale/n ≥ 1
     // and produces the correctly-normalized scores on larger ones.
-    var hub = vs.withColumn("_h", lit(math.max(scale / n, 1L)))
-    var auth = vs.withColumn("_a", lit(0L))
+    val h0 = math.max(scale / n, 1L)
+    // Node membership is enforced ONCE on the edge side (r19): srcs
+    // outside `nodes` carry no hub, dsts outside carry no auth, so two
+    // semi-joins up front replace the node-sized join every half-step
+    // paid before. Scores stay SPARSE in the loop — an absent row IS a
+    // zero score (absent and explicit-0 contribute identically to sums
+    // and both publish as 0) — and the full node set re-attaches once
+    // at the end. Totals are unchanged: aTot still sums over every dst
+    // a filtered edge reaches (including non-nodes — the declared
+    // mass-leak semantics), hTot over every src.
+    val eSrc = e.join(vs, col("_s") === col("_v"), "left_semi")
+    val eDst = e.join(vs, col("_d") === col("_v"), "left_semi")
+    var hub: DataFrame = null // null = the uniform h0 start (round 1)
+    var auth: DataFrame = null
     var i = 1
     while (i <= iters) {
-      val aU = e.join(hub.withColumnRenamed("_v", "_hv"), col("_s") === col("_hv"))
-        .groupBy(col("_d")).agg(sum(col("_h")).as("_au"))
+      val aU =
+        if (hub == null)
+          eSrc.groupBy(col("_d")).agg((count(lit(1)) * h0).as("_au"))
+        else
+          eSrc.join(hub, col("_s") === col("_v"))
+            .groupBy(col("_d")).agg(sum(col("_h")).as("_au"))
       val aTot = aU.agg(coalesce(sum(col("_au")), lit(0L)).as("_tot"))
-      auth = vs.join(aU, col("_v") === col("_d"), "left")
-        .crossJoin(broadcast(aTot))
-        .select(col("_v"),
-          when(col("_tot") > 0,
-            expr(s"(coalesce(_au, 0L) * ${scale}L) div _tot"))
+      auth = aU.crossJoin(broadcast(aTot))
+        .select(col("_d").as("_v"),
+          when(col("_tot") > 0, expr(s"(_au * ${scale}L) div _tot"))
             .otherwise(lit(0L)).as("_a"))
-      val hU = e.join(auth.withColumnRenamed("_v", "_av"), col("_d") === col("_av"))
+      val hU = eDst.join(auth, col("_d") === col("_v"))
         .groupBy(col("_s")).agg(sum(col("_a")).as("_hu"))
       val hTot = hU.agg(coalesce(sum(col("_hu")), lit(0L)).as("_tot"))
-      hub = vs.join(hU, col("_v") === col("_s"), "left")
-        .crossJoin(broadcast(hTot))
-        .select(col("_v"),
-          when(col("_tot") > 0,
-            expr(s"(coalesce(_hu, 0L) * ${scale}L) div _tot"))
+      hub = hU.crossJoin(broadcast(hTot))
+        .select(col("_s").as("_v"),
+          when(col("_tot") > 0, expr(s"(_hu * ${scale}L) div _tot"))
             .otherwise(lit(0L)).as("_h"))
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters) {
         hub = hub.localCheckpoint(true)
@@ -760,8 +804,11 @@ object LinkGraph {
       }
       i += 1
     }
-    hub.join(auth.withColumnRenamed("_v", "_v2"), col("_v") === col("_v2"))
-      .select(col("_v").as(idCol), col("_h").as("hub_micro"), col("_a").as("auth_micro"))
+    vs.join(hub.withColumnRenamed("_v", "_hv"), col("_v") === col("_hv"), "left")
+      .join(auth.withColumnRenamed("_v", "_av"), col("_v") === col("_av"), "left")
+      .select(col("_v").as(idCol),
+        coalesce(col("_h"), lit(0L)).as("hub_micro"),
+        coalesce(col("_a"), lit(0L)).as("auth_micro"))
   }
 
   /** [[hits]] over an [[adjacencyStore]], with optional WARM START —
@@ -792,33 +839,41 @@ object LinkGraph {
     val vs = nodes.select(col(idCol).as("_v"))
     // same underflow floor as hits — see the comment there
     val h0 = math.max(scale / n, 1L)
-    var hub = seed match {
-      case Some(sd) =>
-        vs.join(sd.select(col(idCol).as("_sv"), col("hub_micro").as("_sh")),
-            col("_v") === col("_sv"), "left")
-          .select(col("_v"), coalesce(col("_sh"), lit(h0)).as("_h"))
-      case None => vs.withColumn("_h", lit(h0))
-    }
-    var auth = vs.withColumn("_a", lit(0L))
+    // Same sparse loop as [[hits]] (r19): membership enforced once on
+    // the edge side, scores sparse in the loop, node set re-attached at
+    // the end. The warm seed attaches to the EDGE side (left join + the
+    // h0 cold floor) — seed rows outside `nodes` never match a
+    // src-filtered edge, exactly the old node-frame restriction.
+    val eSrc = e.join(vs, col("_s") === col("_v"), "left_semi")
+    val eDst = e.join(vs, col("_d") === col("_v"), "left_semi")
+    var hub: DataFrame = null // null = round 1 (uniform or seeded start)
+    var auth: DataFrame = null
     var i = 1
     while (i <= iters) {
-      val aU = e.join(hub.withColumnRenamed("_v", "_hv"), col("_s") === col("_hv"))
-        .groupBy(col("_d")).agg(sum(col("_h") * col("_w")).as("_au"))
+      val aU =
+        if (hub != null)
+          eSrc.join(hub, col("_s") === col("_v"))
+            .groupBy(col("_d")).agg(sum(col("_h") * col("_w")).as("_au"))
+        else seed match {
+          case Some(sd) =>
+            eSrc.join(sd.select(col(idCol).as("_sv"), col("hub_micro").as("_sh")),
+                col("_s") === col("_sv"), "left")
+              .groupBy(col("_d"))
+              .agg(sum(coalesce(col("_sh"), lit(h0)) * col("_w")).as("_au"))
+          case None =>
+            eSrc.groupBy(col("_d")).agg((sum(col("_w")) * h0).as("_au"))
+        }
       val aTot = aU.agg(coalesce(sum(col("_au")), lit(0L)).as("_tot"))
-      auth = vs.join(aU, col("_v") === col("_d"), "left")
-        .crossJoin(broadcast(aTot))
-        .select(col("_v"),
-          when(col("_tot") > 0,
-            expr(s"(coalesce(_au, 0L) * ${scale}L) div _tot"))
+      auth = aU.crossJoin(broadcast(aTot))
+        .select(col("_d").as("_v"),
+          when(col("_tot") > 0, expr(s"(_au * ${scale}L) div _tot"))
             .otherwise(lit(0L)).as("_a"))
-      val hU = e.join(auth.withColumnRenamed("_v", "_av"), col("_d") === col("_av"))
+      val hU = eDst.join(auth, col("_d") === col("_v"))
         .groupBy(col("_s")).agg(sum(col("_a") * col("_w")).as("_hu"))
       val hTot = hU.agg(coalesce(sum(col("_hu")), lit(0L)).as("_tot"))
-      hub = vs.join(hU, col("_v") === col("_s"), "left")
-        .crossJoin(broadcast(hTot))
-        .select(col("_v"),
-          when(col("_tot") > 0,
-            expr(s"(coalesce(_hu, 0L) * ${scale}L) div _tot"))
+      hub = hU.crossJoin(broadcast(hTot))
+        .select(col("_s").as("_v"),
+          when(col("_tot") > 0, expr(s"(_hu * ${scale}L) div _tot"))
             .otherwise(lit(0L)).as("_h"))
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters) {
         hub = hub.localCheckpoint(true)
@@ -826,8 +881,11 @@ object LinkGraph {
       }
       i += 1
     }
-    hub.join(auth.withColumnRenamed("_v", "_v2"), col("_v") === col("_v2"))
-      .select(col("_v").as(idCol), col("_h").as("hub_micro"), col("_a").as("auth_micro"))
+    vs.join(hub.withColumnRenamed("_v", "_hv"), col("_v") === col("_hv"), "left")
+      .join(auth.withColumnRenamed("_v", "_av"), col("_v") === col("_av"), "left")
+      .select(col("_v").as(idCol),
+        coalesce(col("_h"), lit(0L)).as("hub_micro"),
+        coalesce(col("_a"), lit(0L)).as("auth_micro"))
   }
 
   /** Iterate [[hitsFromStore]] to the integer-grid fixed point (hub

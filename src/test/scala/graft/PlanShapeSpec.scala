@@ -275,8 +275,8 @@ class PlanShapeSpec extends SparkSpec {
       "Aggregate>Project>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Join>Project>Filter>Aggregate>Project>Filter>Generate>Project>Filter>LogicalRelation>Filter>LogicalRDD",
       237),
     "q151_pagerank" -> PlanGolden.Shape(
-      "Project>Join>Project>LogicalRelation>Aggregate>Project>Join>Project>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Aggregate>Project>Generate>Project>Filter>LogicalRelation>Project>Join>Project>Filter>LogicalRelation>Aggregate>Project>Join>Project>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Aggregate>Project>Generate>Project>Filter>LogicalRelation>Project>Join>Project>Filter>LogicalRelation>Aggregate>Project>Join>Project>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Aggregate>Project>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRelation",
-      332),
+      "Project>Join>Project>LogicalRelation>Aggregate>Project>Join>Project>Join>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRelation>Aggregate>Project>Generate>Project>Filter>LogicalRelation>Aggregate>Project>Join>Project>Join>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRelation>Aggregate>Project>Generate>Project>Filter>LogicalRelation>Aggregate>Project>Join>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRelation>Aggregate>Project>Generate>Project>Filter>LogicalRelation",
+      326),
     "q152_harmonic" -> PlanGolden.Shape(
       "Project>Join>Project>LogicalRelation>Aggregate>Union>Project>LogicalRDD>Project>LogicalRDD>Project>LogicalRDD",
       40),
@@ -377,11 +377,11 @@ class PlanShapeSpec extends SparkSpec {
     // skeletons ARE the pin — the sweeps live behind localCheckpoints,
     // and losing that discipline changes the skeleton
     "q187_pagerank_warm" -> PlanGolden.Shape(
-      "Project>Join>Project>LogicalRelation>Aggregate>Project>Join>Project>Join>Aggregate>Union>Filter>LogicalRDD>Aggregate>Project>Filter>Generate>Project>Filter>LogicalRelation>Aggregate>Aggregate>Union>LogicalRDD>Aggregate>Project>Generate>Project>Filter>LogicalRelation>Project>Join>Project>Filter>LogicalRelation>Aggregate>Project>Join>Project>Join>Aggregate>Union>Filter>LogicalRDD>Aggregate>Project>Filter>Generate>Project>Filter>LogicalRelation>Aggregate>Aggregate>Union>LogicalRDD>Aggregate>Project>Generate>Project>Filter>LogicalRelation>Project>Join>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD",
-      386),
+      "Project>Join>Project>LogicalRelation>Aggregate>Project>Join>Project>Join>Aggregate>Union>Join>Filter>LogicalRDD>Project>Filter>LogicalRelation>Aggregate>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRelation>Aggregate>Aggregate>Union>LogicalRDD>Aggregate>Project>Generate>Project>Filter>LogicalRelation>Aggregate>Project>Join>Project>Join>Aggregate>Union>Join>Filter>LogicalRDD>Project>Filter>LogicalRelation>Aggregate>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRelation>Aggregate>Aggregate>Union>LogicalRDD>Aggregate>Project>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD",
+      447),
     "q192_hits_warm" -> PlanGolden.Shape(
-      "Project>Join>Project>Join>Project>Join>Project>Filter>LogicalRelation>Aggregate>Project>Join>Aggregate>Union>Filter>LogicalRDD>Aggregate>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Join>Project>Join>Project>Filter>LogicalRelation>Aggregate>Project>Join>Aggregate>Union>Filter>LogicalRDD>Aggregate>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD>Aggregate>Aggregate>Project>Join>Aggregate>Union>LogicalRDD>Aggregate>Project>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD>Aggregate>Aggregate>Project>Join>Aggregate>Union>Filter>LogicalRDD>Aggregate>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Join>Project>Join>Project>Filter>LogicalRelation>Aggregate>Project>Join>Aggregate>Union>Filter>LogicalRDD>Aggregate>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD>Aggregate>Aggregate>Project>Join>Aggregate>Union>LogicalRDD>Aggregate>Project>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD>Project>Join>Project>Join>Project>Filter>LogicalRelation>Aggregate>Project>Join>Aggregate>Union>Filter>LogicalRDD>Aggregate>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD>Aggregate>Aggregate>Project>Join>Aggregate>Union>LogicalRDD>Aggregate>Project>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD",
-      848),
+      "Project>Join>Project>Join>Project>LogicalRelation>Project>Join>Aggregate>Project>Join>Aggregate>Union>Join>Filter>LogicalRDD>Project>Filter>LogicalRelation>Aggregate>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRelation>Project>Join>Aggregate>Project>Join>Aggregate>Union>Join>Filter>LogicalRDD>Project>Filter>LogicalRelation>Aggregate>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRelation>LogicalRDD>Aggregate>Aggregate>Project>Join>Aggregate>Union>Join>LogicalRDD>Project>Filter>LogicalRelation>Aggregate>Join>Project>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRelation>LogicalRDD>Aggregate>Aggregate>Project>Join>Aggregate>Union>Join>Filter>LogicalRDD>Project>Filter>LogicalRelation>Aggregate>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRelation>Project>Join>Aggregate>Project>Join>Aggregate>Union>Join>Filter>LogicalRDD>Project>Filter>LogicalRelation>Aggregate>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRelation>LogicalRDD>Aggregate>Aggregate>Project>Join>Aggregate>Union>Join>LogicalRDD>Project>Filter>LogicalRelation>Aggregate>Join>Project>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRelation>LogicalRDD>Project>Join>Aggregate>Project>Join>Aggregate>Union>Join>Filter>LogicalRDD>Project>Filter>LogicalRelation>Aggregate>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRelation>LogicalRDD>Aggregate>Aggregate>Project>Join>Aggregate>Union>Join>LogicalRDD>Project>Filter>LogicalRelation>Aggregate>Join>Project>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRelation>LogicalRDD",
+      999),
     "q193_lpa_warm" -> PlanGolden.Shape(
       "Project>Join>Project>Join>Project>Join>Project>LogicalRelation>Project>Filter>LogicalRDD>Aggregate>Aggregate>Project>Join>Filter>LogicalRDD>Project>Join>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD>Aggregate>Aggregate>Project>Join>Filter>LogicalRDD>Project>Join>Project>Join>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD>Aggregate>Aggregate>Project>Join>Filter>LogicalRDD>Project>Join>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD",
       219),
@@ -395,8 +395,8 @@ class PlanShapeSpec extends SparkSpec {
       "Project>LogicalRDD",
       10),
     "q176_hits" -> PlanGolden.Shape(
-      "Project>Join>Project>Join>Project>Join>Project>Filter>LogicalRelation>Aggregate>Project>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Join>Project>Join>Project>Filter>LogicalRelation>Aggregate>Project>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD>Aggregate>Aggregate>Project>Join>Project>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD>Aggregate>Aggregate>Project>Join>Project>Filter>Generate>Project>LogicalRelation>Project>Join>Project>Join>Project>Filter>LogicalRelation>Aggregate>Project>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD>Aggregate>Aggregate>Project>Join>Project>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD>Project>Join>Project>Join>Project>Filter>LogicalRelation>Aggregate>Project>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD>Aggregate>Aggregate>Project>Join>Project>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD",
-      554))
+      "Project>Join>Project>Join>Project>LogicalRelation>Project>Join>Aggregate>Project>Join>Project>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRelation>Project>Join>Aggregate>Project>Join>Project>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRelation>LogicalRDD>Aggregate>Aggregate>Project>Join>Project>Join>Project>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRelation>LogicalRDD>Aggregate>Aggregate>Project>Join>Project>Join>Project>Filter>Generate>Project>LogicalRelation>Project>Filter>LogicalRelation>Project>Join>Aggregate>Project>Join>Project>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRelation>LogicalRDD>Aggregate>Aggregate>Project>Join>Project>Join>Project>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRelation>LogicalRDD>Project>Join>Aggregate>Project>Join>Project>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRelation>LogicalRDD>Aggregate>Aggregate>Project>Join>Project>Join>Project>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRelation>LogicalRDD",
+      605))
 
   test("golden snapshots: operator skeleton exact, expression forest within 1.5x") {
     val failures = golden.toSeq.sortBy(_._1).flatMap { case (name, expected) =>
