@@ -61,26 +61,46 @@ object Boilerplate {
       minLen: Int = 40,
       maxLinkDensity: Double = 0.25,
       minStopRatio: Double = 0.05): Column = {
-    val stats = transform(split(html, BlockTagPattern), b => {
-      val text = blockText(b)
-      val len = length(text).cast("long")
-      val linkLen = aggregate(
-        transform(regexp_extract_all(b, lit(AnchorPattern), lit(1)),
-          a => length(blockText(a)).cast("long")),
-        lit(0L), (acc, x) => acc + x)
-      val toks = TextAnalysis.tokens(text)
-      val nTok = size(toks)
-      val stops = size(filter(toks, t => t.isin(StopwordsEn.map(lit): _*)))
-      val stopRatio =
-        when(nTok > 0, stops.cast("double") / nTok.cast("double")).otherwise(lit(0.0))
-      val linkDensity =
-        when(len > 0, linkLen.cast("double") / len.cast("double")).otherwise(lit(1.0))
-      struct(
-        text.as("text"), len.as("len"), linkLen.as("link_len"),
-        stopRatio.as("stop_ratio"),
-        (len >= minLen && linkDensity <= maxLinkDensity &&
-          stopRatio >= minStopRatio).as("content"))
-    })
+    // Higher-order lambdas are interpreted with NO common-subexpression
+    // elimination: every reference to a named subtree re-evaluates it,
+    // so the old flat form ran blockText (two regex passes) ~10× and
+    // the tokenizer ~6× per block through the text/len/ratio/content
+    // references. The `transform(array(x), v => …)` nesting (the
+    // LangId.scala trick) materializes each stage ONCE and later
+    // references are cheap field reads on the bound row: blockText,
+    // the anchor-strip aggregate, the tokenizer and the stopword scan
+    // each run exactly once per block (r19; same algebra, same values).
+    val stats = transform(split(html, BlockTagPattern), b =>
+      element_at(transform(array(struct(
+          blockText(b).as("text"),
+          aggregate(
+            transform(regexp_extract_all(b, lit(AnchorPattern), lit(1)),
+              a => length(blockText(a)).cast("long")),
+            lit(0L), (acc, x) => acc + x).as("link_len"))), p =>
+        element_at(transform(array(struct(
+            p.getField("text").as("text"),
+            length(p.getField("text")).cast("long").as("len"),
+            p.getField("link_len").as("link_len"),
+            TextAnalysis.tokens(p.getField("text")).as("toks"))), q =>
+          element_at(transform(array(struct(
+              size(q.getField("toks")).as("ntok"),
+              size(filter(q.getField("toks"),
+                t => t.isin(StopwordsEn.map(lit): _*))).as("stops"))), r => {
+            val text = q.getField("text")
+            val len = q.getField("len")
+            val linkLen = q.getField("link_len")
+            val nTok = r.getField("ntok")
+            val stops = r.getField("stops")
+            val stopRatio =
+              when(nTok > 0, stops.cast("double") / nTok.cast("double")).otherwise(lit(0.0))
+            val linkDensity =
+              when(len > 0, linkLen.cast("double") / len.cast("double")).otherwise(lit(1.0))
+            struct(
+              text.as("text"), len.as("len"), linkLen.as("link_len"),
+              stopRatio.as("stop_ratio"),
+              (len >= minLen && linkDensity <= maxLinkDensity &&
+                stopRatio >= minStopRatio).as("content"))
+          }), 1)), 1)), 1))
     filter(stats, s => s.getField("len") > 0)
   }
 
