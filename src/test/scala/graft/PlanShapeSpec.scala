@@ -112,8 +112,8 @@ class PlanShapeSpec extends SparkSpec {
       "Project>Join>Project>Generate>Aggregate>Project>LogicalRelation>Project>Generate>Aggregate>Union>Project>LogicalRelation>Project>Filter>LogicalRelation",
       1456),
     "q92_dedup_minhash" -> PlanGolden.Shape(
-      "Project>Filter>Aggregate>Aggregate>Project>Join>Filter>Generate>Aggregate>Project>Join>Project>Generate>Aggregate>Project>Join>Filter>LogicalRDD>Project>Filter>Aggregate>Project>LogicalRDD>Project>Generate>Aggregate>Project>Join>Filter>LogicalRDD>Project>Filter>Aggregate>Project>LogicalRDD>Filter>LogicalRDD",
-      911),
+      "Project>Join>Project>Join>Aggregate>Project>Join>Project>Join>Aggregate>Project>Join>Project>Generate>Aggregate>Project>Join>Filter>LogicalRDD>Project>Filter>Aggregate>Project>LogicalRDD>Project>Generate>Aggregate>Project>Join>Filter>LogicalRDD>Project>Filter>Aggregate>Project>LogicalRDD>Project>Filter>LogicalRDD>Project>Filter>LogicalRDD>Aggregate>Project>Filter>LogicalRDD>Aggregate>Project>Filter>LogicalRDD",
+      946),
     // LogicalRDD = the sigs localCheckpoint: the fingerprint lineage
     // would otherwise plan on BOTH sides of the band self-join, and
     // the broadcast side's exchange can never ReusedExchange-collapse
@@ -204,8 +204,8 @@ class PlanShapeSpec extends SparkSpec {
       "Project>Generate>Project>Project>Filter>LogicalRelation",
       99),
     "q122_coverage" -> PlanGolden.Shape(
-      "Project>Aggregate>Project>Join>Project>Generate>Project>Filter>LogicalRelation>Filter>Aggregate>Filter>Generate>Project>Filter>LogicalRelation",
-      130),
+      "Project>Aggregate>Project>Join>Generate>Project>Filter>LogicalRelation>Filter>Aggregate>Filter>Generate>Project>Filter>LogicalRelation",
+      126),
     // LM scoring: one Generate per side (score tokens, model tokens),
     // one broadcast join, ONE Aggregate on the doc id — the micro-nat
     // arithmetic must stay in the post-join Project, not multiply
@@ -306,8 +306,8 @@ class PlanShapeSpec extends SparkSpec {
       "Project>Join>Project>Join>Project>Join>Project>LogicalRelation>Aggregate>Aggregate>Project>Join>Filter>LogicalRDD>Project>Filter>LogicalRelation>Aggregate>Aggregate>Project>Join>Filter>LogicalRDD>Project>Join>Project>Filter>LogicalRelation>Aggregate>Aggregate>Project>Join>Filter>LogicalRDD>Project>Filter>LogicalRelation>Aggregate>Aggregate>Project>Join>Filter>LogicalRDD>Project>Join>Project>Join>Project>Filter>LogicalRelation>Aggregate>Aggregate>Project>Join>Filter>LogicalRDD>Project>Filter>LogicalRelation>Aggregate>Aggregate>Project>Join>Filter>LogicalRDD>Project>Join>Project>Filter>LogicalRelation>Aggregate>Aggregate>Project>Join>Filter>LogicalRDD>Project>Filter>LogicalRelation",
       367),
     "q163_containment" -> PlanGolden.Shape(
-      "Project>Filter>Aggregate>Aggregate>Project>Join>Filter>Generate>Aggregate>Project>Join>Project>Generate>Project>Aggregate>Union>Project>Join>Filter>LogicalRDD>Filter>Aggregate>Project>LogicalRDD>Project>Join>Project>Join>Filter>LogicalRDD>Project>Filter>Aggregate>Project>LogicalRDD>Filter>Aggregate>Project>LogicalRDD>Project>Join>Filter>LogicalRDD>Aggregate>Project>Filter>LogicalRDD>Filter>LogicalRDD",
-      220),
+      "Project>Join>Aggregate>Project>Join>Project>Join>Aggregate>Project>Join>Project>Filter>Window>Project>Window>Union>Project>Join>Filter>LogicalRDD>Filter>Aggregate>Project>LogicalRDD>Project>Join>Project>Join>Filter>LogicalRDD>Project>Filter>Aggregate>Project>LogicalRDD>Filter>Aggregate>Project>LogicalRDD>Project>Join>Filter>LogicalRDD>Aggregate>Project>Filter>LogicalRDD>Project>Filter>LogicalRDD>Project>Filter>LogicalRDD>Aggregate>Project>Filter>LogicalRDD",
+      223),
     "q164_robots" -> PlanGolden.Shape(
       "Project>Join>Project>LogicalRelation>Project>Filter>Window>WindowGroupLimit>Project>Join>Project>Filter>LogicalRelation>Project>Filter>Join>Project>Join>Aggregate>Project>Filter>Window>Project>Window>Project>Project>Filter>Generate>Aggregate>Project>Filter>LogicalRelation>Project>Filter>Window>Project>Window>Project>Project>Project>Filter>Generate>Aggregate>Project>Filter>LogicalRelation>Aggregate>Project>Join>Aggregate>Project>Filter>Window>Project>Window>Project>Project>Filter>Generate>Aggregate>Project>Filter>LogicalRelation>Project>Filter>Window>Project>Window>Project>Filter>Generate>Aggregate>Project>Filter>LogicalRelation",
       908),
@@ -348,8 +348,8 @@ class PlanShapeSpec extends SparkSpec {
     // a second probe-side Join or a Window appearing is the regression
     // (the prefix-explode path sneaking back in)
     "q185_containment_banded" -> PlanGolden.Shape(
-      "Project>Filter>Aggregate>Aggregate>Project>Join>Filter>Generate>Project>Filter>Aggregate>Project>Join>Project>Generate>Aggregate>Filter>LogicalRDD>Project>Filter>LogicalRDD>Filter>LogicalRDD",
-      156),
+      "Project>Join>Aggregate>Project>Join>Project>Join>Project>Filter>Aggregate>Project>Join>Project>Filter>Window>Project>Window>Project>LogicalRDD>Project>Filter>LogicalRDD>Project>Filter>LogicalRDD>Project>Filter>LogicalRDD>Aggregate>Project>Filter>LogicalRDD",
+      173),
     // mergeable postings store: the store leg is the LogicalRDD
     // checkpoint, the batch leg one explode+Aggregate, the merge an
     // anti-Join + Union, and the derivation shares ONE term
@@ -369,8 +369,8 @@ class PlanShapeSpec extends SparkSpec {
     // keeper-rule anti-Join, sets checkpointed once for pairs/sizes/
     // survivors; a second pair-generation subtree is the regression
     "q191_containment_dedup" -> PlanGolden.Shape(
-      "Project>Join>Aggregate>Project>LogicalRDD>Aggregate>Project>Join>Project>Join>Project>Filter>Aggregate>Aggregate>Project>Join>Filter>Generate>Aggregate>Project>Join>Project>Generate>Project>Aggregate>Union>Project>Join>Filter>LogicalRDD>Filter>Aggregate>Project>LogicalRDD>Project>Join>Project>Join>Filter>LogicalRDD>Project>Filter>Aggregate>Project>LogicalRDD>Filter>Aggregate>Project>LogicalRDD>Project>Join>Filter>LogicalRDD>Aggregate>Project>Filter>LogicalRDD>Filter>LogicalRDD>Aggregate>Project>Filter>LogicalRDD>Aggregate>Project>Filter>LogicalRDD",
-      278),
+      "Project>Join>Aggregate>Project>LogicalRDD>Aggregate>Project>Join>Project>Join>Project>Join>Aggregate>Project>Join>Project>Join>Aggregate>Project>Join>Project>Filter>Window>Project>Window>Union>Project>Join>Filter>LogicalRDD>Filter>Aggregate>Project>LogicalRDD>Project>Join>Project>Join>Filter>LogicalRDD>Project>Filter>Aggregate>Project>LogicalRDD>Filter>Aggregate>Project>LogicalRDD>Project>Join>Filter>LogicalRDD>Aggregate>Project>Filter>LogicalRDD>Project>Filter>LogicalRDD>Project>Filter>LogicalRDD>Aggregate>Project>Filter>LogicalRDD>Aggregate>Project>Filter>LogicalRDD>Aggregate>Project>Filter>LogicalRDD",
+      281),
     // the warm/store graph family (r18 verdict #4): store merge +
     // seeded iteration loops have the exact lineage exposure q176's
     // golden caught at 2,984 expression nodes; q196/q198's tiny
