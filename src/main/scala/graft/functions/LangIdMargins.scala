@@ -57,15 +57,32 @@ case class LangIdMargins(
   override def nullSafeEval(input: Any): Any = {
     val prefix = input.asInstanceOf[UTF8String].toLowerCase.substringSQL(1, maxChars)
     val len = prefix.numChars()
+    val base = prefix.getBaseObject
+    val off = prefix.getBaseOffset
+    // Char-position → byte-offset table, built in ONE pass: gram
+    // windows then hash raw byte ranges directly. The substringSQL
+    // form this replaces re-scanned the prefix from byte 0 on EVERY
+    // gram (UTF-8 char indexing is a linear walk) and allocated a
+    // UTF8String per gram — O(len²) character work per row (r20,
+    // guide §4; same bytes hashed, bit-identical margins, pinned
+    // against the column-algebra twin by LangIdSpec).
+    val offs = new Array[Int](len + 1)
+    var p = 0
+    var ci = 0
+    while (ci < len) {
+      offs(ci) = p
+      p += UTF8String.numBytesForFirstByte(
+        org.apache.spark.unsafe.Platform.getByte(base, off + p))
+      ci += 1
+    }
+    offs(len) = prefix.numBytes()
     val m = java.util.Arrays.copyOf(intercepts, k)
     var n = minN
     while (n <= maxN) {
-      var i = 1
-      val cnt = len - n + 1
-      while (i <= cnt) {
-        val g = prefix.substringSQL(i, n)
+      var i = 0
+      while (i + n <= len) {
         val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
-          .hashUnsafeBytes(g.getBaseObject, g.getBaseOffset, g.numBytes, 42)
+          .hashUnsafeBytes(base, off + offs(i), offs(i + n) - offs(i), 42)
         val b = ((h % dim) + dim) % dim
         var c = 0
         while (c < k) { m(c) += weightsFlat(c * dim + b); c += 1 }
@@ -81,20 +98,34 @@ case class LangIdMargins(
     val bRef = ctx.addReferenceObj("langidIntercepts", intercepts, "double[]")
     nullSafeCodeGen(ctx, ev, s => {
       val prefix = ctx.freshName("prefix"); val len = ctx.freshName("len")
-      val m = ctx.freshName("m"); val g = ctx.freshName("g")
+      val m = ctx.freshName("m"); val offs = ctx.freshName("offs")
+      val base = ctx.freshName("base"); val off = ctx.freshName("off")
+      val p = ctx.freshName("p"); val ci = ctx.freshName("ci")
       val h = ctx.freshName("h"); val b = ctx.freshName("b")
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
-      val c = ctx.freshName("c"); val cnt = ctx.freshName("cnt")
+      val c = ctx.freshName("c")
+      // char-position → byte-offset table in one pass, then hash raw
+      // byte ranges: the substringSQL-per-gram form re-scanned the
+      // prefix from byte 0 per gram (O(len²)) and allocated per gram
+      // — see nullSafeEval (r20)
       s"""
          |UTF8String $prefix = $s.toLowerCase().substringSQL(1, $maxChars);
          |int $len = $prefix.numChars();
+         |Object $base = $prefix.getBaseObject();
+         |long $off = $prefix.getBaseOffset();
+         |int[] $offs = new int[$len + 1];
+         |int $p = 0;
+         |for (int $ci = 0; $ci < $len; $ci++) {
+         |  $offs[$ci] = $p;
+         |  $p += UTF8String.numBytesForFirstByte(
+         |    org.apache.spark.unsafe.Platform.getByte($base, $off + $p));
+         |}
+         |$offs[$len] = $prefix.numBytes();
          |double[] $m = java.util.Arrays.copyOf($bRef, $k);
          |for (int $n = $minN; $n <= $maxN; $n++) {
-         |  int $cnt = $len - $n + 1;
-         |  for (int $i = 1; $i <= $cnt; $i++) {
-         |    UTF8String $g = $prefix.substringSQL($i, $n);
+         |  for (int $i = 0; $i + $n <= $len; $i++) {
          |    int $h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
-         |      $g.getBaseObject(), $g.getBaseOffset(), $g.numBytes(), 42);
+         |      $base, $off + $offs[$i], $offs[$i + $n] - $offs[$i], 42);
          |    int $b = (($h % $dim) + $dim) % $dim;
          |    for (int $c = 0; $c < $k; $c++) $m[$c] += $wRef[$c * $dim + $b];
          |  }

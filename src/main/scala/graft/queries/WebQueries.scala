@@ -587,10 +587,14 @@ object WebQueries {
       val n = docs.count()
       val all = webgraph(docs, n)
       val old = all.filter(col("src") % 10 =!= 0)
+      // cold phase reads the CHECKPOINTED history store instead of
+      // re-deriving the raw edge list per round — pageRankFromStore is
+      // spec-pinned bit-identical to the raw-edge loop, so the seed
+      // (and the oracle hash) is unchanged (r20, guide §2.4)
+      val oldStore = LinkGraph.adjacencyStore(old, "src", "dst").localCheckpoint(true)
       val store = LinkGraph.mergeAdjacency(
-        LinkGraph.adjacencyStore(old, "src", "dst").localCheckpoint(true),
-        all.filter(col("src") % 10 === 0), "src", "dst")
-      val seed = LinkGraph.pageRank(docs, "doc_id", old, "src", "dst", iters = 3)
+        oldStore, all.filter(col("src") % 10 === 0), "src", "dst")
+      val seed = LinkGraph.pageRankFromStore(docs, "doc_id", oldStore, iters = 3)
         .localCheckpoint(true) // the previous round's published ranks
       LinkGraph.pageRankFromStore(docs, "doc_id", store, iters = 2,
         seed = Some(seed))
@@ -610,10 +614,13 @@ object WebQueries {
       val n = docs.count()
       val all = webgraph(docs, n)
       val old = all.filter(col("src") % 10 =!= 0)
+      // the q187 stance (r20): cold HITS off the checkpointed history
+      // store — hitsFromStore is spec-pinned bit-identical to the
+      // raw-edge loop, so the published seed hashes unchanged
+      val oldStore = LinkGraph.adjacencyStore(old, "src", "dst").localCheckpoint(true)
       val store = LinkGraph.mergeAdjacency(
-        LinkGraph.adjacencyStore(old, "src", "dst").localCheckpoint(true),
-        all.filter(col("src") % 10 === 0), "src", "dst")
-      val seed = LinkGraph.hits(docs, "doc_id", old, "src", "dst", iters = 2)
+        oldStore, all.filter(col("src") % 10 === 0), "src", "dst")
+      val seed = LinkGraph.hitsFromStore(docs, "doc_id", oldStore, iters = 2)
         .localCheckpoint(true) // the previous round's published scores
       LinkGraph.hitsFromStore(docs, "doc_id", store, iters = 2,
         seed = Some(seed))
@@ -631,10 +638,13 @@ object WebQueries {
       val n = docs.count()
       val all = webgraph(docs, n)
       val old = all.filter(col("src") % 10 =!= 0)
+      // the q187 stance (r20): cold sweeps off the checkpointed history
+      // store — labelPropagationFromStore is spec-pinned row-identical
+      // to the raw-edge path (multiplicity collapses in the distinct)
+      val oldStore = LinkGraph.adjacencyStore(old, "src", "dst").localCheckpoint(true)
       val store = LinkGraph.mergeAdjacency(
-        LinkGraph.adjacencyStore(old, "src", "dst").localCheckpoint(true),
-        all.filter(col("src") % 10 === 0), "src", "dst")
-      val seed = LinkGraph.labelPropagation(docs, "doc_id", old, "src", "dst",
+        oldStore, all.filter(col("src") % 10 === 0), "src", "dst")
+      val seed = LinkGraph.labelPropagationFromStore(docs, "doc_id", oldStore,
         iters = 3).localCheckpoint(true)
       LinkGraph.labelPropagationFromStore(docs, "doc_id", store, iters = 2,
         seed = Some(seed))

@@ -98,40 +98,58 @@ object LangId {
       docs: DataFrame, textCol: String, langCol: String,
       dim: Int = 1024, minN: Int = 1, maxN: Int = 3, maxChars: Int = 200,
       regParam: Double = 0.01, maxIter: Int = 60): Model = {
-    import org.apache.spark.ml.classification.LogisticRegression
-    import org.apache.spark.ml.linalg.Vectors
     require(dim > 0, s"dim must be positive, got $dim")
     require(1 <= minN && minN <= maxN, s"bad n-gram range [$minN, $maxN]")
     val spark = docs.sparkSession
     import spark.implicits._
+    val hashed = docs
+      .select(col(langCol).cast("string").as("lang"),
+        transform(charNgrams(col(textCol), minN, maxN, maxChars),
+          g => featureIdx(g, dim)).as("_idx"))
+      .as[(String, Seq[Int])]
+    // ONE bounded job decides the path AND feeds the local fit: a
+    // limit(bound+1) collect returns every row when the frame is
+    // within the driver bound (the common case — labeled language
+    // data is the expensive resource) and proves it is over the bound
+    // otherwise, without a separate count pass over the featurizer.
+    val collected = hashed.limit(LogitFit.MaxDriverRows.toInt + 1).collect()
+    if (collected.length <= LogitFit.MaxDriverRows) {
+      // Run the zero-init L-BFGS fit on the driver. MLlib's
+      // distributed fit launches one treeAggregate JOB per step — 60
+      // sequential jobs whose scheduling overhead was ~3 s of q172's
+      // 3.5 s wall for a 360-row frame (r20, guide §1.2/§5); the local
+      // fit is the same deterministic optimization in-process.
+      val langs = collected.map(_._1).distinct.sorted
+      require(langs.length >= 2, s"need >= 2 languages to train, got ${langs.toSeq}")
+      val langIdx = langs.zipWithIndex.toMap
+      val rows = collected.map { case (lang, idx) => LogitFit.toRow(langIdx(lang), idx) }
+      val (w, b) = LogitFit.fitMultinomial(rows, langs.length, dim, regParam, maxIter)
+      return Model(langs, w, b, dim, minN, maxN, maxChars)
+    }
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.linalg.Vectors
     // bounded: the distinct label set (a handful of languages)
     val langs = docs.select(col(langCol).cast("string")).distinct()
       .collect().map(_.getString(0)).sorted
     require(langs.length >= 2, s"need >= 2 languages to train, got ${langs.toSeq}")
     val langIdx = langs.zipWithIndex.toMap
     val bIdx = spark.sparkContext.broadcast(langIdx)
-    val data = docs
-      .select(col(langCol).cast("string").as("lang"),
-        transform(charNgrams(col(textCol), minN, maxN, maxChars),
-          g => featureIdx(g, dim)).as("_idx"))
-      .as[(String, Seq[Int])]
+    val data = hashed
       .map { case (lang, idx) =>
         val counts = idx.groupBy(identity).toSeq
           .map { case (i, occ) => (i, occ.size.toDouble) }.sortBy(_._1)
         (bIdx.value(lang).toDouble, Vectors.sparse(dim, counts))
       }
       .toDF("label", "features")
-    // L-BFGS launches one treeAggregate job per step; a bounded
-    // labeled frame scattered over default parallelism pays per-task
-    // overhead 60 times over (measured: 15 s for a 360-row fixture at
-    // 32 partitions, sub-second after right-sizing). ~5k rows per
-    // partition, floor 1 — a genuinely large frame keeps its
-    // parallelism; cache so the featurization pipeline is not
-    // recomputed per step.
-    val n = data.count()
+    // L-BFGS launches one treeAggregate job per step; a frame
+    // scattered over default parallelism pays per-task overhead 60
+    // times over. ~5k rows per partition, floor 1 — a genuinely large
+    // frame keeps its parallelism; cache so the featurization pipeline
+    // is not recomputed per step.
+    val total = data.count()
     val sized = data
       .coalesce(math.max(1L, math.min(
-        data.rdd.getNumPartitions.toLong, (n + 4999) / 5000)).toInt)
+        data.rdd.getNumPartitions.toLong, (total + 4999) / 5000)).toInt)
       .cache()
     val fitted =
       try new LogisticRegression()

@@ -53,32 +53,46 @@ object QualityFilter {
   def train(
       docs: DataFrame, textCol: String, labelCol: String,
       dim: Int = 1024, regParam: Double = 0.01, maxIter: Int = 50): Model = {
-    import org.apache.spark.ml.classification.LogisticRegression
-    import org.apache.spark.ml.linalg.Vectors
     require(dim > 0, s"dim must be positive, got $dim")
     val spark = docs.sparkSession
     import spark.implicits._
-    // the labeled frame is the bounded input; the per-row map builds
-    // each sparse count vector from the row's OWN hashed indices —
-    // distributed, no vocabulary broadcast, no global state
-    val data = docs
+    // the labeled frame is the bounded input; hashed indices are built
+    // from the row's OWN tokens — distributed, no vocabulary
+    // broadcast, no global state
+    val hashed = docs
       .select(col(labelCol).cast("double").as("label"),
         transform(TextAnalysis.tokens(col(textCol)),
           t => featureIdx(t, dim)).as("_idx"))
       .as[(Double, Seq[Int])]
-      .map { case (label, idx) =>
-        val counts = idx.groupBy(identity).toSeq
-          .map { case (i, occ) => (i, occ.size.toDouble) }.sortBy(_._1)
-        (label, Vectors.sparse(dim, counts))
-      }
-      .toDF("label", "features")
+    // ONE bounded job decides the path AND feeds the local fit (the
+    // LangId.train stance): limit(bound+1) returns every row when the
+    // frame fits the driver bound, proves it is over it otherwise.
+    val collected = hashed.limit(LogitFit.MaxDriverRows.toInt + 1).collect()
     // EMPTY labeled frame → the uninformative prior model (all-zero
     // weights, zero intercept: every doc scores 0.5) rather than
     // MLlib's summarizer exception — the first batch of a new
     // pipeline is empty, and train must survive it (EmptyInputSpec
-    // contract). One cheap job on the bounded offline input.
-    if (data.isEmpty) Model(Array.fill(dim)(0.0), 0.0, dim)
-    else {
+    // contract).
+    if (collected.isEmpty) Model(Array.fill(dim)(0.0), 0.0, dim)
+    else if (collected.length <= LogitFit.MaxDriverRows) {
+      // Zero-init L-BFGS fit on the driver instead of paying MLlib's
+      // one-treeAggregate-job-per-step overhead 50 times
+      // (r20, guide §1.2/§5 — see [[LogitFit]]).
+      val rows = collected.map { case (label, idx) =>
+        LogitFit.toRow(math.round(label).toInt, idx)
+      }
+      val (w, b) = LogitFit.fitBinomial(rows, dim, regParam, maxIter)
+      Model(w, b, dim)
+    } else {
+      import org.apache.spark.ml.classification.LogisticRegression
+      import org.apache.spark.ml.linalg.Vectors
+      val data = hashed
+        .map { case (label, idx) =>
+          val counts = idx.groupBy(identity).toSeq
+            .map { case (i, occ) => (i, occ.size.toDouble) }.sortBy(_._1)
+          (label, Vectors.sparse(dim, counts))
+        }
+        .toDF("label", "features")
       val fitted = new LogisticRegression()
         .setMaxIter(maxIter).setRegParam(regParam)
         .setFeaturesCol("features").setLabelCol("label")

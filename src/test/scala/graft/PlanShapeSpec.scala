@@ -379,9 +379,12 @@ class PlanShapeSpec extends SparkSpec {
     "q187_pagerank_warm" -> PlanGolden.Shape(
       "Project>Join>Project>LogicalRelation>Aggregate>Project>Join>Project>Join>Aggregate>Union>Join>Filter>LogicalRDD>Project>Filter>LogicalRelation>Aggregate>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRelation>Aggregate>Aggregate>Union>LogicalRDD>Aggregate>Project>Generate>Project>Filter>LogicalRelation>Aggregate>Project>Join>Project>Join>Aggregate>Union>Join>Filter>LogicalRDD>Project>Filter>LogicalRelation>Aggregate>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRelation>Aggregate>Aggregate>Union>LogicalRDD>Aggregate>Project>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD",
       447),
+    // r20: every half-step's sums are checkpointed and normalized
+    // against a driver-scalar total, so the published plan is two
+    // joins over flat LogicalRDDs — the iteration lineage is gone
     "q192_hits_warm" -> PlanGolden.Shape(
-      "Project>Join>Project>Join>Project>LogicalRelation>Project>Join>Aggregate>Project>Join>Aggregate>Union>Join>Filter>LogicalRDD>Project>Filter>LogicalRelation>Aggregate>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRelation>Project>Join>Aggregate>Project>Join>Aggregate>Union>Join>Filter>LogicalRDD>Project>Filter>LogicalRelation>Aggregate>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRelation>LogicalRDD>Aggregate>Aggregate>Project>Join>Aggregate>Union>Join>LogicalRDD>Project>Filter>LogicalRelation>Aggregate>Join>Project>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRelation>LogicalRDD>Aggregate>Aggregate>Project>Join>Aggregate>Union>Join>Filter>LogicalRDD>Project>Filter>LogicalRelation>Aggregate>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRelation>Project>Join>Aggregate>Project>Join>Aggregate>Union>Join>Filter>LogicalRDD>Project>Filter>LogicalRelation>Aggregate>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRelation>LogicalRDD>Aggregate>Aggregate>Project>Join>Aggregate>Union>Join>LogicalRDD>Project>Filter>LogicalRelation>Aggregate>Join>Project>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRelation>LogicalRDD>Project>Join>Aggregate>Project>Join>Aggregate>Union>Join>Filter>LogicalRDD>Project>Filter>LogicalRelation>Aggregate>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRelation>LogicalRDD>Aggregate>Aggregate>Project>Join>Aggregate>Union>Join>LogicalRDD>Project>Filter>LogicalRelation>Aggregate>Join>Project>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRelation>LogicalRDD",
-      999),
+      "Project>Join>Project>Join>Project>LogicalRelation>Project>LogicalRDD>Project>Filter>LogicalRDD",
+      47),
     "q193_lpa_warm" -> PlanGolden.Shape(
       "Project>Join>Project>Join>Project>Join>Project>LogicalRelation>Project>Filter>LogicalRDD>Aggregate>Aggregate>Project>Join>Filter>LogicalRDD>Project>Join>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD>Aggregate>Aggregate>Project>Join>Filter>LogicalRDD>Project>Join>Project>Join>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD>Aggregate>Aggregate>Project>Join>Filter>LogicalRDD>Project>Join>Project>Filter>LogicalRelation>Project>Filter>LogicalRDD",
       219),
@@ -395,8 +398,8 @@ class PlanShapeSpec extends SparkSpec {
       "Project>LogicalRDD",
       10),
     "q176_hits" -> PlanGolden.Shape(
-      "Project>Join>Project>Join>Project>LogicalRelation>Project>Join>Aggregate>Project>Join>Project>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRelation>Project>Join>Aggregate>Project>Join>Project>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRelation>LogicalRDD>Aggregate>Aggregate>Project>Join>Project>Join>Project>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRelation>LogicalRDD>Aggregate>Aggregate>Project>Join>Project>Join>Project>Filter>Generate>Project>LogicalRelation>Project>Filter>LogicalRelation>Project>Join>Aggregate>Project>Join>Project>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRelation>LogicalRDD>Aggregate>Aggregate>Project>Join>Project>Join>Project>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRelation>LogicalRDD>Project>Join>Aggregate>Project>Join>Project>Join>Project>Filter>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRelation>LogicalRDD>Aggregate>Aggregate>Project>Join>Project>Join>Project>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRelation>LogicalRDD",
-      605))
+      "Project>Join>Project>Join>Project>LogicalRelation>Project>LogicalRDD>Project>Filter>LogicalRDD",
+      47))
 
   test("golden snapshots: operator skeleton exact, expression forest within 1.5x") {
     val failures = golden.toSeq.sortBy(_._1).flatMap { case (name, expected) =>
