@@ -78,11 +78,42 @@ object Ann {
   }
 
   /** Per-band sign-pattern signatures → (id, [carryCols…,] vec, band,
-    * sig). The dot product against each plane literal runs as a
-    * higher-order `aggregate` over the vector — no explode, no
-    * shuffle; banding is a narrow projection. `carryCols` ride along
-    * unchanged (the [[semanticDedupPairs]] cell key). */
+    * sig). All band signatures come from ONE fused pass of the native
+    * [[graft.functions.BandSigs]] kernel (whole-stage codegen; the
+    * higher-order `aggregate` formulation it replaces ran one
+    * interpreted fold per hyperplane — bands × bitsPerBand × dim lambda
+    * dispatches per row, the q117 defect class; r20, guide §4) —
+    * no explode of the vector, no shuffle; banding stays a narrow
+    * projection. Bit-identical to the HOF twin
+    * ([[bandSignaturesHof]], SimilaritySpec pins it): same
+    * left-to-right dot accumulation, same `dot > 0` bit, same integer
+    * signature sum, same all-zero signatures for null/short/null-
+    * element vectors. `carryCols` ride along unchanged (the
+    * [[semanticDedupPairs]] cell key). */
   def bandSignatures(
+      df: DataFrame, idCol: String, vecCol: String,
+      bands: Int, bitsPerBand: Int, dim: Int, seed: Long = 42L,
+      carryCols: Seq[String] = Nil): DataFrame = {
+    val flat = planes(dim, bands * bitsPerBand, seed).flatten.toArray
+    // NULL vector → the all-zero signatures the HOF's
+    // when(null > 0, 1).otherwise(0) bits produced
+    val sigs = coalesce(
+      graft.functions.BandSigs.sigs(col(vecCol), flat, bands, bitsPerBand, dim),
+      array((0 until bands).map(_ => lit(0)): _*))
+    val carried = carryCols.map(col)
+    df.select(col(idCol).as("id") +: carried :+ col(vecCol).as("vec") :+
+        sigs.as("_sigs"): _*)
+      .select((col("id") +: carried :+ col("vec")) :+
+        posexplode(col("_sigs")).as(Seq("band", "sig")): _*)
+  }
+
+  /** The column-algebra twin of [[bandSignatures]] — one interpreted
+    * `aggregate` fold per hyperplane. Kept as the SPEC TWIN that pins
+    * the [[graft.functions.BandSigs]] kernel bit-for-bit (the
+    * [[graft.text.LangId.marginsHof]] discipline), and as the
+    * reference formulation for engines without expression extension
+    * points. */
+  private[graft] def bandSignaturesHof(
       df: DataFrame, idCol: String, vecCol: String,
       bands: Int, bitsPerBand: Int, dim: Int, seed: Long = 42L,
       carryCols: Seq[String] = Nil): DataFrame = {

@@ -40,7 +40,13 @@ class PlanShapeSpec extends SparkSpec {
       // joined against the RANGE-bounded census, and the 1-row bounds
       // aggregate crossed back in censusLabeled — both bounded by
       // construction, never corpus rows
-      "q199_quantile_census")
+      "q199_quantile_census",
+      // q40/q42/q43 (r20): the exact-profile moments × distincts split
+      // — two 1-ROW aggregate frames cross-joined so the Expand the
+      // count_distincts plan never carries the moment buffers
+      // (Quality.profileWith splitDistincts); 1 row × 1 row by
+      // construction
+      "q40_profile", "q42_dataset_quality", "q43_profile_drift")
 
   private lazy val plans: Map[String, String] =
     SparkEntry.queries.map { case (name, fn) =>

@@ -354,4 +354,38 @@ class SimilaritySpec extends SparkSpec {
     assert(rows == Set((1L, 0, 90), (1L, 1, 91), (2L, 0, 20), (3L, 0, 30), (3L, 1, 31)),
       rows.toString)
   }
+
+  test("native BandSigs kernel equals the column-algebra twin bit-for-bit (incl. degenerate vectors)") {
+    import spark.implicits._
+    // real embeddings + adversarial rows: null vector, short vector,
+    // a null element inside the dim prefix, and int8 codes (the
+    // quantized path feeds tinyint arrays through the same banding)
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+    val extras = Seq(
+      (9001L, null.asInstanceOf[Seq[Double]])
+    ).toDF("id", "v")
+    val withNullElem = Seq((9004L, Seq[java.lang.Double](1.0, null) ++
+      Seq.fill(62)(java.lang.Double.valueOf(0.5)))).toDF("id", "v")
+    val frame = emb.unionByName(extras).unionByName(withNullElem)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "band", "sig").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted.toSeq
+    val kernel = rows(Ann.bandSignatures(frame, "id", "v", bands = 4, bitsPerBand = 4, dim = 64))
+    val hof = rows(Ann.bandSignaturesHof(frame, "id", "v", bands = 4, bitsPerBand = 4, dim = 64))
+    assert(kernel == hof)
+    // int8 codes ride the same kernel (the quantized path)
+    val codes = emb.limit(50).select(col("id"),
+      transform(col("v"), x => (x * lit(10)).cast("tinyint")).as("v"))
+    val kernelQ = rows(Ann.bandSignatures(codes, "id", "v", bands = 4, bitsPerBand = 4, dim = 64))
+    val hofQ = rows(Ann.bandSignaturesHof(codes, "id", "v", bands = 4, bitsPerBand = 4, dim = 64))
+    assert(kernelQ == hofQ)
+    // a vector shorter than dim is a caller bug and fails LOUD (the
+    // HOF form threw on ANSI element_at past the end; the kernel keeps
+    // that contract rather than silently bucketing malformed input)
+    val short = Seq((9002L, Seq(1.0, -2.0))).toDF("id", "v")
+    intercept[Exception] {
+      Ann.bandSignatures(short, "id", "v", bands = 4, bitsPerBand = 4, dim = 64).collect()
+    }
+  }
 }
