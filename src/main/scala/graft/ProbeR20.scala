@@ -66,6 +66,7 @@ object ProbeR20 {
       case "graphwarm" => graphwarm(spark, sfDir)
       case "warmab" => warmab(spark, sfDir)
       case "hitsscalar" => hitsScalar(spark, sfDir)
+      case "semdedup" => semdedup(spark, sfDir)
       case other => println(s"unknown probe: $other")
     }
     spark.stop()
@@ -163,6 +164,23 @@ object ProbeR20 {
     time("verifyJaccard")(TextDedup.verifyJaccard(cd, sets, 0.5))
     time("FULL q92")(SparkEntry.queries("q92_dedup_minhash")(s, d))
     time("FULL q114")(SparkEntry.queries("q114_dedup_clusters")(s, d))
+  }
+
+  /** q136/q96a: how much of the wall is the MLlib k-means fit vs the
+    * LSH pair generation vs the cluster resolve. */
+  def semdedup(s: SparkSession, d: String): Unit = {
+    import graft.similarity.Ann
+    val emb = Tables.embeddings(s, d)
+    timeUnit("ivfIndex fit (KMeans k=16)") {
+      Ann.ivfIndex(emb, "vec_id", "embedding", 16)
+      ()
+    }
+    val (indexed, _) = Ann.ivfIndex(emb, "vec_id", "embedding", 16)
+    val ckpt = indexed.localCheckpoint(true)
+    time("semanticDedupPairs (indexed ckpt)")(
+      Ann.semanticDedupPairs(ckpt, "vec_id", "embedding", 0.35, 64))
+    time("FULL q136")(SparkEntry.queries("q136_semantic_dedup")(s, d))
+    time("FULL q96a")(SparkEntry.queries("q96a_knn_ivf")(s, d))
   }
 
   /** HITS loop shape A/B: current (crossJoin(broadcast(tot)) per

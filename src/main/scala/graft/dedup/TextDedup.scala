@@ -57,21 +57,40 @@ object TextDedup {
       .select(col("id"), col("n_items"))
   }
 
-  /** Lowercased alphanumeric tokens, one row per DISTINCT (id, token). */
+  /** Lowercased alphanumeric tokens, one row per DISTINCT (id, token).
+    * Tokenization runs in the fused [[graft.functions.WordNgrams]]
+    * kernel (r20, guide §4): one lowercase + one byte scan per row,
+    * no regex, no interpreted filter lambda. Null text explodes to
+    * nothing, as before. */
   def tokenSets(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"),
-        explode(filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= "")).as("item"))
+        explode(graft.functions.WordNgrams.ngrams(col(textCol), 1)).as("item"))
       .distinct()
 
-  /** Word n-gram shingles, one row per DISTINCT (id, shingle). */
-  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val ws = filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= "")
-    df.select(col(idCol).as("id"), ws.as("_ws"))
-      .filter(size(col("_ws")) >= n)
-      .select(col("id"),
-        explode(transform(sequence(lit(1), size(col("_ws")) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(j => element_at(col("_ws"), i + j)): _*))).as("item"))
+  /** Word n-gram shingles, one row per DISTINCT (id, shingle) — the
+    * fused [[graft.functions.WordNgrams]] kernel (r20, guide §4): the
+    * column-algebra form it replaces (retained as [[shingleItemsHof]],
+    * the spec twin DedupSpec pins bit-for-bit) paid a regex split, a
+    * token-array allocation, and one interpreted higher-order lambda
+    * dispatch per shingle. Rows with fewer than n tokens explode to
+    * nothing, exactly like the old size(ws) >= n pre-filter. */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(graft.functions.WordNgrams.ngrams(col(textCol), n)).as("item"))
       .distinct()
+
+  /** The column-algebra twin of the [[graft.functions.WordNgrams]]
+    * kernel — the spec pin's reference formulation (and the shape for
+    * engines without expression extension points): n-grams of the
+    * regex-split lowercased tokens, empty array below n tokens. */
+  private[graft] def shingleItemsHof(text: Column, n: Int): Column = {
+    val ws = filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+    if (n == 1) ws
+    else
+      when(size(ws) >= n,
+        transform(sequence(lit(1), size(ws) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j)): _*)))
+        .otherwise(array().cast("array<string>"))
   }
 
   /** Corpus-level boilerplate-line analysis (the RefinedWeb/CCNet
@@ -975,11 +994,18 @@ object TextDedup {
     * One groupBy(id) with k min-aggregates: a single shuffle, partial
     * aggregation collapses the item lists map-side. → (id, mh_0..mh_{k−1}) */
   def minhashSignatures(sets: DataFrame, k: Int): DataFrame = {
-    val sid = itemId(col("item"))
+    // Hoist the md5-derived item id into ONE projection below the
+    // aggregate (r20, guide §2.3 project-early): as an agg-expression
+    // subtree it rode all k min-aggregates, leaving the per-row
+    // md5+conv work to the aggregate operator's codegen CSE — an
+    // explicit projection guarantees one evaluation per row and
+    // narrows the aggregate input to (id, long). Same arithmetic,
+    // bit-identical signatures.
     val aggs = (0 until k).map { i =>
-      min((sid * (1 + 4 * i) + (7 + 11 * i)) % MinhashPrime).as(s"mh_$i")
+      min((col("_sid") * (1 + 4 * i) + (7 + 11 * i)) % MinhashPrime).as(s"mh_$i")
     }
-    sets.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    sets.select(col("id"), itemId(col("item")).as("_sid"))
+      .groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** (id, band, sig) rows from a signature frame — the LSH banding
@@ -1413,14 +1439,20 @@ object TextDedup {
     * because a 16-hex-digit md5 prefix ≥ 2^63 has no lossless path
     * through `conv`/CAST in either engine. */
   def simhash64(sets: DataFrame): DataFrame = {
+    // md5+conv hoisted into one projection below the aggregate — the
+    // minhashSignatures stance (r20, guide §2.3): the two 32-bit
+    // halves are computed once per row instead of riding 64 sum-agg
+    // expression trees, and the aggregate input narrows to
+    // (id, long, long). Same arithmetic, bit-identical fingerprints.
     val hex = md5(col("item"))
-    val hLo = conv(substring(hex, 1, 8), 16, 10).cast("long")
-    val hHi = conv(substring(hex, 9, 8), 16, 10).cast("long")
+    val hashed = sets.select(col("id"),
+      conv(substring(hex, 1, 8), 16, 10).cast("long").as("_hlo"),
+      conv(substring(hex, 9, 8), 16, 10).cast("long").as("_hhi"))
     val bitAggs = (0 until 64).map { i =>
-      val h = if (i < 32) hLo else hHi
+      val h = if (i < 32) col("_hlo") else col("_hhi")
       sum(when(shiftright(h, i % 32).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"_b_$i")
     }
-    val agg = sets.groupBy("id").agg(bitAggs.head, bitAggs.tail: _*)
+    val agg = hashed.groupBy("id").agg(bitAggs.head, bitAggs.tail: _*)
     val fp = (0 until 64)
       .map(i => when(col(s"_b_$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
       .reduce(_ bitwiseOR _)

@@ -137,32 +137,60 @@ object Ann {
         col("_b.band").as("band") :+ col("_b.sig").as("sig"): _*)
   }
 
+  /** Rows the driver-local k-means fit accepts before falling back to
+    * MLlib's distributed fit — the [[graft.text.LogitFit]] stance: a
+    * coarse quantizer is routinely trained on a bounded sample (FAISS
+    * trains IVF on ~256·k vectors), and for a bounded corpus MLlib's
+    * kmeans|| init + Lloyd rounds are ~25 sequential Spark jobs whose
+    * scheduling overhead dwarfs the arithmetic (measured 2.4 s of
+    * q136's 4.3 s wall for 2 000 × 64-dim vectors at sf0.1; the local
+    * fit is < 10 ms). 65536 × 64 doubles ≈ 33 MB collected. */
+  val KMeansMaxDriverRows = 65536
+
   /** IVF (inverted-file) index: a k-means coarse quantizer assigns
     * every corpus vector to its nearest centroid once at build time.
     * Queries then probe only the `nprobe` nearest cells — candidate
     * count is (nprobe/k)·corpus instead of corpus. Centroids are model
-    * metadata (k × dim doubles), legitimately driver-held.
+    * metadata (k × dim doubles), legitimately driver-held. Corpora
+    * within [[KMeansMaxDriverRows]] fit on the DRIVER (deterministic
+    * seeded k-means++ init + Lloyd sweeps, r20 — see the bound's
+    * scaladoc); larger corpora keep MLlib's distributed fit. Both
+    * paths feed the same exact [[ivfAssign]], so the index contract
+    * (deterministic assignment, incremental-append equivalence) is
+    * path-independent; the centers themselves differ between the two
+    * fits (cell IDENTITY is arbitrary in any k-means — only
+    * assignment quality is contracted, SimilaritySpec's planted-
+    * cluster gates).
     * → (indexed corpus with `cluster`, centroid array) */
   def ivfIndex(
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val feat = corpus.select(col(idCol), col(vecCol),
-      array_to_vector(col(vecCol).cast("array<double>")).as("_features"))
-    // k-means cannot fit zero rows (bounded limit(1) probe): the empty
-    // index is one empty cell, so probes join nothing and yield nothing
-    if (feat.isEmpty)
+    // ONE bounded job decides the path AND feeds the local fit (the
+    // LogitFit limit(bound+1) stance)
+    val sample = corpus.select(col(vecCol).cast("array<double>"))
+      .limit(KMeansMaxDriverRows + 1).collect()
+    // k-means cannot fit zero rows: the empty index is one empty cell,
+    // so probes join nothing and yield nothing
+    if (sample.isEmpty)
       return (corpus.withColumn("cluster", lit(0)), Array(Array(0.0)))
-    val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("_features")
-      .setPredictionCol("cluster").fit(feat)
-    val centers = model.clusterCenters.map(_.toArray)
+    val centers =
+      if (sample.length <= KMeansMaxDriverRows)
+        LocalKMeans.fit(sample.map(_.getSeq[Double](0).toArray), k, seed)
+      else {
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+        val feat = corpus.select(
+          array_to_vector(col(vecCol).cast("array<double>")).as("_features"))
+        val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("_features")
+          .setPredictionCol("cluster").fit(feat)
+        model.clusterCenters.map(_.toArray)
+      }
     // assign with the SAME exact sum-of-squares argmin [[ivfAssign]]
     // uses (r17 advice): model.transform's fastSquaredDistance takes
     // norm-based shortcuts that can flip near-equidistant ties, which
     // would make the incremental-append equivalence probabilistic
     // instead of exact-by-construction
-    (ivfAssign(feat.drop("_features"), idCol, vecCol, centers), centers)
+    (ivfAssign(corpus.select(col(idCol), col(vecCol)), idCol, vecCol, centers), centers)
   }
 
   /** Squared L2 distance of a vector column to a centroid literal —

@@ -18,7 +18,11 @@ object TextAnalysis {
 
   /** Lowercased alphanumeric tokens as an array column. */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+    // fused tokenizer kernel (r20, guide §4): one lowercase + one byte
+    // scan, no regex, no interpreted filter lambda — token-for-token
+    // identical to filter(split(lower(text), "[^a-z0-9]+"), _ =!= "")
+    // (the WordNgrams spec twin pins it)
+    graft.functions.WordNgrams.ngrams(text, 1)
 
   /** Small stopword profiles for the n-gram language-ID heuristic.
     * Deliberately tiny: the heuristic scores membership counts, so a

@@ -759,4 +759,39 @@ class DedupSpec extends SparkSpec {
     assert(out.getString(1) == "lead para\ntail para")
     assert(out.getLong(2) == 2L && out.getLong(3) == 2L)
   }
+
+  test("WordNgrams kernel equals the column-algebra shingling twin bit-for-bit (unicode included)") {
+    import spark.implicits._
+    // real corpus text + adversarial rows: null, empty, punctuation
+    // only, diacritics/multibyte (every non-ASCII byte is a delimiter
+    // byte exactly as the regex treats the character), uppercase that
+    // lowers into ASCII (Kelvin sign), digits, and a 1-token row
+    val extras = Seq(
+      (9001L, null.asInstanceOf[String]), (9002L, ""), (9003L, "?!,.;  --"),
+      (9004L, "caf\u00e9 \u00fcber stra\u00dfe a\u00f1o 北京 word"),
+      (9005L, "\u212Aelvin MiXeD 42abc7 one"),
+      (9006L, "solo")
+    ).toDF("doc_id", "text")
+    val frame = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .unionByName(extras)
+    for (n <- Seq(1, 3)) {
+      val kernel = frame.select(col("doc_id"),
+        graft.functions.WordNgrams.ngrams(col("text"), n).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val hof = frame.select(col("doc_id"),
+        TextDedup.shingleItemsHof(col("text"), n).as("g"))
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getSeq[String](1))).toMap
+      // null text: the kernel yields null; the twin yields null at
+      // n = 1 (split(null)) but an EMPTY array at n >= 2 (size(null)
+      // is null, so the when falls through to otherwise) — both
+      // explode to zero rows at every call site, so parity is
+      // null-or-empty there and bit-for-bit everywhere else
+      assert(kernel.keySet == hof.keySet)
+      kernel.foreach { case (id, ks) =>
+        val hs = hof(id)
+        def empty(x: Seq[String]) = x == null || x.isEmpty
+        assert((empty(ks) && empty(hs)) || ks == hs, s"n=$n id=$id: $ks vs $hs")
+      }
+    }
+  }
 }

@@ -100,8 +100,8 @@ class PlanShapeSpec extends SparkSpec {
   // plan change, regenerate with: sbt "Test/runMain graft.PlanGolden"
   private val golden = Map(
     "q40_profile" -> PlanGolden.Shape(
-      "Project>Generate>Aggregate>Aggregate>Expand>Union>Project>LogicalRelation>Project>Filter>LogicalRelation",
-      1238),
+      "Project>Generate>Join>Aggregate>Union>Project>LogicalRelation>Project>Filter>LogicalRelation>Aggregate>Aggregate>Expand>Union>Project>LogicalRelation>Project>Filter>LogicalRelation",
+      977),
     "q40a_profile_approx" -> PlanGolden.Shape(
       "Project>Generate>Aggregate>Union>Project>LogicalRelation>Project>Filter>LogicalRelation",
       814),
@@ -112,14 +112,14 @@ class PlanShapeSpec extends SparkSpec {
       "Project>Aggregate>Union>Project>LogicalRelation>Project>Filter>LogicalRelation",
       365),
     "q43_profile_drift" -> PlanGolden.Shape(
-      "Project>Join>Project>Generate>Aggregate>Aggregate>Expand>Project>LogicalRelation>Project>Generate>Aggregate>Aggregate>Expand>Union>Project>LogicalRelation>Project>Filter>LogicalRelation",
-      2253),
+      "Project>Join>Project>Generate>Join>Aggregate>Project>LogicalRelation>Aggregate>Aggregate>Expand>Project>LogicalRelation>Project>Generate>Join>Aggregate>Union>Project>LogicalRelation>Project>Filter>LogicalRelation>Aggregate>Aggregate>Expand>Union>Project>LogicalRelation>Project>Filter>LogicalRelation",
+      1693),
     "q43a_profile_drift_approx" -> PlanGolden.Shape(
       "Project>Join>Project>Generate>Aggregate>Project>LogicalRelation>Project>Generate>Aggregate>Union>Project>LogicalRelation>Project>Filter>LogicalRelation",
       1456),
     "q92_dedup_minhash" -> PlanGolden.Shape(
       "Project>Join>Project>Join>Aggregate>Project>Join>Project>Join>Aggregate>Project>Join>Project>Generate>Aggregate>Project>Join>Filter>LogicalRDD>Project>Filter>Aggregate>Project>LogicalRDD>Project>Generate>Aggregate>Project>Join>Filter>LogicalRDD>Project>Filter>Aggregate>Project>LogicalRDD>Project>Filter>LogicalRDD>Project>Filter>LogicalRDD>Aggregate>Project>Filter>LogicalRDD>Aggregate>Project>Filter>LogicalRDD",
-      946),
+      678),
     // LogicalRDD = the sigs localCheckpoint: the fingerprint lineage
     // would otherwise plan on BOTH sides of the band self-join, and
     // the broadcast side's exchange can never ReusedExchange-collapse
@@ -144,7 +144,7 @@ class PlanShapeSpec extends SparkSpec {
     // struct → fields, each alias multiply-referenced
     "q118_c4_filter" -> PlanGolden.Shape(
       "Project>Project>Project>LogicalRelation",
-      363),
+      226),
     // r8: hot/cold skew routing (hot broadcast join + anti-join + cold
     // shuffle join, unioned) + the empty-doc left rejoin — the skeleton
     // carries the whole differentiated-join shape
@@ -156,14 +156,14 @@ class PlanShapeSpec extends SparkSpec {
     // joins feeding the verify cosine + top-k window
     "q96_knn_lsh" -> PlanGolden.Shape(
       "Project>Filter>Window>WindowGroupLimit>Project>Join>Project>Join>Aggregate>Project>Join>Project>Generate>Project>Filter>LogicalRelation>Project>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRelation>Project>Filter>LogicalRelation",
-      1085),
+      153),
     // r11: NO Aggregate between the cluster join and the top-k window —
     // the (query, neighbor) pair-dedup shuffle is provably redundant
     // (one IVF cell per corpus vector); its reappearance here is the
     // regression this snapshot exists to catch
     "q96a_knn_ivf" -> PlanGolden.Shape(
       "Project>Filter>Window>WindowGroupLimit>Project>Join>Project>Filter>LogicalRelation>Project>Generate>Project>Filter>LogicalRelation",
-      743),
+      325),
     // LogicalRDD nodes = the banded-signature checkpoint; r11 LEAN
     // shape: the two LogicalRelation subtrees are the id-keyed vector
     // re-attach joins for the verify step — signatures move (id, band,
@@ -183,8 +183,8 @@ class PlanShapeSpec extends SparkSpec {
       "Aggregate>Project>Project>LogicalRelation",
       241),
     "q121_decontaminate" -> PlanGolden.Shape(
-      "Project>Join>Project>Filter>LogicalRelation>Aggregate>Project>Join>Aggregate>Generate>Project>Filter>LogicalRelation>Aggregate>Generate>Project>Filter>LogicalRelation",
-      286),
+      "Project>Join>Project>Filter>LogicalRelation>Aggregate>Project>Join>Aggregate>Project>Generate>Project>Filter>LogicalRelation>Aggregate>Generate>Project>Filter>LogicalRelation",
+      88),
     // LogicalRDDs = the eager gram checkpoint (the five-consumer
     // lineage: counts aggregate + hotColdJoin's three probe legs);
     // the Union carries the hot-broadcast/cold-shuffle differentiated
@@ -218,41 +218,41 @@ class PlanShapeSpec extends SparkSpec {
     // into per-field copies
     "q129_lm_perplexity" -> PlanGolden.Shape(
       "Project>Aggregate>Project>Join>Project>Generate>Project>Filter>LogicalRelation>Aggregate>Generate>Project>Filter>LogicalRelation",
-      149),
+      129),
     // DSIR: GlobalLimit>LocalLimit>Sort is TakeOrdered (per-partition
     // top-k, only k rows move — never a full global sort), and the two
     // vocab-bounded models merge BEFORE the token-stream join so the
     // corpus tokens are joined exactly once
     "q130_dsir_select" -> PlanGolden.Shape(
       "GlobalLimit>LocalLimit>Project>Sort>Aggregate>Project>Join>Project>Generate>Project>LogicalRelation>Project>Filter>Join>Aggregate>Generate>Project>Filter>LogicalRelation>Aggregate>Generate>Project>LogicalRelation",
-      147),
+      117),
     // tf·idf: WindowGroupLimit = Spark's rank-limit pushdown (each
     // partition keeps its local top-k before the window sorts) — if
     // this node disappears the per-doc rank went global
     "q131_tfidf_keywords" -> PlanGolden.Shape(
       "Project>Filter>Window>WindowGroupLimit>Project>Join>Aggregate>Project>Generate>Project>LogicalRelation>Aggregate>Generate>Project>LogicalRelation",
-      114),
+      94),
     // bigram perplexity: three LEFT joins (bigram, context, unigram) +
     // ONE doc-id Aggregate; the bigram/context sides must remain
     // shuffle-join-capable (no broadcast REQUIREMENT in the logical
     // plan — they are not vocab-bounded at corpus scale)
     "q133_bigram_perplexity" -> PlanGolden.Shape(
       "Project>Aggregate>Project>Join>Project>Join>Project>Join>Project>Generate>Project>Filter>LogicalRelation>Aggregate>Project>Filter>Generate>Project>Filter>LogicalRelation>Aggregate>Aggregate>Project>Filter>Generate>Project>Filter>LogicalRelation>Aggregate>Generate>Project>Filter>LogicalRelation",
-      357),
+      317),
     // BPE training kernel: word-count aggregate feeding the pair
     // explode + pair aggregate — two shuffles, both vocab-keyed; a
     // third Aggregate or a Join appearing means the kernel stopped
     // being a pure two-level aggregation
     "q140a_bpe_pair_counts" -> PlanGolden.Shape(
       "Aggregate>Project>Generate>Aggregate>Generate>Project>LogicalRelation",
-      110),
+      100),
     // BPE encode: per-doc aggregate over the word-keyed JOIN of the
     // occurrence explode with the distinct-word (vocab) leg — exactly
     // one Join; the encode UDF must stay on the vocab side (inside the
     // right Aggregate leg), never per-occurrence
     "q141_bpe_encode" -> PlanGolden.Shape(
       "Aggregate>Project>Join>Generate>Project>LogicalRelation>Aggregate>Generate>Project>LogicalRelation",
-      61),
+      41),
     // epoch mix materialization: pure narrow — epoch Generate + hash
     // Filter over the scan, NO Join and NO extra Aggregate (the token
     // census is the offline plan-build step, not in this plan); any
@@ -267,7 +267,7 @@ class PlanShapeSpec extends SparkSpec {
     // would shuffle page text)
     "q148_main_content" -> PlanGolden.Shape(
       "Project>Project>Project>LogicalRelation",
-      452),
+      302),
     // paragraph dedup: keeper Aggregate (map-side partials collapse
     // hot paragraphs) feeding ONE equi-join back onto the explode —
     // the join key contains row-unique (id, pos) so no hot-key
@@ -292,7 +292,7 @@ class PlanShapeSpec extends SparkSpec {
     // WindowGroupLimit or gaining a corpus-wide Join is the regression
     "q156_bm25" -> PlanGolden.Shape(
       "Project>Filter>Window>WindowGroupLimit>Aggregate>Project>Join>Project>Join>Project>Join>Aggregate>Generate>Project>Project>Filter>LogicalRelation>Aggregate>Aggregate>Generate>Project>Project>Filter>LogicalRelation>Project>Filter>Window>GlobalLimit>LocalLimit>Sort>Aggregate>Generate>Project>LogicalRelation>Aggregate>Project>LogicalRelation",
-      428),
+      348),
     // one narrow projection chain + ONE Window partitioned by domain;
     // a second Window or a Join appearing is the regression
     "q157_url_frontier_filter" -> PlanGolden.Shape(
@@ -319,10 +319,10 @@ class PlanShapeSpec extends SparkSpec {
       908),
     "q165_ccnet_buckets" -> PlanGolden.Shape(
       "Project>Window>Project>Join>Project>Aggregate>Project>Join>Project>Generate>Project>Filter>LogicalRelation>Aggregate>Generate>Project>Filter>LogicalRelation>Project>Filter>LogicalRelation",
-      161),
+      141),
     "q166_inverted_index" -> PlanGolden.Shape(
       "Project>Filter>Window>WindowGroupLimit>Window>Aggregate>Generate>Project>LogicalRelation",
-      84),
+      74),
     "q169_domain_stats_incremental" -> PlanGolden.Shape(
       "Project>Aggregate>Aggregate>Expand>Aggregate>Union>Aggregate>Project>Project>Filter>LogicalRelation>Aggregate>Project>Project>Filter>LogicalRelation",
       342),
@@ -348,7 +348,7 @@ class PlanShapeSpec extends SparkSpec {
     // lost and the page scan re-executes per consumer
     "q180_corpus_pipeline" -> PlanGolden.Shape(
       "Project>Join>Project>LogicalRDD>Project>Aggregate>Project>Join>Project>Generate>Project>LogicalRDD>Aggregate>Generate>Project>LogicalRDD",
-      148),
+      128),
     // banded containment: sketch Aggregate + ONE probe Join + the
     // candidate-count Aggregate feeding the exact-verify join chain;
     // a second probe-side Join or a Window appearing is the regression
@@ -363,7 +363,7 @@ class PlanShapeSpec extends SparkSpec {
     // LogicalRelation on the store leg = history text re-scan
     "q186_index_incremental" -> PlanGolden.Shape(
       "Project>Filter>Window>WindowGroupLimit>Window>Union>Join>LogicalRDD>Aggregate>Project>Filter>LogicalRelation>Aggregate>Generate>Project>Filter>LogicalRelation",
-      121),
+      111),
     // store-served BM25: every leaf is the checkpointed postings store
     // (LogicalRDD) — a LogicalRelation appearing means document text
     // leaked back into the retrieval path; the WindowGroupLimit top-k
