@@ -271,19 +271,15 @@ object TextAnalysis {
     * groupBy with map-side partials. → (gram, cnt) */
   def charNgramModel(refDocs: DataFrame, textCol: String, n: Int = 3): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    // lower() is HOISTED out of the transform lambda (r19): a lambda
-    // body re-evaluates every expression per ELEMENT, so lower(text)
-    // inside it lowercases the whole document once per gram — O(len²)
-    // per document, measured 1.8× the whole explode. Hoisted, the
-    // lambda touches only the pre-lowered attribute.
-    val t = col("_lt")
-    // guard: sequence(1, 0) steps DOWNWARD in Spark, so a sub-n-length
-    // text must yield null (explode drops it), not phantom positions
+    // grams come from the fused CharNgrams kernel (r20, guide §4): the
+    // transform-lambda form it replaces (even with r19's lower()
+    // hoist) paid an interpreted dispatch per gram plus an O(i)
+    // substr scan — O(len²) character work per document. Same gram
+    // strings (TextSpec pins the twin); sub-n-length text explodes to
+    // nothing either way.
     refDocs
-      .select(lower(col(textCol)).as("_lt"))
-      .select(explode(when(length(t) >= n, transform(
-        sequence(lit(1), length(t) - (n - 1)),
-        i => t.substr(i, lit(n))))).as("gram"))
+      .select(explode(
+        graft.functions.CharNgrams.ngrams(lower(col(textCol)), n)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("cnt"))
   }
 
@@ -301,17 +297,12 @@ object TextAnalysis {
   def coverageScore(
       docs: DataFrame, idCol: String, textCol: String,
       model: DataFrame, n: Int = 3, minCount: Long = 1L): DataFrame = {
-    // same lambda-hoist as charNgramModel (r19): lower once per row,
-    // not once per gram
-    val t = col("_lt")
-    // documents shorter than n have no grams to score and drop out
-    // (same guard as charNgramModel — no phantom descending sequence)
+    // the charNgramModel kernel (r20) — documents shorter than n have
+    // no grams and drop out at the explode
     val grams = docs
-      .select(col(idCol).as("id"), lower(col(textCol)).as("_lt"))
-      .select(col("id"),
-        explode(when(length(t) >= n, transform(
-          sequence(lit(1), length(t) - (n - 1)),
-          i => t.substr(i, lit(n))))).as("gram"))
+      .select(col(idCol).as("id"),
+        explode(
+          graft.functions.CharNgrams.ngrams(lower(col(textCol)), n)).as("gram"))
     grams
       .join(broadcast(model.filter(col("cnt") >= minCount)), Seq("gram"), "left")
       .groupBy("id")

@@ -210,8 +210,8 @@ class PlanShapeSpec extends SparkSpec {
       "Project>Generate>Project>Project>Filter>LogicalRelation",
       99),
     "q122_coverage" -> PlanGolden.Shape(
-      "Project>Aggregate>Project>Join>Generate>Project>Filter>LogicalRelation>Filter>Aggregate>Filter>Generate>Project>Filter>LogicalRelation",
-      126),
+      "Project>Aggregate>Project>Join>Project>Generate>Project>Filter>LogicalRelation>Filter>Aggregate>Generate>Project>Filter>LogicalRelation",
+      92),
     // LM scoring: one Generate per side (score tokens, model tokens),
     // one broadcast join, ONE Aggregate on the doc id — the micro-nat
     // arithmetic must stay in the post-join Project, not multiply

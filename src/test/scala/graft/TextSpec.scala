@@ -509,4 +509,30 @@ class TextSpec extends SparkSpec {
       .collect().head.getAs[Double]("quality_score")
     assert(priorScore == 0.5)
   }
+
+  test("CharNgrams kernel equals the transform-lambda twin gram-for-gram (unicode included)") {
+    import spark.implicits._
+    val frame = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        (9001L, null.asInstanceOf[String]), (9002L, ""), (9003L, "ab"),
+        (9004L, "caf\u00e9 stra\u00dfe 北京x"), (9005L, "abc")
+      ).toDF("doc_id", "text"))
+    val t = lower(col("text"))
+    val n = 3
+    val twin = frame.select(col("doc_id"),
+      when(length(t) >= n, transform(
+        sequence(lit(1), length(t) - (n - 1)),
+        i => t.substr(i, lit(n)))).as("g"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) Nil else r.getSeq[String](1))).toMap
+    val kernel = frame.select(col("doc_id"),
+      graft.functions.CharNgrams.ngrams(lower(col("text")), n).as("g"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) Nil else r.getSeq[String](1))).toMap
+    assert(kernel.keySet == twin.keySet)
+    kernel.foreach { case (id, ks) =>
+      // null/short text: twin is null, kernel null-or-empty - both
+      // explode to zero rows; everything else gram-for-gram equal
+      val ts = twin(id)
+      assert((ks.isEmpty && ts.isEmpty) || ks == ts, s"id=$id: $ks vs $ts")
+    }
+  }
 }
